@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+1. index build (tokenize -> postings/term_stats/stats), materialized —
+   reports files/sec and postings/sec (reference instrumentation
+   analog: tantivy-cli/src/commands/index.rs:164-189);
+2. the fixed BM25 query set over the cached index — per-query wall
+   seconds (analog: commands/bench.rs:63-77);
+3. one dedup + one knn representative op.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...}, "sf": ..., extras...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.ops import dedup as dd
+    from prosearch_spark.ops import similarity as sim
+    from prosearch_spark.query.engine import SearchEngine
+    from prosearch_spark.session import get_spark
+
+    spark = get_spark("prosearch-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    # -- index build ---------------------------------------------------------
+    t0 = time.perf_counter()
+    idx = build_index(docs, text_col="text").cache()
+    n_postings = idx.postings.count()
+    idx.term_stats.count()
+    idx.stats.count()
+    t_build = time.perf_counter() - t0
+    queries["index_build"] = round(t_build, 4)
+
+    eng = SearchEngine(spark, idx)
+
+    # -- BM25 query set (warmed cache, like serve.rs warmup Q11) -------------
+    qset = {
+        "q_single": "spark",
+        "q_and2": "join hash",
+        "q_rare": "dup",
+        "q_and3": "spark dup table",
+        "q_hot": "the a",
+        "q_count": None,  # count collector
+    }
+    for name, q in qset.items():
+        t0 = time.perf_counter()
+        if name == "q_count":
+            eng.count("join hash").collect()
+        else:
+            eng.topk(q, 10).collect()
+        queries[name] = round(time.perf_counter() - t0, 4)
+
+    # -- representative ops ---------------------------------------------------
+    t0 = time.perf_counter()
+    dd.exact_dup_groups(docs, content_col="text").count()
+    queries["dedup_exact"] = round(time.perf_counter() - t0, 4)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    t0 = time.perf_counter()
+    sim.cosine_topk(emb, qvec, 10).collect()
+    queries["knn_cosine"] = round(time.perf_counter() - t0, 4)
+
+    total = time.perf_counter() - t_total0
+    out = {
+        "metric": "index_build_plus_bm25_topk",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "files_per_sec": round(n_docs / t_build, 2) if t_build else None,
+        "postings_per_sec": round(n_postings / t_build, 2) if t_build else None,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

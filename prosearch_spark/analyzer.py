@@ -1,0 +1,228 @@
+"""Analyzers (tokenizers).
+
+Two analyzers, mirroring the reference plus the code-aware extension the
+north-star mandates:
+
+1. ``white_lower`` — THE reference analyzer: split on whitespace,
+   lowercase each token (reference: tantivy-cli/src/commands/serve.rs:326-330
+   registers ``TextAnalyzer(WhitespaceTokenizer).filter(LowerCaser)`` under
+   the name ``white-lowercaser``; used by both indexed fields per
+   tantivy-cli/index-init/meta.json:15,29).  Implemented as a pure Column
+   expression so it stays inside whole-stage codegen — no Python in the
+   indexing hot path.
+
+2. ``code`` — code-aware analyzer for source files: everything
+   ``white_lower`` emits, plus camelCase / snake_case / kebab-case subtoken
+   splits, path-segment n-grams for tokens that look like paths, and
+   per-language stopword removal applied to *subtokens only* (the verbatim
+   token is always kept, so exact-identifier search keeps working).
+   Implemented as an Arrow-batched pandas UDF (no per-row Python UDF), with
+   a pure-Python twin ``analyze_code`` shared with the test oracle so
+   tf/df/dl are defined identically in both engines.
+
+The ``raw`` analyzer (whole value = one term; reference meta.json:41 for
+the ``url`` field) is the identity and needs no code.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# --------------------------------------------------------------------------
+# 1. white_lower — reference-exact analyzer, JVM-side.
+# --------------------------------------------------------------------------
+
+_WS = r"\s+"
+
+
+def white_lower_tokens(col: Column | str) -> Column:
+    """``split on whitespace -> lowercase``, empty tokens dropped.
+
+    Matches the reference ``white-lowercaser`` analyzer
+    (serve.rs:326-330). Pure built-in functions: split/lower/filter all
+    run inside whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), _WS), lambda t: t != F.lit(""))
+
+
+def white_lower_py(text: str) -> list[str]:
+    """Pure-Python twin of :func:`white_lower_tokens` for the oracle."""
+    return [t for t in re.split(_WS, text.lower()) if t]
+
+
+# --------------------------------------------------------------------------
+# 2. code — code-aware analyzer (north_star requirement).
+# --------------------------------------------------------------------------
+
+# identifier boundary splits: camelCase, PascalCase, snake_case, kebab-case,
+# digits<->letters, plus generic non-alnum separators.
+_CAMEL_RE = re.compile(
+    r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"
+)
+_SEP_RE = re.compile(r"[^A-Za-z0-9]+")
+_PATHLIKE_RE = re.compile(r"^[\w.\-]+(/[\w.\-]+)+$")
+_TOKEN_RE = re.compile(r"\S+")
+
+# per-language stopwords applied to subtokens (keywords so common in a
+# language that they carry no ranking signal). The verbatim token is kept.
+LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "python": frozenset({"def", "self", "return", "import", "from", "none"}),
+    "java": frozenset({"public", "private", "void", "return", "new", "null"}),
+    "rust": frozenset({"fn", "let", "mut", "pub", "return", "self"}),
+    "js": frozenset({"function", "var", "const", "let", "return", "null"}),
+    "go": frozenset({"func", "return", "nil", "err", "package"}),
+    "md": frozenset(),
+}
+
+
+def _split_identifier(tok: str) -> list[str]:
+    parts: list[str] = []
+    for piece in _SEP_RE.split(tok):
+        if not piece:
+            continue
+        parts.extend(p for p in _CAMEL_RE.split(piece) if p)
+    return parts
+
+
+def analyze_code(text: str, lang: str | None = None) -> list[str]:
+    """Code-aware tokenization; pure Python, shared with the oracle.
+
+    Emits, per raw whitespace token:
+      * the lowercased verbatim token (white_lower behavior — superset),
+      * lowercased identifier subtokens when splitting changes anything,
+      * path-segment bigrams (``a/b``) for path-like tokens.
+    Subtokens (not verbatim tokens) in the language stopword set are
+    dropped. Deterministic by construction.
+    """
+    stop = LANG_STOPWORDS.get((lang or "").lower(), frozenset())
+    out: list[str] = []
+    for raw in _TOKEN_RE.findall(text):
+        low = raw.lower()
+        out.append(low)
+        sub = _split_identifier(raw)
+        if len(sub) > 1 or (sub and sub[0] != raw):
+            out.extend(s.lower() for s in sub if s.lower() not in stop)
+        if _PATHLIKE_RE.match(raw):
+            segs = [s.lower() for s in raw.split("/") if s]
+            out.extend(f"{a}/{b}" for a, b in zip(segs, segs[1:]))
+    return out
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def code_tokens_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
+    """Arrow-batched analyzer UDF (the B1 ``add_document`` tokenize step)."""
+    return pd.Series(
+        [
+            analyze_code(c, l) if c is not None else []
+            for c, l in zip(content, lang)
+        ]
+    )
+
+
+def code_tokens(content: Column | str, lang: Column | str) -> Column:
+    c = F.col(content) if isinstance(content, str) else content
+    l = F.col(lang) if isinstance(lang, str) else lang
+    return code_tokens_udf(c, l)
+
+
+# --------------------------------------------------------------------------
+# 3. Query-side analysis (reference T4/T5, serve.rs:270-299,362-405).
+# --------------------------------------------------------------------------
+
+# The reference's hardcoded tech-term boost set (serve.rs:362-369). Terms
+# in this set get a 2.5x score multiplier. Matched CASE-SENSITIVELY on the
+# raw whitespace token, exactly as `q.split_whitespace()` + HashSet lookup
+# does in serve.rs:388-395 (the set itself is all-lowercase).
+BOOST_TERMS: frozenset[str] = frozenset({
+    "angular", "drupal", "haxe", "qunitjs", "qunit", "babeljs", "babel",
+    "backbonejs", "backbone", "bazel", "bluebirdjs", "bluebird", "bower",
+    "cfdocs", "cfml", "clojure", "codecept", "codeception", "codeigniter",
+    "coffeescript", "cran.r-project", "r", "crystal", "dart", "mysql",
+    "apple", "mozilla", "mdn", "wordpress", "deno", "astro", "aws",
+    "amazon", "brew", "chef", "cypress", "influxdata", "influxdb",
+    "julialang", "julia", "microsoft", "npmjs", "npm", "oracle",
+    "phalconphp", "phalcon", "python", "rust", "ruby", "saltproject",
+    "salt", "wagtail", "doctrine", "embarcadero", "eigen", "elixir", "elm",
+    "cpp", "c++", "enzymejs", "enzyme", "erights", "erlang", "esbuild",
+    "eslint", "expressjs", "express", "fastapi", "flow", "fortran90",
+    "fortran", "fsharp", "bootstrap", "composer", "git", "gnu", "cobol",
+    "go", "golang", "handlebarsjs", "handlebars", "haskell", "hex",
+    "hexdocs", "httpd", "apache", "i3wm", "i3", "jasmine", "javascript",
+    "jekyllrb", "jekyll", "jsdoc", "knockoutjs", "knockout", "kotlinlang",
+    "kotlin", "laravel", "latexref", "latex", "lesscss", "less", "love2d",
+    "lua", "man7", "linux", "mariadb", "mochajs", "mocha", "modernizr",
+    "momentjs", "moment", "mongoosejs", "mongoose", "vue", "vuex", "nginx",
+    "nim", "nixos", "node", "nodejs", "ocaml", "odin", "openjdk",
+    "opentsdb", "perl", "php", "playwright", "pointclouds", "postgresql",
+    "prettier", "pugjs", "pug", "pydata", "pytorch", "qt", "r-project",
+    "react-bootstrap", "react", "reactivex", "rxjs", "reactjs",
+    "reactnative", "reactrouter", "readthedocs", "redis", "redux.js",
+    "redux", "requirejs", "rethinkdb", "rust-lang", "sass", "scala",
+    "scikit-image", "scikit-learn", "scikit", "spring", "sqlite",
+    "ponylang", "pony", "superuser", "svelte", "swift", "tailwindcss",
+    "tailwind", "symfony", "twig", "typescript", "underscorejs",
+    "underscore", "vitejs", "vite", "vitest", "vuejs", "vueuse",
+    "webpack.js", "webpack", "arch", "chaijs", "chai", "electronjs",
+    "electron", "hammerspoon", "khronos", "pygame", "rubydoc",
+    "statsmodels", "tcl", "terraform", "vagrantup", "vagrant",
+    "yiiframework", "yii", "yarnpkg", "yarn",
+})
+
+TERM_BOOST = 2.5
+
+
+def escape_query_term(term: str) -> str:
+    """Reference T4 (serve.rs:270-299): escape ``\\ " '`` and quote.
+
+    We never feed a query-grammar string to a parser — every whitespace
+    token becomes exactly one term — so this exists for API parity and
+    tests; it is not in the query path.
+    """
+    escaped = "".join(("\\" + c) if c in ('\\', '"', "'") else c for c in term)
+    return f'"{escaped}"'
+
+
+def analyze_query(q: str) -> list[tuple[str, float]]:
+    """Raw query string -> [(term, boost)].
+
+    Mirrors serve.rs:388-405 + the parser's analyzer pass: split on
+    whitespace; boost 2.5 if the RAW token is in BOOST_TERMS; then the
+    term itself is lowercased (white-lowercaser). Each whitespace token
+    becomes exactly one required term (conjunction-by-default,
+    serve.rs:343-344; quoting makes each token a 1-term phrase == exact
+    term match). Duplicate tokens stay duplicated — each is a query
+    clause that contributes its own score, as in the reference parser.
+    """
+    out: list[tuple[str, float]] = []
+    for raw in q.split():
+        boost = TERM_BOOST if raw in BOOST_TERMS else 1.0
+        out.append((raw.lower(), boost))
+    return out
+
+
+def query_terms_df(spark, q: str):
+    """[(term, boost)] as a broadcastable one-row-per-clause DataFrame."""
+    rows = analyze_query(q)
+    return spark.createDataFrame(rows, "term string, boost double")
+
+
+__all__: Iterable[str] = [
+    "white_lower_tokens",
+    "white_lower_py",
+    "analyze_code",
+    "code_tokens",
+    "code_tokens_udf",
+    "BOOST_TERMS",
+    "TERM_BOOST",
+    "escape_query_term",
+    "analyze_query",
+    "query_terms_df",
+    "LANG_STOPWORDS",
+]

@@ -1,0 +1,134 @@
+"""Embedding similarity search (ANN) over an ``array<float>`` column.
+
+Two tiers, per the scale ladder:
+
+- :func:`cosine_topk` — exact brute-force top-k against a broadcast
+  query vector. JVM-side ``F.zip_with`` + ``F.aggregate`` (sequential
+  fold -> deterministic summation order, mirrorable in an oracle);
+  ends in ``TakeOrderedAndProject`` so the scan is one pass, no shuffle.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing: deterministic
+  md5-derived hyperplanes, signature = sign-bit string; candidates from
+  the query's bucket (+ optional multi-probe by flipping bits), exact
+  re-rank inside. The 100 TB path: bucket becomes the partition key so
+  a query touches one partition.
+- :func:`knn_join` — all-pairs k-NN between two embedding tables via
+  LSH-bucket equi-join then per-left top-k (window), for near-dup
+  semantic dedup at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0),
+                    lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_sim_col(vec_col, query_vec: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return _dot(vec_col, q) / (_norm(vec_col) * _norm(q))
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_to: int | None = 6) -> DataFrame:
+    """Exact top-k by cosine; rank on rounded score + id tie-break so
+    results are deterministic and oracle-comparable."""
+    sim = cosine_sim_col(F.col(vec_col), query_vec)
+    d = emb.select(F.col(id_col).alias("vec_id"), sim.alias("cosine"))
+    if round_to is not None:
+        d = d.withColumn("cosine", F.round("cosine", round_to))
+    top = d.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
+# -- LSH (random hyperplanes) -------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5.
+
+    Component (p, i) = (md5 digest int of f"{seed}:{p}:{i}") scaled to
+    [-1, 1). Reproducible everywhere (hashlib twin in tests).
+    """
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()
+            v = int(h[:15], 16) / float(1 << 60)  # [0,1)
+            row.append(2.0 * v - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature_col(vec_col, planes: list[list[float]]):
+    """Bit-string signature: '1' where dot(vec, plane) > 0."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(c) for c in p])) > 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """ANN top-k: exact re-rank within the query's LSH bucket.
+
+    Recall < 1 by design; at scale the signature is a partition key and
+    the filter prunes partitions before any vector math.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = "".join(
+        "1" if sum(a * b for a, b in zip(query_vec, p)) > 0 else "0"
+        for p in planes
+    )
+    bucketed = emb.withColumn("sig", lsh_signature_col(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("sig") == qsig)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 6, seed: int = 42, dim: int = 64) -> DataFrame:
+    """Approximate k-NN join: equi-join on LSH bucket, exact cosine
+    inside, per-left top-k via window. (l_id, r_id, cosine, rank)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    l = left.select(
+        F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_vec")
+    ).withColumn("sig", lsh_signature_col(F.col("l_vec"), planes))
+    r = right.select(
+        F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_vec")
+    ).withColumn("sig", lsh_signature_col(F.col("r_vec"), planes))
+    pairs = l.join(r, "sig").filter(F.col("l_id") != F.col("r_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(_dot(F.col("l_vec"), F.col("r_vec"))
+                / (_norm(F.col("l_vec")) * _norm(F.col("r_vec"))), 6),
+    )
+    w = Window.partitionBy("l_id").orderBy(F.desc("cosine"), F.asc("r_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("l_id", "r_id", "cosine", "rank")
+    )

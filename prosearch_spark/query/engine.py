@@ -1,0 +1,147 @@
+"""The BM25 query engine (reference Q1-Q10, serve.rs:336-453).
+
+One declarative DataFrame plan per query:
+
+    query terms (broadcast, <=dozens of rows)
+      ⨝ postings on term            -- J2: term-dictionary lookup
+      ⨝ term_stats on term          -- df (broadcast after isin pushdown)
+      ⨯ stats (broadcast 1 row)     -- N, avgdl
+      -> per-clause BM25 column     -- Q5
+      -> groupBy(doc_id): sum + count  -- the ONE shuffle
+      -> HAVING count == n_clauses  -- Q2: conjunction-by-default
+      -> ORDER BY score DESC, doc_id ASC LIMIT k  -- Q6: TakeOrderedAndProject
+
+At 100 TB the postings side is huge but the term filter prunes to the
+query's terms before the shuffle (predicate pushdown into the parquet /
+bucket scan — see index/artifact.py bucketing), the dimension sides are
+broadcast, and the per-partition top-k heap merge of
+TakeOrderedAndProject is exactly Tantivy's per-segment TopDocs collector
++ heap merge (serve.rs:413-419).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prosearch_spark.analyzer import analyze_query
+from prosearch_spark.index.build import InvertedIndex
+from prosearch_spark.query.bm25 import SCORE_EXPR
+
+
+class SearchEngine:
+    """Query API over an :class:`InvertedIndex` (single-field)."""
+
+    def __init__(self, spark: SparkSession, index: InvertedIndex):
+        self.spark = spark
+        self.index = index
+
+    # -- plan fragments ----------------------------------------------------
+
+    def _matches(self, q: str) -> tuple[DataFrame, int]:
+        """Per-(clause, doc) scored rows + the clause count for AND."""
+        clauses = analyze_query(q)
+        qdf = self.spark.createDataFrame(clauses, "term string, boost double")
+        terms = sorted({t for t, _ in clauses})
+        ts = self.index.term_stats.filter(F.col("term").isin(terms))
+        scored = (
+            self.index.postings
+            .join(F.broadcast(qdf), "term")
+            .join(F.broadcast(ts), "term")
+            .crossJoin(F.broadcast(self.index.stats))
+            .withColumn("s", F.expr(SCORE_EXPR))
+        )
+        return scored, len(clauses)
+
+    def _docs_scored(self, q: str) -> DataFrame:
+        """(doc_id, score) for docs matching ALL clauses (conjunction)."""
+        scored, n_clauses = self._matches(q)
+        return (
+            scored.groupBy("doc_id")
+            .agg(F.sum("s").alias("score"), F.count("*").alias("nmatch"))
+            .filter(F.col("nmatch") == n_clauses)
+            .drop("nmatch")
+        )
+
+    # -- public query operators --------------------------------------------
+
+    def topk(self, q: str, k: int = 10, round_to: int | None = None) -> DataFrame:
+        """Q6: top-k by (score DESC, doc_id ASC).
+
+        ``round_to`` rounds scores BEFORE ranking — used by the
+        cross-engine correctness gate so rank order is identical even
+        when the two engines differ in the last float ulp.
+        """
+        d = self._docs_scored(q)
+        if round_to is not None:
+            d = d.withColumn("score", F.round("score", round_to))
+        top = d.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score"
+        )
+
+    def count(self, q: str) -> DataFrame:
+        """Q7: total hit count alongside/instead of top-k."""
+        return self._docs_scored(q).agg(F.count("*").alias("hits"))
+
+    def match_scan(self, q: str) -> DataFrame:
+        """Q8: every matching doc, unranked (search.rs:62-78)."""
+        return self._docs_scored(q).select("doc_id")
+
+    def fetch(self, hits: DataFrame, docs: DataFrame,
+              id_col: str = "doc_id") -> DataFrame:
+        """S5/J3: top-k doc store fetch = broadcast join of the k hits
+        back to the document table (serve.rs:421-435)."""
+        return docs.join(F.broadcast(hits), docs[id_col] == hits["doc_id"],
+                         "inner").drop(hits["doc_id"])
+
+    def terms_agg(self, q: str, docs: DataFrame, group_col: str,
+                  size: int = 10) -> DataFrame:
+        """Q9: Elasticsearch-style ``terms`` aggregation over matches
+        (search.rs:47-61): top-N buckets by count."""
+        m = self.match_scan(q)
+        return (
+            docs.join(m, "doc_id")
+            .groupBy(group_col)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc(group_col))
+            .limit(size)
+        )
+
+    def stats_agg(self, q: str, docs: DataFrame, value_col: str) -> DataFrame:
+        """Q9: ``stats`` aggregation (count/min/max/sum/avg) over matches."""
+        m = self.match_scan(q)
+        return docs.join(m, "doc_id").agg(
+            F.count(value_col).alias("count"),
+            F.min(value_col).alias("min"),
+            F.max(value_col).alias("max"),
+            F.sum(value_col).alias("sum"),
+            F.avg(value_col).alias("avg"),
+        )
+
+    def histogram_agg(self, q: str, docs: DataFrame, value_col: str,
+                      interval: float) -> DataFrame:
+        """Q9: ``histogram`` aggregation over matches."""
+        m = self.match_scan(q)
+        return (
+            docs.join(m, "doc_id")
+            .groupBy(
+                (F.floor(F.col(value_col) / F.lit(interval)) * F.lit(interval))
+                .alias("bucket")
+            )
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy("bucket")
+        )
+
+    def search(self, q: str, docs: DataFrame, k: int = 10,
+               snippet_col: str | None = None) -> DataFrame:
+        """Q1-Q6+Q10+P1: the full /search flow — top-k, fetch stored
+        fields, optional snippet, body dropped (serve.rs:379-386)."""
+        hits = self.topk(q, k)
+        out = self.fetch(hits, docs)
+        if snippet_col is not None:
+            from prosearch_spark.query.snippet import with_snippet
+            out = with_snippet(out, q, snippet_col)
+            out = out.drop(snippet_col)
+        return out.orderBy("rank")

@@ -1,0 +1,199 @@
+"""ANSI-SQL (DuckDB-dialect) oracle generators.
+
+For every oracle-checkable operator, these functions emit a SQL string
+that recomputes the result FROM SCRATCH on the raw ``documents`` view
+(columns: doc_id, text, lang, source, n_chars) — an independent
+implementation of the same semantics, used by the driver's DuckDB
+correctness gate and by tools/check_oracle.py.
+
+Tokenization mirror of analyzer.white_lower_tokens: DuckDB
+``string_split_regex(lower(text), '\\s+')`` — RE2 ``\\s`` and Java
+``\\s`` agree on ASCII whitespace, and the corpus is ASCII.
+
+Scoring mirror: prosearch_spark.query.bm25.SCORE_EXPR verbatim.
+"""
+
+from __future__ import annotations
+
+from prosearch_spark.analyzer import analyze_query
+from prosearch_spark.query.bm25 import SCORE_EXPR
+
+# shared CTE prelude: token stream, tf, dl-denormalized postings,
+# term_stats, corpus stats — the SQL twin of index/build.py.
+INDEX_CTES = """
+toks AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ) WHERE term <> ''
+),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM toks GROUP BY doc_id, term
+),
+postings AS (
+    SELECT term, doc_id, tf,
+           sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS dl
+    FROM tf
+),
+term_stats AS (
+    SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+           (SELECT count(*) FROM toks) * 1.0
+               / (SELECT count(*) FROM documents) AS avgdl
+)
+"""
+
+
+def postings_sql(limit_terms: list[str] | None = None) -> str:
+    where = ""
+    if limit_terms:
+        inlist = ", ".join(f"'{t}'" for t in sorted(limit_terms))
+        where = f"WHERE term IN ({inlist})"
+    return f"WITH {INDEX_CTES} SELECT term, doc_id, tf, dl FROM postings {where}"
+
+
+def term_stats_sql(min_df: int = 0) -> str:
+    where = f"WHERE df >= {min_df}" if min_df else ""
+    return f"WITH {INDEX_CTES} SELECT term, df FROM term_stats {where}"
+
+
+def doc_stats_sql() -> str:
+    return (
+        f"WITH {INDEX_CTES} "
+        "SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id"
+    )
+
+
+def corpus_stats_sql() -> str:
+    return f"WITH {INDEX_CTES} SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats"
+
+
+def _query_clause_cte(q: str) -> tuple[str, int]:
+    clauses = analyze_query(q)
+    vals = ", ".join(f"('{t}', {b!r}::DOUBLE)" for t, b in clauses)
+    cte = f"qterms(term, boost) AS (SELECT * FROM (VALUES {vals}))"
+    return cte, len(clauses)
+
+
+_QUALIFY = {
+    "boost": "q.boost",
+    "n_docs": "stats.n_docs",
+    "avgdl": "stats.avgdl",
+    "df": "t.df",
+    "tf": "p.tf",
+    "dl": "p.dl",
+}
+_QUALIFY_RE = __import__("re").compile(
+    r"\b(n_docs|avgdl|boost|df|tf|dl)\b"
+)
+
+
+def _qualify(expr: str) -> str:
+    """Rewrite SCORE_EXPR's bare column names to joined-table aliases
+    (word-boundary-safe: ``dl`` must not touch ``avgdl``)."""
+    return _QUALIFY_RE.sub(lambda m: _QUALIFY[m.group(1)], expr)
+
+
+def _scored_docs_cte_qualified(q: str) -> tuple[str, int]:
+    qcte, n_clauses = _query_clause_cte(q)
+    score = _qualify(SCORE_EXPR)
+    cte = (
+        f"{INDEX_CTES}, {qcte},\n"
+        "scored AS (\n"
+        f"    SELECT p.doc_id AS doc_id, {score} AS s\n"
+        "    FROM qterms q\n"
+        "    JOIN postings p ON p.term = q.term\n"
+        "    JOIN term_stats t ON t.term = q.term\n"
+        "    CROSS JOIN stats\n"
+        "),\n"
+        "docs_scored AS (\n"
+        "    SELECT doc_id, sum(s) AS score, count(*) AS nmatch\n"
+        "    FROM scored GROUP BY doc_id\n"
+        f"    HAVING count(*) = {n_clauses}\n"
+        ")"
+    )
+    return cte, n_clauses
+
+
+def topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte},\n"
+        "rounded AS (\n"
+        f"    SELECT doc_id, round(score, {round_to}) AS score FROM docs_scored\n"
+        "),\n"
+        "ranked AS (\n"
+        "    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,\n"
+        "           doc_id, score\n"
+        "    FROM rounded\n"
+        ")\n"
+        f"SELECT rank, doc_id, score FROM ranked WHERE rank <= {k} ORDER BY rank"
+    )
+
+
+def count_sql(q: str) -> str:
+    cte, _ = _scored_docs_cte_qualified(q)
+    return f"WITH {cte} SELECT count(*)::BIGINT AS hits FROM docs_scored"
+
+
+def match_scan_sql(q: str) -> str:
+    cte, _ = _scored_docs_cte_qualified(q)
+    return f"WITH {cte} SELECT doc_id FROM docs_scored"
+
+
+def terms_agg_sql(q: str, group_col: str, size: int = 10) -> str:
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte}\n"
+        f"SELECT d.{group_col} AS {group_col}, count(*)::BIGINT AS doc_count\n"
+        "FROM documents d JOIN docs_scored m USING (doc_id)\n"
+        f"GROUP BY d.{group_col}\n"
+        f"ORDER BY doc_count DESC, {group_col} ASC LIMIT {size}"
+    )
+
+
+def histogram_sql(q: str, value_col: str, interval: float) -> str:
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte}\n"
+        f"SELECT floor(d.{value_col} / {interval!r}) * {interval!r} AS bucket,\n"
+        "       count(*)::BIGINT AS doc_count\n"
+        "FROM documents d JOIN docs_scored m USING (doc_id)\n"
+        "GROUP BY bucket ORDER BY bucket"
+    )
+
+
+def search_fetch_sql(q: str, k: int = 5, round_to: int = 6) -> str:
+    """Top-k + stored-field fetch (S5/J3: hits joined back to docs)."""
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte},\n"
+        "rounded AS (\n"
+        f"    SELECT doc_id, round(score, {round_to}) AS score FROM docs_scored\n"
+        "),\n"
+        "ranked AS (\n"
+        "    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,\n"
+        "           doc_id, score\n"
+        "    FROM rounded\n"
+        ")\n"
+        "SELECT r.rank AS rank, r.doc_id AS doc_id, r.score AS score,\n"
+        "       d.lang AS lang, d.source AS source\n"
+        "FROM ranked r JOIN documents d USING (doc_id)\n"
+        f"WHERE r.rank <= {k}"
+    )
+
+
+def stats_agg_sql(q: str, value_col: str) -> str:
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte}\n"
+        f"SELECT count(d.{value_col})::BIGINT AS count,\n"
+        f"       min(d.{value_col}) AS min, max(d.{value_col}) AS max,\n"
+        f"       sum(d.{value_col})::BIGINT AS sum,\n"
+        f"       round(avg(d.{value_col}), 6) AS avg\n"
+        "FROM documents d JOIN docs_scored m USING (doc_id)"
+    )

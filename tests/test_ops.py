@@ -1,0 +1,206 @@
+"""Dedup / similarity / textstats / crawl-ops behavior tests."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prosearch_spark.analyzer import white_lower_py
+from prosearch_spark.ops import dedup as dd
+from prosearch_spark.ops import similarity as sim
+from prosearch_spark.ops import textstats as ts
+from prosearch_spark.functions import crawl_ops as co
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),      # near dup
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_exact_dedup(dup_docs):
+    kept = sorted(r["doc_id"] for r in dd.exact_dedup(dup_docs).collect())
+    assert kept == [0, 2, 3]
+    groups = dd.exact_dup_groups(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3 and groups[0]["keeper_id"] == 0
+
+
+def test_minhash_finds_near_dups(dup_docs):
+    pairs = dd.minhash_dedup_pairs(dup_docs, num_hashes=16, bands=8,
+                                   threshold=0.5)
+    got = {(r["doc_id"], r["doc_id2"]): r["jaccard"] for r in pairs.collect()}
+    # exact dups must appear with jaccard 1.0
+    assert got[(0, 1)] == 1.0 and got[(0, 4)] == 1.0 and got[(1, 4)] == 1.0
+    # doc 3 shares nothing
+    assert not any(3 in k for k in got)
+
+
+def test_minhash_signature_matches_python_twin(spark):
+    """Spark md5-derived MinHash == hashlib twin (determinism check)."""
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame([(0, text)], "doc_id long, content string")
+    sh = dd.shingles(df, n=3)
+    sig = dd.minhash_signatures(sh, num_hashes=8).collect()[0]["sig"]
+
+    toks = white_lower_py(text)
+    grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    for i in range(8):
+        exp = min(
+            int(hashlib.md5(f"{i}:{g}".encode()).hexdigest()[:15], 16)
+            for g in grams
+        )
+        assert sig[i] == exp, i
+
+
+def test_simhash_identical_and_near(dup_docs):
+    simdf = dd.simhash(dup_docs, bits=32)
+    vals = {r["doc_id"]: r["simhash"] for r in simdf.collect()}
+    assert vals[0] == vals[1] == vals[4]
+    pairs = dd.simhash_near_pairs(simdf, max_hamming=3, bits=32, blocks=4)
+    got = {(r["doc_id"], r["doc_id2"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0 and got[(0, 4)] == 0
+
+
+def test_simhash_matches_python_twin(spark):
+    text = "alpha beta beta gamma"
+    df = spark.createDataFrame([(0, text)], "doc_id long, content string")
+    got = dd.simhash(df, bits=32).collect()[0]["simhash"]
+
+    from collections import Counter
+
+    tf = Counter(white_lower_py(text))
+    bit_sums = [0] * 32
+    for term, n in tf.items():
+        h = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+        for j in range(32):
+            bit_sums[j] += n if (h >> j) & 1 else -n
+    exp = sum(1 << j for j in range(32) if bit_sums[j] > 0)
+    assert got == exp
+
+
+def test_cosine_topk_vs_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(50, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+
+    got = sim.cosine_topk(emb.filter(F.col("vec_id") != 0), q, 5).collect()
+
+    v = vecs.astype("float64")
+    qq = v[0]
+    cos = (v @ qq) / (np.linalg.norm(v, axis=1) * np.linalg.norm(qq))
+    order = sorted((
+        (round(float(cos[i]), 6), -i) for i in range(1, 50)), reverse=True)
+    exp_ids = [-i for _, i in order[:5]]
+    assert [r["vec_id"] for r in got] == exp_ids
+    for r in got:
+        assert r["cosine"] == pytest.approx(float(cos[r["vec_id"]]), abs=1e-5)
+
+
+def test_lsh_topk_exact_within_bucket(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.rand(80, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[3]]
+    got = sim.lsh_topk(emb, q, k=5, n_planes=4)
+    res = got.collect()
+    # the query vector itself is its own nearest neighbor
+    assert res and res[0]["vec_id"] == 3 and res[0]["cosine"] == 1.0
+
+
+def test_knn_join_self(spark):
+    rows = [(i, [1.0 * (i == j) for j in range(4)]) for i in range(4)]
+    # two orthogonal + two parallel vectors
+    rows.append((10, [1.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.knn_join(emb, emb, k=2, n_planes=2, dim=4).collect()
+    pairs = {(r["l_id"], r["r_id"]): r["cosine"] for r in out}
+    if (0, 10) in pairs:  # same bucket guaranteed (identical vectors)
+        assert pairs[(0, 10)] == 1.0
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(0, "The quick brown fox! The fox."), (1, "x")],
+        "doc_id long, content string",
+    )
+    out = {r["doc_id"]: r for r in ts.text_stats(df).collect()}
+    assert out[0]["n_tokens"] == 6
+    assert out[0]["stopword_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+    assert out[1]["n_tokens"] == 1
+    # fingerprint is token-order invariant
+    df2 = spark.createDataFrame(
+        [(0, "fox! quick The brown The fox."),], "doc_id long, content string"
+    )
+    fp1 = ts.text_stats(df).filter("doc_id=0").collect()[0]["fingerprint"]
+    fp2 = ts.text_stats(df2).collect()[0]["fingerprint"]
+    assert fp1 == fp2
+
+
+def test_whitespace_collapse(spark):
+    df = spark.createDataFrame([(0, "  a \t b\n\nc ")], "id long, t string")
+    got = df.select(ts.whitespace_collapse("t").alias("c")).collect()[0]["c"]
+    assert got == "a b c"
+
+
+def test_per_host_limit(spark):
+    rows = [(i, f"h{i % 2}", f"p{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, repo string, path string")
+    out = co.per_host_limit(df, limit=3)
+    counts = out.groupBy("repo").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+
+
+def test_oldest_first_dequeue(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, "a", t0), (2, "a", t0), (3, "a", t0 + dt.timedelta(1)),
+        (4, "b", t0 + dt.timedelta(2)), (5, "b", t0),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, modified timestamp")
+    out = co.oldest_first_dequeue(df, "host", "modified", "id").collect()
+    got = {r["host"]: r["id"] for r in out}
+    assert got == {"a": 1, "b": 5}  # ties broken by id
+
+
+def test_upsert_last_write_wins(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    ex = spark.createDataFrame(
+        [("u1", "old", t0), ("u2", "keep", t0)],
+        "url string, body string, modified timestamp",
+    )
+    inc = spark.createDataFrame(
+        [("u1", "new", t0 + dt.timedelta(1)), ("u3", "add", t0)],
+        "url string, body string, modified timestamp",
+    )
+    out = co.upsert_last_write_wins(ex, inc, ["url"], "modified")
+    got = {r["url"]: r["body"] for r in out.collect()}
+    assert got == {"u1": "new", "u2": "keep", "u3": "add"}
+
+
+def test_stats_zero_fill(spark):
+    df = spark.createDataFrame([(0, "a"), (1, "a"), (2, "b")],
+                               "doc_id long, repo string")
+    out = co.stats_with_zero_fill(spark, df, ["a", "b", "c"])
+    got = {r["host"]: r["urls"] for r in out.collect()}
+    assert got == {"a": 2, "b": 1, "c": 0}
