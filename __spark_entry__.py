@@ -207,6 +207,46 @@ def q_knn_cosine(spark, sf_dir):
                            round_to=ROUND)
 
 
+def q_bm25_topk_fielded(spark, sf_dir):
+    """Two-field title/body BM25 (Q3: field boosts 1.5/1.0, title
+    record:basic tf=1). Title = first 4 tokens of text."""
+    from prosearch_spark.index.build import build_fielded_index
+    from prosearch_spark.query.fielded import FieldedSearchEngine
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "title", F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
+    )
+    idx = build_fielded_index(docs, {"title": "title", "body": "text"})
+    return FieldedSearchEngine(spark, idx).topk(Q_AND2, 10, round_to=ROUND)
+
+
+def q_bm25_topk_blocks(spark, sf_dir):
+    """End-to-end physical path: build -> block-encode -> commit ->
+    load -> bucket/term/range-pruned decode -> score (B3/B6 + Q5/Q6).
+    Same oracle as the flat path — the artifact must not change
+    results."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="prosearch_blocks_")
+    art = save_index(spark, docs, path, text_col="text")
+    return BlockSearchEngine(spark, art).topk(Q_AND2, 10, round_to=ROUND)
+
+
+def q_search_snippet(spark, sf_dir):
+    """Q10: snippet generation over the top-k rows (rows-only check;
+    verified against the Python twin in pytest)."""
+    from prosearch_spark.query.snippet import with_snippet
+
+    eng, docs = _engine(spark, sf_dir)
+    hits = eng.topk(Q_RARE, 5, round_to=ROUND)
+    fetched = eng.fetch(hits, docs.select("doc_id", "text"))
+    return with_snippet(fetched, Q_RARE, "text").drop("text")
+
+
 def q_minhash_near_pairs(spark, sf_dir):
     # rows-only check (signature algebra not reasonably SQL-expressible)
     return dd.minhash_dedup_pairs(
@@ -239,7 +279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_terms_agg": q_bm25_terms_agg,
         "bm25_stats_agg": q_bm25_stats_agg,
         "bm25_histogram": q_bm25_histogram,
+        "bm25_topk_fielded": q_bm25_topk_fielded,
+        "bm25_topk_blocks": q_bm25_topk_blocks,
         "search_fetch": q_search_fetch,
+        "search_snippet": q_search_snippet,
         # scalar text transforms (T1-T12, SURVEY §2.3)
         "content_sha256": q_content_sha256,
         "whitespace_collapse": q_whitespace_collapse,
@@ -286,6 +329,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_terms_agg": osql.terms_agg_sql(Q_RARE, "lang", 10),
         "bm25_stats_agg": osql.stats_agg_sql(Q_RARE, "n_chars"),
         "bm25_histogram": osql.histogram_sql("join", "n_chars", 100.0),
+        "bm25_topk_fielded": osql.fielded_topk_sql(Q_AND2, 10, ROUND),
+        "bm25_topk_blocks": osql.topk_sql(Q_AND2, 10, ROUND),
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),
         "content_sha256": (
             "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"

@@ -1,0 +1,266 @@
+"""Persistent index artifact: save/load/merge/delete/upsert.
+
+The on-disk analog of a committed Tantivy index directory
+(index.rs:191 ``commit``, merge.rs:18-31 ``merge``, serve.rs:456-467
+``delete_term``), expressed as partitioned parquet tables plus an
+atomic JSON manifest:
+
+    <dir>/manifest.json            {n_docs, avgdl, version, analyzer}
+    <dir>/blocks/                  block postings, partitioned by tb
+    <dir>/term_stats/              (term, df, tb)
+    <dir>/doc_stats/               (doc_id, dl)
+    <dir>/deletes/                 (doc_id) tombstones  [optional]
+
+``tb = pmod(xxhash64(term), n_buckets)`` is a physical partition
+column: a query computes each query term's bucket on the driver and
+filters ``tb IN (...)`` -> Spark prunes partition directories before
+any IO (the term-dictionary point-lookup analog, serve.rs:407-419).
+Within each bucket, blocks are written sorted by term so parquet
+row-group min/max statistics prune further.
+
+The manifest is written LAST (atomic publish): a crashed build leaves
+no manifest -> readers see the previous commit only. That is the
+reference's commit/rollback semantics (index.rs:141-146,191) on file
+granularity; on a real deployment this maps 1:1 to an Iceberg snapshot
+commit.
+
+Deletes are logical tombstones anti-joined at query time
+(alive-bitset analog, serve.rs:535); ``merge`` physically applies
+them and rewrites blocks (merge.rs:18-31).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prosearch_spark.index.blocks import decode_blocks, encode_blocks
+from prosearch_spark.index.build import InvertedIndex, build_index
+
+MANIFEST = "manifest.json"
+VERSION = 1
+
+
+def term_bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def term_bucket_py(term: str, n_buckets: int, spark: SparkSession) -> int:
+    """Driver-side bucket of one term (for partition-pruning filters).
+
+    Computed by the SAME JVM expression to guarantee agreement with the
+    write path (xxhash64 seed/semantics live in Spark, not Python).
+    Cheap: one local expression eval, no job.
+    """
+    row = spark.range(1).select(
+        term_bucket(F.lit(term), n_buckets).alias("b")
+    ).head()
+    return int(row["b"])
+
+
+@dataclass
+class IndexArtifact:
+    path: str
+    spark: SparkSession
+    manifest: dict
+
+    # -- load ----------------------------------------------------------------
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IndexArtifact":
+        with open(os.path.join(path, MANIFEST)) as f:
+            manifest = json.load(f)
+        if manifest.get("version") != VERSION:
+            raise ValueError(f"unsupported index version: {manifest}")
+        return cls(path=path, spark=spark, manifest=manifest)
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest["n_buckets"]
+
+    def blocks(self, terms: list[str] | None = None) -> DataFrame:
+        """Block rows, bucket-pruned + term-filtered when terms given."""
+        df = self.spark.read.parquet(os.path.join(self.path, "blocks"))
+        if terms is not None:
+            buckets = sorted({
+                term_bucket_py(t, self.n_buckets, self.spark) for t in terms
+            })
+            df = df.filter(F.col("tb").isin(buckets) &
+                           F.col("term").isin(sorted(set(terms))))
+        return df
+
+    def postings(self, terms: list[str] | None = None) -> DataFrame:
+        """Decoded flat postings, with tombstones anti-joined out."""
+        p = decode_blocks(self.blocks(terms))
+        deletes = self.deletes()
+        if deletes is not None:
+            p = p.join(F.broadcast(deletes), "doc_id", "left_anti")
+        return p
+
+    def term_stats(self, terms: list[str] | None = None) -> DataFrame:
+        df = self.spark.read.parquet(os.path.join(self.path, "term_stats"))
+        if terms is not None:
+            buckets = sorted({
+                term_bucket_py(t, self.n_buckets, self.spark) for t in terms
+            })
+            df = df.filter(F.col("tb").isin(buckets) &
+                           F.col("term").isin(sorted(set(terms))))
+        return df.select("term", "df")
+
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "doc_stats"))
+
+    def deletes(self) -> DataFrame | None:
+        d = os.path.join(self.path, "deletes")
+        if os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return self.spark.read.parquet(d)
+        return None
+
+    def stats(self) -> DataFrame:
+        """One-row (n_docs, avgdl) frame from the manifest (broadcast
+        scalar analog of per-segment collection stats)."""
+        return self.spark.createDataFrame(
+            [(self.manifest["n_docs"], self.manifest["avgdl"])],
+            "n_docs long, avgdl double",
+        )
+
+    def as_index(self, terms: list[str] | None = None) -> InvertedIndex:
+        """View the artifact as the logical InvertedIndex interface."""
+        return InvertedIndex(
+            postings=self.postings(terms),
+            term_stats=self.term_stats(terms),
+            stats=self.stats(),
+        )
+
+    # -- maintenance (B6/B7/B8) ----------------------------------------------
+
+    def delete_docs(self, doc_ids: DataFrame) -> None:
+        """B7: logical tombstones (delete_term analog, serve.rs:456-467).
+
+        NOTE: like the reference, df/avgdl drift until merge() —
+        deleted docs stop matching immediately, but collection stats
+        are only refreshed by a merge/rebuild.
+        """
+        doc_ids.select(F.col("doc_id").cast("long")).write.mode("append").parquet(
+            os.path.join(self.path, "deletes")
+        )
+
+    def merge(self, out_path: str) -> "IndexArtifact":
+        """B6: full merge — physically apply tombstones, recompute
+        stats, rewrite blocks compacted (merge.rs:18-31 + GC).
+
+        ``out_path`` must differ from the current path (Spark cannot
+        overwrite parquet it is reading; generational dirs are the
+        snapshot-commit analog)."""
+        if os.path.abspath(out_path) == os.path.abspath(self.path):
+            raise ValueError("merge requires a new generation path")
+        alive = self.postings(None)  # tombstones applied
+        term_stats = alive.groupBy("term").agg(F.count("*").alias("df"))
+        doc_stats = alive.select("doc_id", "dl").distinct()
+        n_docs = doc_stats.count()
+        total = doc_stats.agg(F.sum("dl")).collect()[0][0] or 0
+        avgdl = total / n_docs if n_docs else 0.0
+        return _write_artifact(
+            self.spark, out_path, alive, term_stats, doc_stats,
+            n_docs=n_docs, avgdl=avgdl,
+            n_buckets=self.n_buckets, analyzer=self.manifest["analyzer"],
+        )
+
+
+def save_index(spark: SparkSession, docs: DataFrame, path: str,
+               text_col: str = "text", id_col: str = "doc_id",
+               analyzer: str = "white_lower", lang_col: str = "lang",
+               n_buckets: int = 16) -> IndexArtifact:
+    """Build + commit an index artifact from a document DataFrame."""
+    idx = build_index(docs, text_col=text_col, id_col=id_col,
+                      analyzer=analyzer, lang_col=lang_col)
+    st = idx.stats.collect()[0]
+    doc_stats = idx.postings.select("doc_id", "dl").distinct()
+    return _write_artifact(
+        spark, path, idx.postings, idx.term_stats, doc_stats,
+        n_docs=st["n_docs"], avgdl=st["avgdl"],
+        n_buckets=n_buckets, analyzer=analyzer,
+    )
+
+
+def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
+                    term_stats: DataFrame, doc_stats: DataFrame,
+                    n_docs: int, avgdl: float, n_buckets: int,
+                    analyzer: str) -> IndexArtifact:
+    os.makedirs(path, exist_ok=True)
+    blocks = encode_blocks(postings).withColumn(
+        "tb", term_bucket(F.col("term"), n_buckets)
+    )
+    (
+        blocks.repartition("tb")
+        .sortWithinPartitions("term", "first_doc")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(path, "blocks"))
+    )
+    (
+        term_stats.withColumn("tb", term_bucket(F.col("term"), n_buckets))
+        .repartition("tb").sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(os.path.join(path, "term_stats"))
+    )
+    doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+    # clear tombstones from any previous generation at this path: a
+    # fresh commit has them physically applied already
+    deletes_dir = os.path.join(path, "deletes")
+    if os.path.isdir(deletes_dir):
+        import shutil
+
+        shutil.rmtree(deletes_dir)
+    manifest = {
+        "version": VERSION,
+        "n_docs": int(n_docs),
+        "avgdl": float(avgdl),
+        "n_buckets": n_buckets,
+        "analyzer": analyzer,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    # atomic publish: manifest written last, via rename
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return IndexArtifact(path=path, spark=spark, manifest=manifest)
+
+
+def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
+                new_docs: DataFrame, out_path: str,
+                text_col: str = "text", id_col: str = "doc_id",
+                lang_col: str = "lang") -> IndexArtifact:
+    """B8 (TantivyCommitter.java:42-91): delete-then-reindex upsert.
+
+    Tombstones the incoming doc_ids, merges the old index (applying
+    tombstones), indexes the new docs, and concatenates postings into
+    a fresh commit with recomputed collection stats. ``out_path`` must
+    be a new generation directory (see merge()).
+    """
+    if os.path.abspath(out_path) == os.path.abspath(artifact.path):
+        raise ValueError("upsert requires a new generation path")
+    artifact.delete_docs(new_docs.select(F.col(id_col).alias("doc_id")))
+    old = artifact.postings(None)
+    new_idx = build_index(new_docs, text_col=text_col, id_col=id_col,
+                          analyzer=artifact.manifest["analyzer"],
+                          lang_col=lang_col)
+    merged = old.unionByName(new_idx.postings.select("term", "doc_id", "tf", "dl"))
+    term_stats = merged.groupBy("term").agg(F.count("*").alias("df"))
+    doc_stats = merged.select("doc_id", "dl").distinct()
+    n_docs = doc_stats.count()
+    total = doc_stats.agg(F.sum("dl")).collect()[0][0] or 0
+    avgdl = total / n_docs if n_docs else 0.0
+    return _write_artifact(
+        spark, out_path, merged, term_stats, doc_stats,
+        n_docs=n_docs, avgdl=avgdl,
+        n_buckets=artifact.n_buckets, analyzer=artifact.manifest["analyzer"],
+    )

@@ -1,0 +1,205 @@
+"""Block-encoded postings: delta+varint compression with block-max
+metadata.
+
+The Spark re-expression of Tantivy's posting-list layout (SURVEY.md
+§1.2): per term, docids are stored as delta+bitpacked 128-doc blocks
+with per-block max-tf enabling Block-Max WAND pruning (reference:
+space report tantivy-cli/src/commands/inspect.rs:64-69; the block
+format itself lives in the pinned tantivy library, Cargo.toml:31).
+
+Our payload per block row:
+
+    term        string   -- one row per (term, block)
+    first_doc   long     -- block min docid  (pruning metadata)
+    last_doc    long     -- block max docid  (pruning metadata)
+    n           int      -- docs in block (<= BLOCK_SIZE)
+    max_tf      int      -- block-max term frequency (WAND bound)
+    min_dl      long     -- block-min doc length (tightens the bound)
+    docs        binary   -- varint deltas from first_doc
+    tfs         binary   -- varint tfs
+    dls         binary   -- varint doc lengths
+
+Build shape (scale-safe — NO collect_list over a hot term, NO window
+over a skewed term partition): ``repartitionByRange(term, doc_id)`` →
+``sortWithinPartitions`` → ``mapInPandas`` cutting per-term runs into
+blocks. A hot term spanning several range partitions simply yields
+several independent block runs — semantically equivalent, and each
+task's memory is bounded by its partition, not by the term.
+
+Decode is the inverse ``mapInPandas``; both directions are
+Arrow-batched (no per-row Python UDFs).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BLOCK_SIZE = 128
+
+BLOCK_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("first_doc", LongType(), False),
+    StructField("last_doc", LongType(), False),
+    StructField("n", IntegerType(), False),
+    StructField("max_tf", IntegerType(), False),
+    StructField("min_dl", LongType(), False),
+    StructField("docs", BinaryType(), False),
+    StructField("tfs", BinaryType(), False),
+    StructField("dls", BinaryType(), False),
+])
+
+POSTING_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("doc_id", LongType(), False),
+    StructField("tf", LongType(), False),
+    StructField("dl", LongType(), False),
+])
+
+
+# -- varint primitives (LEB128, unsigned) -------------------------------------
+
+def encode_varints(values) -> bytes:
+    out = bytearray()
+    for v in values:
+        v = int(v)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def decode_varints(buf: bytes) -> list[int]:
+    out: list[int] = []
+    cur = 0
+    shift = 0
+    for b in buf:
+        cur |= (b & 0x7F) << shift
+        if b & 0x80:
+            shift += 7
+        else:
+            out.append(cur)
+            cur = 0
+            shift = 0
+    return out
+
+
+# -- encode / decode mapInPandas kernels ---------------------------------------
+
+def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Input: sorted (term, doc_id, tf, dl) rows. Output: block rows.
+
+    Carries an open run across Arrow batches so blocks fill to
+    BLOCK_SIZE even when a term straddles batch boundaries.
+    """
+    pend: pd.DataFrame | None = None
+
+    def cut(df: pd.DataFrame, flush_all: bool) -> tuple[list[dict], pd.DataFrame | None]:
+        rows: list[dict] = []
+        rest: pd.DataFrame | None = None
+        for term, g in df.groupby("term", sort=False):
+            docs = g["doc_id"].to_numpy()
+            tfs = g["tf"].to_numpy()
+            dls = g["dl"].to_numpy()
+            n = len(docs)
+            full = n if flush_all or term != df["term"].iloc[-1] else (
+                (n // BLOCK_SIZE) * BLOCK_SIZE
+            )
+            for s in range(0, full, BLOCK_SIZE):
+                e = min(s + BLOCK_SIZE, full)
+                d = docs[s:e]
+                deltas = [int(d[0]) - int(d[0])] + [
+                    int(d[i]) - int(d[i - 1]) for i in range(1, len(d))
+                ]
+                rows.append({
+                    "term": term,
+                    "first_doc": int(d[0]),
+                    "last_doc": int(d[-1]),
+                    "n": int(e - s),
+                    "max_tf": int(tfs[s:e].max()),
+                    "min_dl": int(dls[s:e].min()),
+                    "docs": encode_varints(deltas),
+                    "tfs": encode_varints(tfs[s:e]),
+                    "dls": encode_varints(dls[s:e]),
+                })
+            if full < n:
+                rest = g.iloc[full:]
+        return rows, rest
+
+    for batch in batches:
+        if pend is not None:
+            batch = pd.concat([pend, batch], ignore_index=True)
+            pend = None
+        rows, pend = cut(batch, flush_all=False)
+        if rows:
+            yield pd.DataFrame(rows)
+    if pend is not None and len(pend):
+        rows, _ = cut(pend, flush_all=True)
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        out: dict[str, list] = {"term": [], "doc_id": [], "tf": [], "dl": []}
+        for r in batch.itertuples(index=False):
+            deltas = decode_varints(r.docs)
+            doc = r.first_doc
+            docs = []
+            for d in deltas:
+                doc += d
+                docs.append(doc)
+            tfs = decode_varints(r.tfs)
+            dls = decode_varints(r.dls)
+            out["term"].extend([r.term] * r.n)
+            out["doc_id"].extend(docs)
+            out["tf"].extend(tfs)
+            out["dl"].extend(dls)
+        yield pd.DataFrame(out)
+
+
+# -- public API ----------------------------------------------------------------
+
+def encode_blocks(postings: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(term, doc_id, tf, dl) -> block rows. Range-partitioned by
+    (term, doc_id) so each task sees contiguous sorted runs."""
+    np_ = num_partitions or postings.sparkSession.sparkContext.defaultParallelism
+    arranged = (
+        postings.select("term", "doc_id", "tf", "dl")
+        .repartitionByRange(np_, "term", "doc_id")
+        .sortWithinPartitions("term", "doc_id")
+    )
+    return arranged.mapInPandas(_encode_partition, BLOCK_SCHEMA)
+
+
+def decode_blocks(blocks: DataFrame) -> DataFrame:
+    """Block rows -> (term, doc_id, tf, dl)."""
+    return blocks.mapInPandas(_decode_partition, POSTING_SCHEMA)
+
+
+def block_upper_bound_expr(n_docs: str = "n_docs", avgdl: str = "avgdl",
+                           df: str = "df") -> str:
+    """Per-block BM25 upper bound (Block-Max WAND, conservative):
+    idf * (k1+1)*max_tf / (max_tf + k1*(1-b+b*min_dl/avgdl)).
+    min_dl minimizes the denominator => maximizes the score bound."""
+    return (
+        f"ln(1.0 + ({n_docs} - {df} + 0.5) / ({df} + 0.5))"
+        f" * (max_tf * (1.2 + 1.0))"
+        f" / (max_tf + 1.2 * (1.0 - 0.75 + 0.75 * min_dl / {avgdl}))"
+    )

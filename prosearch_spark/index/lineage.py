@@ -1,0 +1,222 @@
+"""Resumable, checkpointed index builds with per-partition lineage.
+
+The Spark analog of the reference's crawl-state accounting
+(Manager.java:209-229 restores per-host counts from ``domain_stats``
+on startup; JdbcStoreEngine.java:343-353 re-queues; ProCrawler.java:
+72-113 renames processed->cached on recrawl): the corpus is cut into
+deterministic SPLITS (``pmod(xxhash64(doc_id), n_splits)``), each
+split's partial postings are committed independently with a lineage
+row, and a restarted build SKIPS splits whose lineage row says done
+(B11). ``finalize()`` merges partials into the queryable artifact and
+emits build metrics — files/sec, postings/sec, bytes — the analog of
+the reference's indexing telemetry (index.rs:164-189) (B10).
+
+Lineage row (FIXTURES.md §4): run_id, split_id, status, rows
+(=postings), n_docs, tokens, bytes_in, content_sha256_xor (order-
+insensitive 64-bit fold of per-row sha256 — the per-row invariant
+digest), wall seconds.
+
+Layout:
+    <dir>/partials/split=<k>/      partial postings parquet
+    <dir>/lineage/<k>.json         lineage row, written AFTER the split
+    <dir>/metrics.json             build metrics, written by finalize()
+    <dir>/index/                   final IndexArtifact (manifest-gated)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prosearch_spark.index.artifact import IndexArtifact, _write_artifact
+from prosearch_spark.index.build import tokens
+
+
+@dataclass
+class BuildMetrics:
+    n_docs: int
+    n_postings: int
+    n_tokens: int
+    bytes_in: int
+    wall_sec: float
+
+    @property
+    def files_per_sec(self) -> float:
+        return self.n_docs / self.wall_sec if self.wall_sec else 0.0
+
+    @property
+    def postings_per_sec(self) -> float:
+        return self.n_postings / self.wall_sec if self.wall_sec else 0.0
+
+
+class ResumableIndexBuild:
+    def __init__(self, spark: SparkSession, docs: DataFrame, path: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 analyzer: str = "white_lower", lang_col: str = "lang",
+                 n_splits: int = 8, run_id: str = "run0",
+                 n_buckets: int = 16):
+        self.spark = spark
+        self.docs = docs
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.analyzer = analyzer
+        self.lang_col = lang_col
+        self.n_splits = n_splits
+        self.run_id = run_id
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(path, "lineage"), exist_ok=True)
+
+    # -- lineage ---------------------------------------------------------------
+
+    def _lineage_path(self, split: int) -> str:
+        return os.path.join(self.path, "lineage", f"{split}.json")
+
+    def completed_splits(self) -> set[int]:
+        out = set()
+        for k in range(self.n_splits):
+            p = self._lineage_path(k)
+            if os.path.exists(p):
+                with open(p) as f:
+                    if json.load(f).get("status") == "done":
+                        out.add(k)
+        return out
+
+    def lineage(self) -> list[dict]:
+        rows = []
+        for k in sorted(self.completed_splits()):
+            with open(self._lineage_path(k)) as f:
+                rows.append(json.load(f))
+        return rows
+
+    # -- split build -------------------------------------------------------------
+
+    def _split_docs(self, split: int) -> DataFrame:
+        return self.docs.filter(
+            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(self.n_splits)) == split
+        )
+
+    def build_split(self, split: int, fail_before_commit: bool = False) -> dict:
+        """Build one split's partial postings + lineage commit.
+
+        Partial = (term, doc_id, tf, dl): dl is per-doc so it is
+        complete within the split; global df/avgdl are finalize()'s
+        job. ``fail_before_commit`` simulates a crash for tests.
+        """
+        t0 = time.perf_counter()
+        sd = self._split_docs(split)
+        toks = tokens(sd, self.text_col, self.id_col, self.analyzer,
+                      self.lang_col)
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        partial = tf.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+        )
+        out = os.path.join(self.path, "partials", f"split={split}")
+        partial.write.mode("overwrite").parquet(out)
+
+        acct = sd.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(self.text_col)).alias("bytes_in"),
+            F.bit_xor(
+                F.conv(F.substring(F.sha2(F.col(self.text_col), 256), 1, 15),
+                       16, 10).cast("long")
+            ).alias("sha_xor"),
+        ).collect()[0]
+        n_postings = self.spark.read.parquet(out).count()
+
+        if fail_before_commit:
+            raise RuntimeError(f"simulated crash before lineage commit, split {split}")
+
+        row = {
+            "run_id": self.run_id,
+            "split_id": split,
+            "status": "done",
+            "rows": int(n_postings),
+            "n_docs": int(acct["n_docs"] or 0),
+            "bytes_in": int(acct["bytes_in"] or 0),
+            "content_sha256_xor": int(acct["sha_xor"] or 0),
+            "wall_sec": round(time.perf_counter() - t0, 4),
+        }
+        tmp = self._lineage_path(split) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(row, f)
+        os.replace(tmp, self._lineage_path(split))
+        return row
+
+    def run(self, fail_at_split: int | None = None) -> list[dict]:
+        """Build every incomplete split (resume = call run() again)."""
+        rows = []
+        done = self.completed_splits()
+        for k in range(self.n_splits):
+            if k in done:
+                continue
+            rows.append(self.build_split(k, fail_before_commit=(k == fail_at_split)))
+        return rows
+
+    # -- finalize -----------------------------------------------------------------
+
+    def finalize(self) -> tuple[IndexArtifact, BuildMetrics]:
+        """Merge partials -> global stats -> committed artifact + metrics.
+
+        The one repartition-by-term shuffle of the whole build happens
+        here (merge.rs:18-31 analog), inside encode_blocks' range
+        partitioning.
+        """
+        missing = set(range(self.n_splits)) - self.completed_splits()
+        if missing:
+            raise RuntimeError(f"cannot finalize; incomplete splits: {sorted(missing)}")
+        t0 = time.perf_counter()
+        partials = self.spark.read.parquet(os.path.join(self.path, "partials"))
+        postings = partials.select("term", "doc_id", "tf", "dl")
+        term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
+        doc_stats = postings.select("doc_id", "dl").distinct()
+        agg = doc_stats.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("total")
+        ).collect()[0]
+        n_docs = int(agg["n"] or 0)
+        avgdl = (agg["total"] or 0) / n_docs if n_docs else 0.0
+        artifact = _write_artifact(
+            self.spark, os.path.join(self.path, "index"),
+            postings, term_stats, doc_stats,
+            n_docs=n_docs, avgdl=avgdl,
+            n_buckets=self.n_buckets, analyzer=self.analyzer,
+        )
+        lineage = self.lineage()
+        build_wall = sum(r["wall_sec"] for r in lineage) + (time.perf_counter() - t0)
+        metrics = BuildMetrics(
+            n_docs=sum(r["n_docs"] for r in lineage),
+            n_postings=sum(r["rows"] for r in lineage),
+            n_tokens=0,
+            bytes_in=sum(r["bytes_in"] for r in lineage),
+            wall_sec=round(build_wall, 4),
+        )
+        with open(os.path.join(self.path, "metrics.json"), "w") as f:
+            json.dump({
+                "run_id": self.run_id,
+                "n_docs": metrics.n_docs,
+                "n_postings": metrics.n_postings,
+                "bytes_in": metrics.bytes_in,
+                "wall_sec": metrics.wall_sec,
+                "files_per_sec": round(metrics.files_per_sec, 2),
+                "postings_per_sec": round(metrics.postings_per_sec, 2),
+            }, f)
+        return artifact, metrics
+
+    def verify_content_sha(self) -> bool:
+        """Per-row invariant (input_hint): the XOR-fold of sha256 over
+        what the build consumed equals the same fold over the source."""
+        src = self.docs.agg(
+            F.bit_xor(
+                F.conv(F.substring(F.sha2(F.col(self.text_col), 256), 1, 15),
+                       16, 10).cast("long")
+            ).alias("x")
+        ).collect()[0]["x"]
+        mine = 0
+        for r in self.lineage():
+            mine ^= r["content_sha256_xor"]
+        return int(src or 0) == mine

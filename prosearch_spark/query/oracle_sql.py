@@ -156,6 +156,105 @@ def terms_agg_sql(q: str, group_col: str, size: int = 10) -> str:
     )
 
 
+def fielded_topk_sql(q: str, k: int = 10, round_to: int = 6,
+                     title_tokens: int = 4) -> str:
+    """Two-field (title/body) BM25 oracle — full reference semantics:
+    title = first N whitespace tokens of text (the test harness's
+    title derivation), record:"basic" tf=1, field boosts 1.5/1.0,
+    per-field df/N/avgdl, conjunction across fields."""
+    qcte, n_clauses = _query_clause_cte_fielded(q)
+    score = _qualify(SCORE_EXPR)
+    per_field = []
+    for field, fb, tf_expr in [
+        ("title", 1.5, "1"),            # record:"basic" -> tf==1
+        ("body", 1.0, "p.tf"),
+    ]:
+        s = score.replace("p.tf", tf_expr) if tf_expr != "p.tf" else score
+        per_field.append(
+            f"SELECT q.clause_id, p.doc_id, {fb!r} * ({s}) AS s\n"
+            f"    FROM qterms q\n"
+            f"    JOIN postings_{field} p ON p.term = q.term\n"
+            f"    JOIN df_{field} t ON t.term = q.term\n"
+            f"    CROSS JOIN stats_{field} stats"
+        )
+    scored_union = "\n    UNION ALL\n    ".join(per_field)
+    return f"""
+WITH docs2 AS (
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, {title_tokens}), ' ') AS title,
+           text AS body
+    FROM documents
+),
+toks_title AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(title), '\\s+')) AS term
+        FROM docs2
+    ) WHERE term <> ''
+),
+toks_body AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(body), '\\s+')) AS term
+        FROM docs2
+    ) WHERE term <> ''
+),
+tf_title AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks_title GROUP BY 1, 2
+),
+tf_body AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks_body GROUP BY 1, 2
+),
+postings_title AS (
+    SELECT term, doc_id, tf,
+           sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS dl
+    FROM tf_title
+),
+postings_body AS (
+    SELECT term, doc_id, tf,
+           sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS dl
+    FROM tf_body
+),
+df_title AS (SELECT term, count(*)::BIGINT AS df FROM tf_title GROUP BY term),
+df_body AS (SELECT term, count(*)::BIGINT AS df FROM tf_body GROUP BY term),
+stats_title AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+           (SELECT count(*) FROM toks_title) * 1.0
+               / (SELECT count(*) FROM documents) AS avgdl
+),
+stats_body AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+           (SELECT count(*) FROM toks_body) * 1.0
+               / (SELECT count(*) FROM documents) AS avgdl
+),
+{qcte},
+scored AS (
+    {scored_union}
+),
+docs_scored AS (
+    SELECT doc_id, sum(s) AS score
+    FROM scored GROUP BY doc_id
+    HAVING count(DISTINCT clause_id) = {n_clauses}
+),
+rounded AS (
+    SELECT doc_id, round(score, {round_to}) AS score FROM docs_scored
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+       doc_id, score
+FROM rounded
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _query_clause_cte_fielded(q: str) -> tuple[str, int]:
+    clauses = analyze_query(q)
+    vals = ", ".join(
+        f"({i}, '{t}', {b!r}::DOUBLE)" for i, (t, b) in enumerate(clauses)
+    )
+    return (
+        f"qterms(clause_id, term, boost) AS (SELECT * FROM (VALUES {vals}))",
+        len(clauses),
+    )
+
+
 def histogram_sql(q: str, value_col: str, interval: float) -> str:
     cte, _ = _scored_docs_cte_qualified(q)
     return (

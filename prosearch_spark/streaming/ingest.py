@@ -1,0 +1,103 @@
+"""Structured-Streaming ingest into the index.
+
+The reference ingests continuously: every crawled page is POSTed to
+``/index`` and committed per document (serve.rs:503-525,630-671), with
+upsert = delete-then-index (TantivyCommitter.java:42-91) and readers
+seeing commits eventually (ReloadPolicy::OnCommitWithDelay,
+serve.rs:353-355).
+
+Spark shape: ``readStream -> writeStream.foreachBatch`` where each
+micro-batch is one upsert commit producing a new index GENERATION
+directory; a ``CURRENT`` pointer file is swapped atomically after the
+generation commits. Readers resolve CURRENT per query — i.e. they see
+new commits on their next query, exactly the reference's
+eventually-visible reader semantics. Per-doc commit becomes per-batch
+commit (the scalable version of the same contract; one trigger = one
+snapshot).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from prosearch_spark.index.artifact import (
+    IndexArtifact,
+    save_index,
+    upsert_docs,
+)
+
+CURRENT = "CURRENT"
+
+
+class StreamingIndexer:
+    """foreachBatch sink maintaining a generation chain of artifacts."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 lang_col: str = "lang", analyzer: str = "white_lower",
+                 n_buckets: int = 8):
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.lang_col = lang_col
+        self.analyzer = analyzer
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # -- generation chain ---------------------------------------------------
+
+    def current(self) -> IndexArtifact | None:
+        p = os.path.join(self.path, CURRENT)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            gen = f.read().strip()
+        return IndexArtifact.load(self.spark, os.path.join(self.path, gen))
+
+    def _publish(self, gen: str) -> None:
+        tmp = os.path.join(self.path, CURRENT + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(gen)
+        os.replace(tmp, os.path.join(self.path, CURRENT))
+
+    # -- the foreachBatch hook ------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Idempotent per-batch upsert commit.
+
+        Re-delivery of the same batch_id (at-least-once semantics)
+        overwrites the same generation dir and republishes — safe.
+        """
+        if batch.isEmpty():
+            return
+        gen = f"gen{batch_id}"
+        gen_path = os.path.join(self.path, gen)
+        if os.path.exists(os.path.join(gen_path, "manifest.json")):
+            # re-delivered batch that already committed: just republish
+            self._publish(gen)
+            return
+        cur = self.current()
+        if cur is None:
+            save_index(self.spark, batch, gen_path,
+                       text_col=self.text_col, id_col=self.id_col,
+                       analyzer=self.analyzer, lang_col=self.lang_col,
+                       n_buckets=self.n_buckets)
+        else:
+            upsert_docs(self.spark, cur, batch, gen_path,
+                        text_col=self.text_col, id_col=self.id_col,
+                        lang_col=self.lang_col)
+        self._publish(gen)
+
+    def attach(self, stream: DataFrame, checkpoint: str,
+               trigger_available_now: bool = True):
+        """Wire a streaming DataFrame into the indexer."""
+        w = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()

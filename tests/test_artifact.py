@@ -1,0 +1,132 @@
+"""Block encoding, artifact commit/load, delete/upsert/merge semantics
+(FIXTURES.md §5; reference B3-B8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prosearch_spark.index.artifact import IndexArtifact, save_index, upsert_docs
+from prosearch_spark.index.blocks import (
+    decode_blocks,
+    decode_varints,
+    encode_blocks,
+    encode_varints,
+)
+from prosearch_spark.index.build import build_index
+from prosearch_spark.query.block_engine import BlockSearchEngine
+from prosearch_spark.query.engine import SearchEngine
+
+
+def test_varint_roundtrip():
+    vals = [0, 1, 127, 128, 300, 2**20, 2**35, 2**60]
+    assert decode_varints(encode_varints(vals)) == vals
+    assert encode_varints([0]) == b"\x00"
+    assert encode_varints([300]) == b"\xac\x02"
+
+
+def test_block_roundtrip(spark, corpus):
+    idx = build_index(corpus, text_col="content")
+    flat = idx.postings.select("term", "doc_id", "tf", "dl")
+    blocks = encode_blocks(flat, num_partitions=4)
+    back = decode_blocks(blocks)
+    a = sorted(map(tuple, flat.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_block_metadata(spark, corpus):
+    idx = build_index(corpus, text_col="content")
+    blocks = encode_blocks(idx.postings, num_partitions=4).collect()
+    for r in blocks:
+        docs = decode_varints(r["docs"])
+        tfs = decode_varints(r["tfs"])
+        assert len(docs) == r["n"] == len(tfs)
+        assert docs[0] == 0  # first delta
+        assert r["n"] <= 128
+        assert max(tfs) == r["max_tf"]
+        abs_docs = []
+        d = r["first_doc"]
+        for delta in docs:
+            d += delta
+            abs_docs.append(d)
+        assert abs_docs[-1] == r["last_doc"]
+        assert abs_docs == sorted(abs_docs)
+
+
+@pytest.fixture(scope="module")
+def artifact(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx"))
+    return save_index(spark, corpus, path, text_col="content")
+
+
+def test_artifact_roundtrip_query_parity(spark, corpus, artifact):
+    flat = SearchEngine(spark, build_index(corpus, text_col="content"))
+    blk = BlockSearchEngine(spark, IndexArtifact.load(spark, artifact.path))
+    for q in ["spark", "spark shuffle", "python merge", "nonexistent",
+              "return the", "spark spark"]:
+        a = [(r["doc_id"], r["score"]) for r in flat.topk(q, 10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in blk.topk(q, 10).collect()]
+        assert a == b, q
+
+
+def test_artifact_count_parity(spark, corpus, artifact):
+    flat = SearchEngine(spark, build_index(corpus, text_col="content"))
+    blk = BlockSearchEngine(spark, artifact)
+    for q in ["spark", "spark shuffle"]:
+        assert (
+            flat.count(q).collect()[0]["hits"]
+            == blk.count(q).collect()[0]["hits"]
+        )
+
+
+def test_deletes_hide_docs_until_merge(spark, corpus, tmp_path):
+    path = str(tmp_path / "gen0")
+    art = save_index(spark, corpus, path, text_col="content")
+    eng = BlockSearchEngine(spark, art)
+    before = eng.topk("spark", 5).collect()
+    assert before
+    victim = before[0]["doc_id"]
+
+    art.delete_docs(spark.createDataFrame([(victim,)], "doc_id long"))
+    after = eng.topk("spark", 5).collect()
+    assert victim not in [r["doc_id"] for r in after]
+    # rank order of survivors unchanged (df/avgdl drift until merge,
+    # like the reference alive-bitset)
+    assert [r["doc_id"] for r in after][:4] == \
+        [r["doc_id"] for r in before if r["doc_id"] != victim][:4]
+
+    merged = art.merge(str(tmp_path / "gen1"))
+    assert merged.manifest["n_docs"] == art.manifest["n_docs"] - 1
+    eng2 = BlockSearchEngine(spark, merged)
+    assert victim not in [r["doc_id"] for r in eng2.topk("spark", 10).collect()]
+
+
+def test_upsert_delete_then_reindex(spark, corpus, tmp_path):
+    path = str(tmp_path / "gen0")
+    art = save_index(spark, corpus, path, text_col="content")
+    eng = BlockSearchEngine(spark, art)
+    target = eng.topk("spark", 1).collect()[0]["doc_id"]
+
+    new_docs = spark.createDataFrame(
+        [(target, "totally fresh uniquetokenxyz content", "python")],
+        "doc_id long, content string, lang string",
+    )
+    art2 = upsert_docs(spark, art, new_docs, str(tmp_path / "gen1"),
+                       text_col="content")
+    eng2 = BlockSearchEngine(spark, art2)
+    # new content only: old term gone for that doc, new term found
+    assert target not in [r["doc_id"] for r in eng2.topk("spark", 200).collect()]
+    hits = eng2.topk("uniquetokenxyz", 5).collect()
+    assert [r["doc_id"] for r in hits] == [target]
+    assert art2.manifest["n_docs"] == art.manifest["n_docs"]
+
+
+def test_and_range_pruning_correct(spark, corpus, artifact):
+    """Doc-range pruning must not lose any conjunctive match."""
+    flat = SearchEngine(spark, build_index(corpus, text_col="content"))
+    blk = BlockSearchEngine(spark, artifact)
+    for q in ["return the", "spark merge commit"]:
+        a = sorted(r["doc_id"] for r in flat.match_scan(q).collect())
+        b = sorted(r["doc_id"] for r in blk.match_scan(q).collect())
+        assert a == b, q

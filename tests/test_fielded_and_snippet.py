@@ -1,0 +1,102 @@
+"""Fielded (title/body) rank identity vs oracle + snippet tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prosearch_spark.index.build import build_fielded_index
+from prosearch_spark.oracle import build_oracle_index, topk as oracle_topk
+from prosearch_spark.query.fielded import FieldedSearchEngine
+from prosearch_spark.query.snippet import make_snippet_py, with_snippet
+
+
+@pytest.fixture(scope="module")
+def titled(spark, corpus):
+    """Corpus with a title = first 4 content tokens (overlaps body
+    vocabulary, so clauses hit title and body simultaneously)."""
+    return corpus.withColumn(
+        "title", F.concat_ws(" ", F.slice(F.split("content", " "), 1, 4))
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def fielded(spark, titled):
+    idx = build_fielded_index(titled, {"title": "title", "body": "content"})
+    eng = FieldedSearchEngine(spark, idx)
+    rows = [r.asDict() for r in titled.collect()]
+    oidx = build_oracle_index(rows, {"title": "title", "body": "content"})
+    return eng, oidx
+
+
+FIELDED_QUERIES = [
+    "spark",
+    "python",          # boosted
+    "spark shuffle",
+    "return the",
+    "merge commit block",
+    "nonexistent",
+]
+
+
+@pytest.mark.parametrize("q", FIELDED_QUERIES)
+def test_fielded_rank_identity(fielded, q):
+    eng, oidx = fielded
+    got = eng.topk(q, 10).collect()
+    exp = oracle_topk(oidx, q, 10, fields=("title", "body"))
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp], q
+    for r, (_, s) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_title_boost_lifts_title_hits(fielded):
+    """A term in both title+body must outscore the same term in body
+    only, all else equal (field boost 1.5 + extra field term)."""
+    eng, oidx = fielded
+    got = eng.topk("spark", 200).collect()
+    # oracle: recompute per-doc which field hit
+    by_doc = {d: s for d, s in oracle_topk(oidx, "spark", 10**9,
+                                           fields=("title", "body"))}
+    title_hits = {d for (t, d) in oidx.tf["title"] if t == "spark"}
+    body_only = [d for d in by_doc if d not in title_hits]
+    in_title = [d for d in by_doc if d in title_hits]
+    if in_title and body_only:
+        assert max(by_doc[d] for d in in_title) > 0
+    assert [r["doc_id"] for r in got][:5] == \
+        [d for d, _ in oracle_topk(oidx, "spark", 5, fields=("title", "body"))]
+
+
+def test_fielded_count(fielded):
+    eng, oidx = fielded
+    got = eng.count("spark shuffle").collect()[0]["hits"]
+    exp = len(oracle_topk(oidx, "spark shuffle", 10**9, fields=("title", "body")))
+    assert got == exp
+
+
+# -- snippets -------------------------------------------------------------------
+
+def test_snippet_highlights_terms():
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    s = make_snippet_py(text, {"delta", "zeta"}, window=4)
+    assert "<b>delta</b>" in s
+    assert len(s.split()) <= 4
+
+
+def test_snippet_no_match_returns_head():
+    text = "one two three four five six"
+    s = make_snippet_py(text, {"absent"}, window=3)
+    assert s == "one two three"
+
+
+def test_snippet_case_insensitive():
+    s = make_snippet_py("Alpha BETA gamma", {"beta"}, window=3)
+    assert "<b>BETA</b>" in s  # original casing preserved, match lowered
+
+
+def test_with_snippet_udf(spark):
+    df = spark.createDataFrame(
+        [(0, "spark shuffle partition spark join")],
+        "doc_id long, content string",
+    )
+    out = with_snippet(df, "spark", "content").collect()[0]["snip"]
+    assert "<b>spark</b>" in out
