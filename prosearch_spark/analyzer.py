@@ -117,7 +117,15 @@ def analyze_code(text: str, lang: str | None = None) -> list[str]:
 
 @F.pandas_udf(ArrayType(StringType()))
 def code_tokens_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
-    """Arrow-batched analyzer UDF (the B1 ``add_document`` tokenize step)."""
+    """Arrow-batched analyzer UDF — the extension-point seam for
+    analyzers that genuinely need Python (the B1 tokenize step).
+
+    The production ``code`` analyzer does NOT go through here: it is
+    expressible as pure column expressions (see code_tokens_expr),
+    which stay in whole-stage codegen and scale ~4x better. This UDF
+    remains as the template for analyzers that can't (e.g. a real BPE
+    tokenizer) and is kept equivalent by tests.
+    """
     return pd.Series(
         [
             analyze_code(c, l) if c is not None else []
@@ -126,10 +134,113 @@ def code_tokens_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
     )
 
 
-def code_tokens(content: Column | str, lang: Column | str) -> Column:
+# Java-regex versions of the same boundaries (lookarounds supported).
+_CAMEL_RE_SQL = (
+    "(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])"
+    "|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"
+)
+_PATHLIKE_RE_SQL = r"^[\w.\-]+(/[\w.\-]+)+$"
+
+
+def _stopwords_col(lang: Column) -> Column:
+    """Per-language stopword array, resolved from the lang column."""
+    expr = None
+    for lg, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in sorted(words)])
+        cond = F.when(F.lower(lang) == lg, arr)
+        expr = cond if expr is None else expr.when(F.lower(lang) == lg, arr)
+    return expr.otherwise(F.array().cast("array<string>"))
+
+
+def code_tokens_expr(content: Column | str, lang: Column | str) -> Column:
+    """The code analyzer as PURE column expressions (JVM, codegen).
+
+    Exactly mirrors :func:`analyze_code` (equivalence pinned by tests):
+    per whitespace token emit the lowercased verbatim token, then
+    identifier subtokens when splitting changes anything (minus
+    per-lang stopwords), then path-segment bigrams for path-like
+    tokens. ~4x faster than the Arrow UDF at 32 cores because nothing
+    leaves the JVM.
+    """
     c = F.col(content) if isinstance(content, str) else content
     l = F.col(lang) if isinstance(lang, str) else lang
-    return code_tokens_udf(c, l)
+    stop = _stopwords_col(l)
+
+    def per_token(t: Column) -> Column:
+        # subtokens with original case: separators -> space, then
+        # camel/digit boundaries -> space, then split
+        sub_str = F.regexp_replace(
+            F.regexp_replace(t, "[^A-Za-z0-9]+", " "), _CAMEL_RE_SQL, " "
+        )
+        subs_cased = F.filter(F.split(sub_str, " "), lambda s: s != F.lit(""))
+        changed = (F.size(subs_cased) > 1) | (
+            (F.size(subs_cased) == 1) & (F.element_at(subs_cased, 1) != t)
+        )
+        subs = F.filter(
+            F.transform(subs_cased, F.lower),
+            lambda s: ~F.array_contains(stop, s),
+        )
+        segs = F.transform(F.split(t, "/"), F.lower)
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.size(segs) - 1),
+            lambda i: F.concat(
+                F.element_at(segs, i), F.lit("/"), F.element_at(segs, i + 1)
+            ),
+        )
+        return F.concat(
+            F.array(F.lower(t)),
+            F.when(changed, subs).otherwise(F.array().cast("array<string>")),
+            F.when(t.rlike(_PATHLIKE_RE_SQL), bigrams)
+            .otherwise(F.array().cast("array<string>")),
+        )
+
+    raw_toks = F.filter(F.split(c, _WS), lambda t: t != F.lit(""))
+    return F.flatten(F.transform(raw_toks, per_token))
+
+
+def code_tokens(content: Column | str, lang: Column | str,
+                use_udf: bool = False) -> Column:
+    if use_udf:
+        c = F.col(content) if isinstance(content, str) else content
+        l = F.col(lang) if isinstance(lang, str) else lang
+        return code_tokens_udf(c, l)
+    return code_tokens_expr(content, lang)
+
+
+def code_token_parts(raw: Column, stop: Column) -> Column:
+    """Per-RAW-TOKEN emission array, as FLAT top-level expressions.
+
+    The hot-path formulation: callers explode whitespace tokens first
+    (a cheap JVM generator), then evaluate this on the flat token
+    column — regexp_replace / rlike become top-level codegen
+    expressions instead of interpreted lambdas nested inside
+    ``transform`` (which disables codegen and cost ~8x in practice;
+    see SURVEY.md §4 'stay JVM-side').
+    """
+    sub_str = F.regexp_replace(
+        F.regexp_replace(raw, "[^A-Za-z0-9]+", " "), _CAMEL_RE_SQL, " "
+    )
+    subs_cased = F.filter(F.split(sub_str, " "), lambda s: s != F.lit(""))
+    changed = (F.size(subs_cased) > 1) | (
+        (F.size(subs_cased) == 1) & (F.element_at(subs_cased, 1) != raw)
+    )
+    subs = F.filter(
+        F.transform(subs_cased, F.lower),
+        lambda s: ~F.array_contains(stop, s),
+    )
+    segs = F.transform(F.split(raw, "/"), F.lower)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(segs) - 1),
+        lambda i: F.concat(
+            F.element_at(segs, i), F.lit("/"), F.element_at(segs, i + 1)
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.concat(
+        F.array(F.lower(raw)),
+        F.when(changed, subs).otherwise(empty),
+        F.when(raw.rlike(_PATHLIKE_RE_SQL), bigrams).otherwise(empty),
+    )
 
 
 # --------------------------------------------------------------------------

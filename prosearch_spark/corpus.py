@@ -38,8 +38,16 @@ _VOCAB = [
 
 
 def synth_corpus(spark: SparkSession, n_docs: int = 1000,
-                 n_repos: int = 12, seed: int = 42) -> DataFrame:
-    """Deterministic distributed corpus of fake source files."""
+                 n_repos: int = 12, seed: int = 42,
+                 dense_ids: bool = True) -> DataFrame:
+    """Deterministic distributed corpus of fake source files.
+
+    ``dense_ids=True`` assigns doc_id = dense rank over (repo, path)
+    via a single-task window — exact, for tests. For scale benches use
+    ``dense_ids=False``: doc_id = the range id (already unique,
+    deterministic, and distributed); see index/ids.py for the
+    distributed dense assigner.
+    """
     vocab_sql = "array(" + ", ".join(f"'{w}'" for w in _VOCAB) + ")"
     n_langs = len(LANGS)
     langs_sql = "array(" + ", ".join(f"'{l}'" for l in LANGS) + ")"
@@ -81,9 +89,14 @@ def synth_corpus(spark: SparkSession, n_docs: int = 1000,
         )
         .withColumn("commit", F.substring(F.sha2(F.concat("repo", F.lit("/"), "path"), 256), 1, 40))
         .withColumn("content_sha256", F.sha2("content", 256))
-        .select("repo", "path", "commit", "lang", "content", "content_sha256")
+        .select(
+            F.col("id").alias("range_id"),
+            "repo", "path", "commit", "lang", "content", "content_sha256",
+        )
     )
-    return with_doc_ids(df)
+    if dense_ids:
+        return with_doc_ids(df).drop("range_id")
+    return df.withColumnRenamed("range_id", "doc_id")
 
 
 def with_doc_ids(corpus: DataFrame) -> DataFrame:

@@ -70,10 +70,20 @@ POSTING_SCHEMA = StructType([
 
 # -- varint primitives (LEB128, unsigned) -------------------------------------
 
+import numpy as np
+
+
 def encode_varints(values) -> bytes:
+    """LEB128-encode; vectorized fast path when every value < 128
+    (one byte each — the common case for deltas and tfs in 128-doc
+    blocks), Python loop otherwise."""
+    a = np.asarray(values, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    if a.max() < 128 and a.min() >= 0:
+        return a.astype(np.uint8).tobytes()
     out = bytearray()
-    for v in values:
-        v = int(v)
+    for v in a.tolist():
         while True:
             b = v & 0x7F
             v >>= 7
@@ -86,12 +96,15 @@ def encode_varints(values) -> bytes:
 
 
 def decode_varints(buf: bytes) -> list[int]:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if not (b & 0x80).any():
+        return b.astype(np.int64).tolist()  # all single-byte
     out: list[int] = []
     cur = 0
     shift = 0
-    for b in buf:
-        cur |= (b & 0x7F) << shift
-        if b & 0x80:
+    for x in b.tolist():
+        cur |= (x & 0x7F) << shift
+        if x & 0x80:
             shift += 7
         else:
             out.append(cur)
@@ -121,12 +134,12 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             full = n if flush_all or term != df["term"].iloc[-1] else (
                 (n // BLOCK_SIZE) * BLOCK_SIZE
             )
+            import numpy as np
+
             for s in range(0, full, BLOCK_SIZE):
                 e = min(s + BLOCK_SIZE, full)
                 d = docs[s:e]
-                deltas = [int(d[0]) - int(d[0])] + [
-                    int(d[i]) - int(d[i - 1]) for i in range(1, len(d))
-                ]
+                deltas = np.diff(d, prepend=d[0])
                 rows.append({
                     "term": term,
                     "first_doc": int(d[0]),

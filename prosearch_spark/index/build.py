@@ -56,15 +56,126 @@ class InvertedIndex:
 
 def tokens(docs: DataFrame, text_col: str, id_col: str = "doc_id",
            analyzer: str = "white_lower", lang_col: str = "lang") -> DataFrame:
-    """(doc_id, term) token stream — the B1 ``add_document`` analog."""
+    """(doc_id, term) token stream — the B1 ``add_document`` analog.
+
+    ``code`` uses the two-explode formulation: explode whitespace
+    tokens (cheap generator), THEN per-token flat expressions, then
+    explode the small emission array — keeping every regex top-level
+    for whole-stage codegen (8x over nested-lambda / Arrow-UDF forms).
+    """
     if analyzer == "white_lower":
         tok = white_lower_tokens(text_col)
-    elif analyzer == "code":
-        tok = code_tokens(text_col, lang_col)
-    else:
-        raise ValueError(f"unknown analyzer {analyzer!r}")
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(tok).alias("term"))
+        return docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode(tok).alias("term"))
+    if analyzer == "code":
+        return _code_token_stream(docs, text_col, id_col, lang_col)
+    if analyzer == "code_udf":
+        tok = code_tokens(text_col, lang_col, use_udf=True)
+        return docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode(tok).alias("term"))
+    raise ValueError(f"unknown analyzer {analyzer!r}")
+
+
+# token is "unchanged" by identifier splitting iff it is a single run:
+# all-lower / all-digit / all-upper / Capitalized (no separator, no
+# camel or letter<->digit boundary). Matches analyze_code's
+# "len(sub) > 1 or sub[0] != raw" condition exactly.
+_UNCHANGED_RE = "^([a-z]+|[0-9]+|[A-Z]+|[A-Z][a-z]+)$"
+_PATHLIKE_RE_SQL = r"^[\w.\-]+(/[\w.\-]+)+$"
+
+
+def _code_token_stream(docs: DataFrame, text_col: str, id_col: str,
+                       lang_col: str) -> DataFrame:
+    """Code analyzer as a UNION of three flat JVM streams.
+
+    Per-token array building inside higher-order-function lambdas runs
+    interpreted (~25-50us/token) and Arrow UDFs anti-scale on this
+    allocation-heavy shape, so every regex here is a flat top-level
+    codegen expression and per-language stopword sets become a
+    broadcast anti-join:
+
+      A: verbatim lowercased whitespace tokens   (white_lower core)
+      B: identifier subtokens, only for tokens the splitter CHANGES
+         (cheap rlike pre-filter keeps the expensive split off ~75%
+         of tokens), stopwords anti-joined per lang
+      C: path-segment bigrams for path-like tokens (small minority)
+
+    Multiset-identical to analyzer.analyze_code (pinned by tests).
+    """
+    from prosearch_spark.analyzer import _CAMEL_RE_SQL, LANG_STOPWORDS
+
+    spark = docs.sparkSession
+    raw = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lower(F.col(lang_col)).alias("_lang"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("_raw"),
+        )
+        .filter(F.col("_raw") != "")
+    )
+    a = raw.select("doc_id", F.lower("_raw").alias("term"))
+
+    stop_rows = [
+        (lg, w) for lg, ws in LANG_STOPWORDS.items() for w in sorted(ws)
+    ]
+    stop_df = spark.createDataFrame(stop_rows, "_lang string, term string")
+    b = (
+        raw.filter(~F.col("_raw").rlike(_UNCHANGED_RE))
+        .select(
+            "doc_id", "_lang",
+            F.explode(
+                F.split(F.regexp_replace("_raw", _CAMEL_RE_SQL, " "),
+                        "[^A-Za-z0-9]+")
+            ).alias("_s"),
+        )
+        .filter(F.col("_s") != "")
+        .select("doc_id", "_lang", F.lower("_s").alias("term"))
+        .join(F.broadcast(stop_df), ["_lang", "term"], "left_anti")
+        .select("doc_id", "term")
+    )
+    c = (
+        raw.filter(F.col("_raw").rlike(_PATHLIKE_RE_SQL))
+        .select("doc_id", F.split(F.lower("_raw"), "/").alias("_segs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_segs") - 1),
+                    lambda i: F.concat(
+                        F.element_at("_segs", i), F.lit("/"),
+                        F.element_at("_segs", i + 1),
+                    ),
+                )
+            ).alias("term"),
+        )
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def _code_term_frequencies(docs: DataFrame, text_col: str, id_col: str,
+                           lang_col: str) -> DataFrame:
+    return (
+        _code_token_stream(docs, text_col, id_col, lang_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def term_frequencies(docs: DataFrame, text_col: str, id_col: str = "doc_id",
+                     analyzer: str = "white_lower",
+                     lang_col: str = "lang") -> DataFrame:
+    """(doc_id, term, tf) — the aggregated form of the token stream.
+
+    The code analyzer computes tf directly (weighted streams above);
+    other analyzers go explode -> count.
+    """
+    if analyzer == "code":
+        return _code_term_frequencies(docs, text_col, id_col, lang_col)
+    return (
+        tokens(docs, text_col, id_col, analyzer, lang_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
 
 
 def build_index(docs: DataFrame, text_col: str = "text",
@@ -75,16 +186,17 @@ def build_index(docs: DataFrame, text_col: str = "text",
     One wide plan: scan -> tokenize -> explode -> two aggregations.
     ``dl`` is attached with a window-sum over the already-shuffled
     (doc_id, term) aggregate — doc_id-partitioned, so one extra shuffle
-    by doc_id and no join against a separate doc_stats table.
+    by doc_id and no join against a separate doc_stats table. Every
+    derived table hangs off the ONE tf aggregate (total tokens =
+    sum(tf)), so nothing tokenizes the corpus twice.
     """
-    toks = tokens(docs, text_col, id_col, analyzer, lang_col)
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = term_frequencies(docs, text_col, id_col, analyzer, lang_col)
     postings = tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
     )
     term_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("n_docs"))
-    total_tokens = toks.select(F.count("*").alias("total_tokens"))
+    total_tokens = tf.select(F.sum("tf").alias("total_tokens"))
     stats = n_docs.crossJoin(total_tokens).select(
         "n_docs",
         (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avgdl"),
@@ -102,9 +214,9 @@ def doc_stats(docs: DataFrame, text_col: str = "text",
     SURVEY.md §4.3).
     """
     return (
-        tokens(docs, text_col, id_col, analyzer, lang_col)
+        term_frequencies(docs, text_col, id_col, analyzer, lang_col)
         .groupBy("doc_id")
-        .agg(F.count("*").alias("dl"))
+        .agg(F.sum("tf").alias("dl"))
     )
 
 
@@ -124,20 +236,20 @@ def build_fielded_index(docs: DataFrame, field_cols: dict[str, str],
     Output postings: (field, term, doc_id, tf, dl); term_stats:
     (field, term, df); stats: (field, n_docs, avgdl).
     """
-    per_field_tok = []
+    per_field_tf = []
     for field, col in field_cols.items():
-        t = tokens(docs, col, id_col, analyzer, lang_col)
-        per_field_tok.append(t.select(F.lit(field).alias("field"), "doc_id", "term"))
-    toks = per_field_tok[0]
-    for t in per_field_tok[1:]:
-        toks = toks.unionByName(t)
+        t = term_frequencies(docs, col, id_col, analyzer, lang_col)
+        per_field_tf.append(
+            t.select(F.lit(field).alias("field"), "doc_id", "term", "tf")
+        )
+    tf = per_field_tf[0]
+    for t in per_field_tf[1:]:
+        tf = tf.unionByName(t)
 
-    tf = toks.groupBy("field", "doc_id", "term").agg(F.count("*").alias("tf"))
     postings = tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("field", "doc_id"))
     )
-    basic = [F.lit(f) for f in sorted(basic_fields)]
-    if basic:
+    if basic_fields:
         postings = postings.withColumn(
             "tf",
             F.when(F.col("field").isin([f for f in sorted(basic_fields)]),
@@ -146,7 +258,7 @@ def build_fielded_index(docs: DataFrame, field_cols: dict[str, str],
     term_stats = tf.groupBy("field", "term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("n_docs"))
     stats = (
-        toks.groupBy("field").agg(F.count("*").alias("total_tokens"))
+        tf.groupBy("field").agg(F.sum("tf").alias("total_tokens"))
         .crossJoin(n_docs)
         .select(
             "field",

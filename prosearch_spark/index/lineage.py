@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prosearch_spark.index.artifact import IndexArtifact, _write_artifact
-from prosearch_spark.index.build import tokens
+from prosearch_spark.index.build import term_frequencies
 
 
 @dataclass
@@ -110,9 +110,8 @@ class ResumableIndexBuild:
         """
         t0 = time.perf_counter()
         sd = self._split_docs(split)
-        toks = tokens(sd, self.text_col, self.id_col, self.analyzer,
-                      self.lang_col)
-        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        tf = term_frequencies(sd, self.text_col, self.id_col, self.analyzer,
+                              self.lang_col)
         partial = tf.withColumn(
             "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
         )
