@@ -247,6 +247,98 @@ def q_search_snippet(spark, sf_dir):
     return with_snippet(fetched, Q_RARE, "text").drop("text")
 
 
+def q_bm25_topk_wand(spark, sf_dir):
+    """Block-Max WAND single-term top-k over the committed artifact —
+    exact results with score-bound block pruning (same oracle as the
+    unpruned path)."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="prosearch_wand_")
+    art = save_index(spark, docs, path, text_col="text")
+    out, _stats = BlockSearchEngine(spark, art).topk_wand(
+        Q_SINGLE, 10, round_to=ROUND
+    )
+    return out
+
+
+def q_salted_posting_summary(spark, sf_dir):
+    """Salted two-phase posting-array merge (hot-term skew defense);
+    summary projection proves completeness + sortedness."""
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.index.merge import (
+        posting_array_summary,
+        salted_posting_arrays,
+    )
+
+    idx = build_index(_docs(spark, sf_dir), text_col="text")
+    return posting_array_summary(salted_posting_arrays(idx.postings, 8))
+
+
+# deterministic synthetic url per row, exercising every normalization
+# rule (uppercase scheme/host, default port, duplicate slashes,
+# fragment, query, root-only)
+_URL_EXPR = (
+    "concat('HTTPS://', source, '.Example.COM',"
+    " CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN '' ELSE"
+    "   concat('/docs//page', doc_id,"
+    "          CASE WHEN doc_id % 5 = 0 THEN '?q=1' ELSE '' END,"
+    "          CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) END)"
+)
+
+
+# DuckDB twin of _URL_EXPR (identical construction; concat coerces
+# BIGINT doc_id in both dialects)
+_URL_SQL = (
+    "concat('HTTPS://', source, '.Example.COM',"
+    " CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN '' ELSE"
+    "   concat('/docs//page', doc_id,"
+    "          CASE WHEN doc_id % 5 = 0 THEN '?q=1' ELSE '' END,"
+    "          CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) END)"
+)
+
+
+def _docs_with_url(spark, sf_dir):
+    return _docs(spark, sf_dir).withColumn("url", F.expr(_URL_EXPR))
+
+
+def q_url_ops(spark, sf_dir):
+    """T6/T7/T8/P7: URL normalization, host extraction, scheme strip,
+    start-url predicate."""
+    from prosearch_spark.functions import text as tx
+
+    d = _docs_with_url(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.url_normalize("url").alias("url_norm"),
+        tx.host_of("url").alias("host"),
+        tx.scheme_strip("url").alias("stripped"),
+        tx.has_start_url_format("url").alias("is_root"),
+    )
+
+
+def q_title_fallback_len(spark, sf_dir):
+    """T10/T11: title fallback to url + indexed content length."""
+    from prosearch_spark.functions import text as tx
+
+    d = _docs_with_url(spark, sf_dir).withColumn(
+        "title",
+        F.expr("CASE WHEN doc_id % 4 = 0 THEN '' "
+               "WHEN doc_id % 4 = 1 THEN NULL "
+               "ELSE concat('Doc ', doc_id) END"),
+    )
+    return d.select(
+        "doc_id",
+        tx.title_fallback("title", "url").alias("title"),
+        tx.content_length(F.coalesce("title", F.lit("")), "text").alias("content_length"),
+    )
+
+
 def q_minhash_near_pairs(spark, sf_dir):
     # rows-only check (signature algebra not reasonably SQL-expressible)
     return dd.minhash_dedup_pairs(
@@ -281,6 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_histogram": q_bm25_histogram,
         "bm25_topk_fielded": q_bm25_topk_fielded,
         "bm25_topk_blocks": q_bm25_topk_blocks,
+        "bm25_topk_wand": q_bm25_topk_wand,
+        "salted_posting_summary": q_salted_posting_summary,
+        "url_ops": q_url_ops,
+        "title_fallback_len": q_title_fallback_len,
         "search_fetch": q_search_fetch,
         "search_snippet": q_search_snippet,
         # scalar text transforms (T1-T12, SURVEY §2.3)
@@ -331,6 +427,56 @@ def oracle_sql() -> dict[str, str]:
         "bm25_histogram": osql.histogram_sql("join", "n_chars", 100.0),
         "bm25_topk_fielded": osql.fielded_topk_sql(Q_AND2, 10, ROUND),
         "bm25_topk_blocks": osql.topk_sql(Q_AND2, 10, ROUND),
+        "bm25_topk_wand": osql.topk_sql(Q_SINGLE, 10, ROUND),
+        "salted_posting_summary": f"""
+            WITH {_TOKS}
+            SELECT term, count(*)::BIGINT AS df,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM tf GROUP BY term
+        """,
+        "url_ops": f"""
+            WITH d AS (
+                SELECT doc_id, {_URL_SQL} AS url FROM documents
+            ),
+            step1 AS (  -- removeFragment
+                SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u1 FROM d
+            ),
+            step2 AS (  -- lowerCaseSchemeHost
+                SELECT doc_id, url,
+                       lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1))
+                       || regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '') AS u2
+                FROM step1
+            ),
+            step3 AS (  -- removeDefaultPort
+                SELECT doc_id, url,
+                       regexp_replace(u2, '^(https?://[^/:?#]+):(80|443)([/?#].*)?$', '\\1\\3') AS u3
+                FROM step2
+            ),
+            step4 AS (  -- removeDuplicateSlashes (path only)
+                SELECT doc_id, url,
+                       regexp_extract(u3, '^([a-z][a-z0-9+.\\-]*://[^/?#]*)', 1)
+                       || regexp_replace(regexp_replace(u3, '^[a-z][a-z0-9+.\\-]*://[^/?#]*', ''), '//+', '/', 'g') AS url_norm
+                FROM step3
+            )
+            SELECT doc_id, url_norm,
+                   regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1) AS host,
+                   regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS stripped,
+                   regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+/?$') AS is_root
+            FROM step4
+        """,
+        "title_fallback_len": f"""
+            WITH d AS (
+                SELECT doc_id, text, {_URL_SQL} AS url,
+                       CASE WHEN doc_id % 4 = 0 THEN ''
+                            WHEN doc_id % 4 = 1 THEN NULL
+                            ELSE 'Doc ' || doc_id::VARCHAR END AS title
+                FROM documents
+            )
+            SELECT doc_id,
+                   coalesce(nullif(trim(title), ''), url) AS title,
+                   (length(text) + length(coalesce(title, '')))::BIGINT AS content_length
+            FROM d
+        """,
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),
         "content_sha256": (
             "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"

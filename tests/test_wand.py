@@ -1,0 +1,87 @@
+"""Block-Max WAND: exact results, fewer blocks decoded."""
+
+from __future__ import annotations
+
+import pytest
+
+from prosearch_spark.index.artifact import save_index
+from prosearch_spark.index.build import build_index
+from prosearch_spark.query.block_engine import BlockSearchEngine
+from prosearch_spark.query.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def big_artifact(spark, tmp_path_factory):
+    """Corpus big enough for multiple blocks per term (>128 docs/term)."""
+    from prosearch_spark.corpus import synth_corpus
+
+    docs = synth_corpus(spark, n_docs=1500, n_repos=8, seed=7).cache()
+    path = str(tmp_path_factory.mktemp("wandidx"))
+    art = save_index(spark, docs, path, text_col="content")
+    return docs, art
+
+
+@pytest.mark.parametrize("q,k", [("spark", 10), ("return", 5),
+                                 ("python", 10), ("the", 3)])
+def test_wand_exact_vs_flat(spark, big_artifact, q, k):
+    docs, art = big_artifact
+    flat = SearchEngine(spark, build_index(docs, text_col="content"))
+    blk = BlockSearchEngine(spark, art)
+    exp = [(r["doc_id"], r["score"]) for r in flat.topk(q, k).collect()]
+    got_df, stats = blk.topk_wand(q, k)
+    got = [(r["doc_id"], r["score"]) for r in got_df.collect()]
+    assert got == exp, q
+    assert stats["blocks_total"] >= stats["blocks_decoded"]
+
+
+def test_wand_actually_prunes(spark, tmp_path):
+    """Skewed tf (few heavy docs, many light) — the case block-max
+    pruning exists for: most blocks' upper bounds fall below the kth
+    score and are never decoded."""
+    rows = []
+    for i in range(1200):
+        tf = 40 if i % 400 == 0 else 1  # 3 heavy docs
+        rows.append((i, " ".join(["needle"] * tf + ["filler", f"x{i}"])))
+    docs = spark.createDataFrame(rows, "doc_id long, content string") \
+        .withColumn("lang", __import__("pyspark.sql.functions",
+                                       fromlist=["lit"]).lit("md"))
+    art = save_index(spark, docs, str(tmp_path / "skew"), text_col="content")
+    blk = BlockSearchEngine(spark, art)
+
+    got, stats = blk.topk_wand("needle", 3)
+    assert [r["doc_id"] for r in got.collect()] == [0, 400, 800]
+    assert stats["blocks_total"] >= 9  # 1200 postings / 128
+    assert stats["blocks_decoded"] < stats["blocks_total"] / 2, stats
+
+
+def test_wand_with_deletes_stays_exact(spark, big_artifact, tmp_path):
+    docs, _ = big_artifact
+    path = str(tmp_path / "gen0")
+    art = save_index(spark, docs, path, text_col="content")
+    blk = BlockSearchEngine(spark, art)
+    top_before, _ = blk.topk_wand("spark", 5)
+    victim = top_before.collect()[0]["doc_id"]
+    art.delete_docs(spark.createDataFrame([(victim,)], "doc_id long"))
+
+    got, _ = blk.topk_wand("spark", 5)
+    got_ids = [r["doc_id"] for r in got.collect()]
+    assert victim not in got_ids
+    # unpruned block path agrees
+    exp_ids = [r["doc_id"] for r in blk.topk("spark", 5).collect()]
+    assert got_ids == exp_ids
+
+
+def test_wand_multi_term_falls_back(spark, big_artifact):
+    docs, art = big_artifact
+    blk = BlockSearchEngine(spark, art)
+    got, stats = blk.topk_wand("spark shuffle", 5)
+    assert stats == {}
+    exp = blk.topk("spark shuffle", 5).collect()
+    assert [r["doc_id"] for r in got.collect()] == [r["doc_id"] for r in exp]
+
+
+def test_wand_fewer_than_k_results(spark, big_artifact):
+    docs, art = big_artifact
+    blk = BlockSearchEngine(spark, art)
+    got, _ = blk.topk_wand("nonexistentterm", 10)
+    assert got.count() == 0
