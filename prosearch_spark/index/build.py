@@ -64,9 +64,17 @@ def tokens(docs: DataFrame, text_col: str, id_col: str = "doc_id",
     for whole-stage codegen (8x over nested-lambda / Arrow-UDF forms).
     """
     if analyzer == "white_lower":
-        tok = white_lower_tokens(text_col)
-        return docs.select(F.col(id_col).alias("doc_id"),
-                           F.explode(tok).alias("term"))
+        # row-level empty filter AFTER explode: an array-level
+        # F.filter(lambda) is a non-codegen HOF and would push the
+        # whole Generate out of WholeStageCodegen
+        return (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                .alias("term"),
+            )
+            .filter(F.col("term") != "")
+        )
     if analyzer == "code":
         return _code_token_stream(docs, text_col, id_col, lang_col)
     if analyzer == "code_udf":

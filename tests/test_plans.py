@@ -1,0 +1,102 @@
+"""Physical-plan audits: the scale properties the engine is designed
+around must be visible in .explain output, or a regression silently
+turns a pruned broadcast plan into a full-scan shuffle.
+
+Asserted properties (SURVEY.md §4.2, 'Optimize for scale'):
+- artifact term lookup prunes PARTITION DIRECTORIES (tb bucket) and
+  pushes In(term,...) into the parquet scan (row-group skipping)
+- query dimension tables join via BroadcastHashJoin (no shuffle join
+  against the postings side)
+- top-k is TakeOrderedAndProject (per-partition heaps + driver merge,
+  never a global sort)
+- aggregations are two-phase (partial_ + final HashAggregate)
+- the white_lower tokenize pipeline stays inside WholeStageCodegen
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from prosearch_spark.index.artifact import save_index
+from prosearch_spark.index.build import build_index
+from prosearch_spark.query.block_engine import BlockSearchEngine
+from prosearch_spark.query.engine import SearchEngine
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def block_plan(spark, corpus, tmp_path_factory):
+    art = save_index(spark, corpus, str(tmp_path_factory.mktemp("pidx")),
+                     text_col="content")
+    return _plan(BlockSearchEngine(spark, art).topk("spark shuffle", 10))
+
+
+def test_bucket_partition_pruning(block_plan):
+    assert "PartitionFilters: [tb" in block_plan
+
+
+def test_term_filter_pushed_to_parquet(block_plan):
+    assert "PushedFilters: [In(term" in block_plan
+
+
+def test_dimension_joins_are_broadcast(block_plan):
+    assert "BroadcastHashJoin" in block_plan
+    assert "SortMergeJoin" not in block_plan
+
+
+def test_topk_is_take_ordered(block_plan):
+    assert "TakeOrderedAndProject(limit=10" in block_plan
+    # no global Sort node above the aggregate
+    assert "rangepartitioning" not in block_plan.lower()
+
+
+def test_two_phase_aggregation(block_plan):
+    assert "partial_sum" in block_plan
+
+
+def test_flat_engine_same_properties(spark, corpus):
+    eng = SearchEngine(spark, build_index(corpus, text_col="content"))
+    plan = _plan(eng.topk("spark shuffle", 10))
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "partial_count" in plan
+
+
+def test_tokenize_stays_in_codegen(spark, corpus):
+    from prosearch_spark.index.build import tokens
+
+    # AQE wraps the plan and hides codegen stars until a job runs;
+    # disable it for the static inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(tokens(corpus, "content", analyzer="white_lower"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # explode(split(lower(...))) must sit inside a WholeStageCodegen
+    # span (starred nodes) with no Python evaluation nodes
+    import re
+
+    assert re.search(r"\*\(\d+\) Generate explode", plan), plan[:400]
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_code_analyzer_no_python_nodes(spark, corpus):
+    from prosearch_spark.index.build import term_frequencies
+
+    plan = _plan(term_frequencies(corpus, "content", analyzer="code"))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # stopword anti-join broadcast
+
+
+def test_doc_fetch_is_broadcast(spark, corpus):
+    eng = SearchEngine(spark, build_index(corpus, text_col="content"))
+    hits = eng.topk("spark", 5)
+    plan = _plan(eng.fetch(hits, corpus.select("doc_id", "repo")))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
