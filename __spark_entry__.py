@@ -339,6 +339,34 @@ def q_title_fallback_len(spark, sf_dir):
     )
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-style pre-token counting (training-data corpus costing)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs at gate scale;
+    the 100 TB path is the LSH-bucketed knn_join in ops/similarity)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    from prosearch_spark.ops.similarity import _dot, _norm
+
+    pairs = a.join(b, F.col("i") < F.col("j"))
+    return (
+        pairs.withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))), ROUND),
+        )
+        .filter(F.col("cosine") >= 0.45)
+        .select("i", "j", "cosine")
+    )
+
+
 def q_minhash_near_pairs(spark, sf_dir):
     # rows-only check (signature algebra not reasonably SQL-expressible)
     return dd.minhash_dedup_pairs(
@@ -377,6 +405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_posting_summary": q_salted_posting_summary,
         "url_ops": q_url_ops,
         "title_fallback_len": q_title_fallback_len,
+        "bpe_token_count": q_bpe_token_count,
+        "embedding_near_dup": q_embedding_near_dup,
         "search_fetch": q_search_fetch,
         "search_snippet": q_search_snippet,
         # scalar text transforms (T1-T12, SURVEY §2.3)
@@ -481,6 +511,26 @@ def oracle_sql() -> dict[str, str]:
         "content_sha256": (
             "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
         ),
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'
+                   ))::BIGINT AS bpe_tokens
+            FROM documents
+        """,
+        "embedding_near_dup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS i, b.vec_id AS j,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+        """,
         "whitespace_collapse": (
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g'))"
             " AS collapsed FROM documents"

@@ -43,6 +43,21 @@ def token_count(col: Column | str) -> Column:
     return F.size(white_lower_tokens(col)).cast("long")
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-compatible subset (no
+# lookahead, no \p classes): contractions, letter runs, digit runs,
+# punctuation runs — the standard BPE pre-split shape.
+BPE_ISH_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Approximate LLM token count: number of BPE-style pre-tokens.
+    A corpus-costing primitive for training-data pipelines (the real
+    merge table would live in a broadcast map; the pre-split dominates
+    the count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), F.lit(0))).cast("long")
+
+
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = ("the", "a")) -> Column:
     toks = white_lower_tokens(col)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))

@@ -1,0 +1,71 @@
+"""Search front-end facade — the reference's /api responder.
+
+Replicates the Serp shape (serve.rs:301-312,436-440): for a query
+string, return ``{"q": ..., "num_hits": ..., "hits": [{"doc": {...},
+"snip": ...}], "timings_ms": ...}`` with the ``body`` field dropped
+from each returned doc (P1, serve.rs:379-386) and per-query latency
+reported (Q13). Also implements the warmup sweep (Q11,
+serve.rs:220-257): run a query list once so caches/codegen are hot.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prosearch_spark.index.build import InvertedIndex
+from prosearch_spark.query.engine import SearchEngine
+from prosearch_spark.query.snippet import with_snippet
+
+
+class Searcher:
+    def __init__(self, spark: SparkSession, index: InvertedIndex,
+                 docs: DataFrame, id_col: str = "doc_id",
+                 body_col: str = "content",
+                 display_cols: tuple[str, ...] = ("repo", "path", "lang")):
+        self.spark = spark
+        self.engine = SearchEngine(spark, index)
+        self.docs = docs
+        self.id_col = id_col
+        self.body_col = body_col
+        self.display_cols = display_cols
+
+    def api(self, q: str, nhits: int = 10) -> dict:
+        """GET /api/?q=... analog. The reference parses an ``offset``
+        param but ignores it (serve.rs:573-587) — so do we."""
+        t0 = time.perf_counter()
+        hits = self.engine.topk(q, nhits)
+        fetched = self.engine.fetch(
+            hits,
+            self.docs.select(self.id_col, self.body_col, *self.display_cols),
+            self.id_col,
+        )
+        fetched = with_snippet(fetched, q, self.body_col)
+        rows = fetched.orderBy("rank").collect()
+        ms = (time.perf_counter() - t0) * 1000.0
+        return {
+            "q": q,
+            "num_hits": len(rows),
+            "hits": [
+                {
+                    # P1: drop the body from the returned doc
+                    "doc": {c: r[c] for c in
+                            ("rank", "doc_id", "score", *self.display_cols)},
+                    "snip": r["snip"],
+                }
+                for r in rows
+            ],
+            "timings_ms": round(ms, 3),
+        }
+
+    def warmup(self, queries: list[str], k: int = 2) -> dict[str, float]:
+        """Q11: run each query once (TopDocs(2) analog), return per-
+        query seconds. Heats codegen, broadcast caches, file indexes."""
+        out = {}
+        for q in queries:
+            t0 = time.perf_counter()
+            self.engine.topk(q, k).collect()
+            out[q] = round(time.perf_counter() - t0, 4)
+        return out

@@ -1,0 +1,88 @@
+"""Property-based invariants (hypothesis) — SURVEY.md §5 implication (f).
+
+Pure-Python properties run broadly; the Spark engine property runs on
+bounded random corpora (one SparkSession, deadline disabled).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from prosearch_spark.analyzer import analyze_code, analyze_query, white_lower_py
+from prosearch_spark.index.blocks import decode_varints, encode_varints
+from prosearch_spark.oracle import build_oracle_index, topk as oracle_topk
+from prosearch_spark.query.snippet import make_snippet_py
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=200,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
+def test_varint_roundtrip_prop(vals):
+    assert decode_varints(encode_varints(vals)) == vals
+
+
+@given(TEXT)
+def test_white_lower_props(text):
+    toks = white_lower_py(text)
+    assert all(t == t.lower() for t in toks)
+    assert all(t for t in toks)  # no empties
+    assert all(" " not in t for t in toks)
+
+
+@given(TEXT, st.sampled_from(["python", "java", "md", None, "XX"]))
+def test_code_analyzer_superset_prop(text, lang):
+    toks = analyze_code(text, lang)
+    base = white_lower_py(text)
+    c = Counter(toks)
+    for t, n in Counter(base).items():
+        assert c[t] >= n  # verbatim tokens always kept
+
+
+@given(TEXT)
+def test_analyze_query_lowercases(q):
+    for term, boost in analyze_query(q):
+        assert term == term.lower()
+        assert boost in (1.0, 2.5)
+
+
+@given(TEXT, st.sets(st.text(
+    alphabet=st.characters(min_codepoint=0x61, max_codepoint=0x7A),
+    min_size=1, max_size=8), max_size=5))
+def test_snippet_bounded_and_safe(text, terms):
+    s = make_snippet_py(text, terms, window=10)
+    # never longer than the window in tokens
+    assert len(s.split()) <= 10
+    # highlighting only wraps whole tokens
+    assert s.count("<b>") == s.count("</b>")
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=1, max_size=40),
+        min_size=2, max_size=12,
+    ),
+    st.sampled_from(["a", "ab", "a b", "abc abcd"]),
+)
+def test_oracle_self_consistency(contents, q):
+    """The brute-force oracle's own invariants: conjunction semantics,
+    rank monotonic, tie-break by doc_id."""
+    docs = [{"doc_id": i, "content": c} for i, c in enumerate(contents)]
+    idx = build_oracle_index(docs, {"body": "content"})
+    res = oracle_topk(idx, q, 100, fields=("body",), field_boosts={"body": 1.0})
+    terms = [t for t, _ in analyze_query(q)]
+    for did, score in res:
+        toks = set(white_lower_py(contents[did]))
+        assert all(t in toks for t in terms)
+        assert score > 0
+    scores = [s for _, s in res]
+    assert scores == sorted(scores, reverse=True)
+    for (d1, s1), (d2, s2) in zip(res, res[1:]):
+        if s1 == s2:
+            assert d1 < d2

@@ -1,0 +1,71 @@
+"""Search facade (Serp parity) + corrupt-row ingest (S2 PERMISSIVE)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from prosearch_spark.index.build import build_index
+from prosearch_spark.query.serve import Searcher
+
+
+def _searcher(spark, corpus):
+    idx = build_index(corpus, text_col="content")
+    return Searcher(spark, idx, corpus, body_col="content",
+                    display_cols=("repo", "path", "lang"))
+
+
+def test_api_serp_shape(spark, corpus):
+    s = _searcher(spark, corpus)
+    serp = s.api("spark shuffle", nhits=5)
+    assert serp["q"] == "spark shuffle"
+    assert 0 < serp["num_hits"] <= 5
+    assert serp["timings_ms"] > 0
+    hit = serp["hits"][0]
+    assert set(hit) == {"doc", "snip"}
+    # P1: body must NOT be in the returned doc
+    assert "content" not in hit["doc"]
+    assert {"rank", "doc_id", "score", "repo", "path", "lang"} == set(hit["doc"])
+    assert "<b>spark</b>" in hit["snip"] or "<b>shuffle</b>" in hit["snip"]
+
+
+def test_api_empty_query(spark, corpus):
+    s = _searcher(spark, corpus)
+    serp = s.api("zzznotaterm", nhits=5)
+    assert serp["num_hits"] == 0 and serp["hits"] == []
+
+
+def test_warmup_runs_all(spark, corpus):
+    s = _searcher(spark, corpus)
+    out = s.warmup(["spark", "python merge"])
+    assert set(out) == {"spark", "python merge"}
+    assert all(v > 0 for v in out.values())
+
+
+# -- S2: corrupt rows are skipped, not fatal (index.rs:69-88 logs and
+#    skips bad JSON lines; Spark PERMISSIVE mode is the analog) -------
+
+def test_corrupt_ndjson_rows_skipped(spark, tmp_path):
+    p = str(tmp_path / "docs.json")
+    rows = [
+        '{"doc_id": 1, "text": "good one", "lang": "en"}',
+        '{"doc_id": BROKEN',
+        '{"doc_id": 2, "text": "also fine", "lang": "en"}',
+        'not json at all',
+    ]
+    with open(p, "w") as f:
+        f.write("\n".join(rows))
+    df = (
+        spark.read.schema("doc_id long, text string, lang string, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(p)
+        .cache()  # Spark requires materialization to query _corrupt alone
+    )
+    good = df.filter("_corrupt IS NULL").drop("_corrupt")
+    bad = df.filter("_corrupt IS NOT NULL")
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 2
+    # and the good rows index cleanly
+    idx = build_index(good, text_col="text")
+    assert idx.postings.count() > 0
