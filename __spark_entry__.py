@@ -339,6 +339,25 @@ def q_title_fallback_len(spark, sf_dir):
     )
 
 
+def q_bm25_topk_fielded_blocks(spark, sf_dir):
+    """Per-field committed artifacts (title record:basic) queried
+    through the fielded block engine — same oracle as the logical
+    fielded path."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_fielded_index
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "title", F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
+    )
+    path = tempfile.mkdtemp(prefix="prosearch_fblocks_")
+    arts = save_fielded_index(spark, docs, path,
+                              {"title": "title", "body": "text"})
+    return FieldedBlockSearchEngine(spark, arts).topk(Q_AND2, 10,
+                                                      round_to=ROUND)
+
+
 def q_bpe_token_count(spark, sf_dir):
     """BPE-style pre-token counting (training-data corpus costing)."""
     return _docs(spark, sf_dir).select(
@@ -402,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fielded": q_bm25_topk_fielded,
         "bm25_topk_blocks": q_bm25_topk_blocks,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_fielded_blocks": q_bm25_topk_fielded_blocks,
         "salted_posting_summary": q_salted_posting_summary,
         "url_ops": q_url_ops,
         "title_fallback_len": q_title_fallback_len,
@@ -458,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_fielded": osql.fielded_topk_sql(Q_AND2, 10, ROUND),
         "bm25_topk_blocks": osql.topk_sql(Q_AND2, 10, ROUND),
         "bm25_topk_wand": osql.topk_sql(Q_SINGLE, 10, ROUND),
+        "bm25_topk_fielded_blocks": osql.fielded_topk_sql(Q_AND2, 10, ROUND),
         "salted_posting_summary": f"""
             WITH {_TOKS}
             SELECT term, count(*)::BIGINT AS df,

@@ -152,6 +152,21 @@ class IndexArtifact:
             os.path.join(self.path, "deletes")
         )
 
+    def delete_by_url(self, urls: DataFrame, docs: DataFrame,
+                      url_expr: str = "concat(repo, '/', path)") -> None:
+        """B7 exact parity: delete by the url TERM (serve.rs:456-467,
+        delete_term on the raw-tokenized url field). The url is the
+        primary key ``repo || '/' || path`` (SURVEY.md §1.4); resolve
+        to doc_ids via broadcast join against the corpus and tombstone.
+        """
+        from pyspark.sql import functions as FF
+
+        resolved = docs.withColumn("_url", FF.expr(url_expr)).join(
+            F.broadcast(urls.select(F.col(urls.columns[0]).alias("_url"))),
+            "_url",
+        )
+        self.delete_docs(resolved.select("doc_id"))
+
     def merge(self, out_path: str) -> "IndexArtifact":
         """B6: full merge — physically apply tombstones, recompute
         stats, rewrite blocks compacted (merge.rs:18-31 + GC).
@@ -177,17 +192,57 @@ class IndexArtifact:
 def save_index(spark: SparkSession, docs: DataFrame, path: str,
                text_col: str = "text", id_col: str = "doc_id",
                analyzer: str = "white_lower", lang_col: str = "lang",
-               n_buckets: int = 16) -> IndexArtifact:
-    """Build + commit an index artifact from a document DataFrame."""
+               n_buckets: int = 16, record_basic: bool = False) -> IndexArtifact:
+    """Build + commit an index artifact from a document DataFrame.
+
+    ``record_basic=True`` stores tf=1 for every posting — the
+    reference's ``record:"basic"`` field option (meta.json:12, used by
+    ``title``): docids only, no term frequencies; ``dl`` keeps the
+    true token count (fieldnorms are still recorded).
+    """
     idx = build_index(docs, text_col=text_col, id_col=id_col,
                       analyzer=analyzer, lang_col=lang_col)
     st = idx.stats.collect()[0]
-    doc_stats = idx.postings.select("doc_id", "dl").distinct()
+    postings = idx.postings
+    if record_basic:
+        postings = postings.withColumn("tf", F.lit(1).cast("long"))
+    doc_stats = postings.select("doc_id", "dl").distinct()
     return _write_artifact(
-        spark, path, idx.postings, idx.term_stats, doc_stats,
+        spark, path, postings, idx.term_stats, doc_stats,
         n_docs=st["n_docs"], avgdl=st["avgdl"],
         n_buckets=n_buckets, analyzer=analyzer,
     )
+
+
+def save_fielded_index(spark: SparkSession, docs: DataFrame, path: str,
+                       field_cols: dict[str, str],
+                       basic_fields: frozenset[str] = frozenset({"title"}),
+                       id_col: str = "doc_id",
+                       analyzer: str = "white_lower", lang_col: str = "lang",
+                       n_buckets: int = 16) -> dict[str, IndexArtifact]:
+    """Per-field artifacts under ``<path>/field=<name>/`` — the
+    physical layout of the reference's two-field schema (each Tantivy
+    field has its own term dictionary / postings / fieldnorms;
+    meta.json:7-47). Returns {field: IndexArtifact}."""
+    out: dict[str, IndexArtifact] = {}
+    for field, col in field_cols.items():
+        out[field] = save_index(
+            spark, docs, os.path.join(path, f"field={field}"),
+            text_col=col, id_col=id_col, analyzer=analyzer,
+            lang_col=lang_col, n_buckets=n_buckets,
+            record_basic=(field in basic_fields),
+        )
+    return out
+
+
+def load_fielded_index(spark: SparkSession, path: str) -> dict[str, IndexArtifact]:
+    out = {}
+    for d in sorted(os.listdir(path)):
+        if d.startswith("field="):
+            out[d.split("=", 1)[1]] = IndexArtifact.load(
+                spark, os.path.join(path, d)
+            )
+    return out
 
 
 def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,

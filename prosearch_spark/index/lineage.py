@@ -37,6 +37,14 @@ from prosearch_spark.index.artifact import IndexArtifact, _write_artifact
 from prosearch_spark.index.build import term_frequencies
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 @dataclass
 class BuildMetrics:
     n_docs: int
@@ -44,6 +52,7 @@ class BuildMetrics:
     n_tokens: int
     bytes_in: int
     wall_sec: float
+    bytes_compressed: int = 0  # on-disk size of the committed index
 
     @property
     def files_per_sec(self) -> float:
@@ -187,12 +196,14 @@ class ResumableIndexBuild:
         )
         lineage = self.lineage()
         build_wall = sum(r["wall_sec"] for r in lineage) + (time.perf_counter() - t0)
+        bytes_out = _dir_bytes(os.path.join(self.path, "index"))
         metrics = BuildMetrics(
             n_docs=sum(r["n_docs"] for r in lineage),
             n_postings=sum(r["rows"] for r in lineage),
             n_tokens=0,
             bytes_in=sum(r["bytes_in"] for r in lineage),
             wall_sec=round(build_wall, 4),
+            bytes_compressed=bytes_out,
         )
         with open(os.path.join(self.path, "metrics.json"), "w") as f:
             json.dump({
@@ -200,6 +211,10 @@ class ResumableIndexBuild:
                 "n_docs": metrics.n_docs,
                 "n_postings": metrics.n_postings,
                 "bytes_in": metrics.bytes_in,
+                "bytes_compressed": metrics.bytes_compressed,
+                "compression_ratio": round(
+                    metrics.bytes_in / metrics.bytes_compressed, 3
+                ) if metrics.bytes_compressed else None,
                 "wall_sec": metrics.wall_sec,
                 "files_per_sec": round(metrics.files_per_sec, 2),
                 "postings_per_sec": round(metrics.postings_per_sec, 2),

@@ -85,6 +85,32 @@ class SearchEngine:
         """Q7: total hit count alongside/instead of top-k."""
         return self._docs_scored(q).agg(F.count("*").alias("hits"))
 
+    def topk_with_count(self, q: str, k: int = 10,
+                        round_to: int | None = None) -> tuple[DataFrame, int]:
+        """Q6+Q7 combined collector — the reference's
+        ``(TopDocs, Count)`` pair (bench.rs:63-77). The matched set is
+        computed once (cached) and serves both the heap top-k and the
+        total count."""
+        d = self._docs_scored(q)
+        if round_to is not None:
+            d = d.withColumn("score", F.round("score", round_to))
+        d = d.cache()
+        try:
+            total = d.count()
+            top = d.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            out = top.withColumn("rank", F.row_number().over(w)).select(
+                "rank", "doc_id", "score"
+            )
+            # materialize before unpersist so the caller's DataFrame
+            # doesn't recompute the whole match
+            rows = out.collect()
+            result = self.spark.createDataFrame(rows, out.schema) if rows \
+                else self.spark.createDataFrame([], out.schema)
+        finally:
+            d.unpersist()
+        return result, total
+
     def match_scan(self, q: str) -> DataFrame:
         """Q8: every matching doc, unranked (search.rs:62-78)."""
         return self._docs_scored(q).select("doc_id")

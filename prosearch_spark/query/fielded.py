@@ -83,3 +83,50 @@ class FieldedSearchEngine:
 
     def match_scan(self, q: str) -> DataFrame:
         return self._docs_scored(q).select("doc_id")
+
+
+def fielded_index_from_artifacts(artifacts: dict, q: str) -> InvertedIndex:
+    """Assemble the fielded logical index from per-field block
+    artifacts (save_fielded_index layout), term-pruned for query ``q``.
+
+    Per-field postings carry each field's own bucket/term/parquet
+    pruning; the union adds the ``field`` tag the fielded scorer
+    expects. Per-field df / N / avgdl come from each artifact's
+    manifest — exactly Tantivy's per-field segment stats.
+    """
+    terms = sorted({t for t, _ in analyze_query(q)})
+    postings = None
+    term_stats = None
+    stats = None
+    for field, art in sorted(artifacts.items()):
+        p = art.postings(terms).select(
+            F.lit(field).alias("field"), "term", "doc_id", "tf", "dl"
+        )
+        t = art.term_stats(terms).select(
+            F.lit(field).alias("field"), "term", "df"
+        )
+        s = art.stats().select(F.lit(field).alias("field"), "n_docs", "avgdl")
+        postings = p if postings is None else postings.unionByName(p)
+        term_stats = t if term_stats is None else term_stats.unionByName(t)
+        stats = s if stats is None else stats.unionByName(s)
+    return InvertedIndex(postings=postings, term_stats=term_stats, stats=stats)
+
+
+class FieldedBlockSearchEngine:
+    """Fielded queries over per-field committed artifacts."""
+
+    def __init__(self, spark: SparkSession, artifacts: dict,
+                 field_boosts: dict[str, float] | None = None):
+        self.spark = spark
+        self.artifacts = artifacts
+        self.field_boosts = field_boosts or DEFAULT_FIELD_BOOSTS
+
+    def _engine(self, q: str) -> FieldedSearchEngine:
+        idx = fielded_index_from_artifacts(self.artifacts, q)
+        return FieldedSearchEngine(self.spark, idx, self.field_boosts)
+
+    def topk(self, q: str, k: int = 10, round_to: int | None = None) -> DataFrame:
+        return self._engine(q).topk(q, k, round_to)
+
+    def count(self, q: str) -> DataFrame:
+        return self._engine(q).count(q)

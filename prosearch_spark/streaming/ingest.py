@@ -93,7 +93,13 @@ class StreamingIndexer:
 
     def attach(self, stream: DataFrame, checkpoint: str,
                trigger_available_now: bool = True):
-        """Wire a streaming DataFrame into the indexer."""
+        """Wire a streaming DataFrame into the indexer.
+
+        Throttling (the politeness-delay analog, Manager.java:76-82):
+        cap per-trigger intake on the SOURCE, e.g.
+        ``spark.readStream.option("maxFilesPerTrigger", 4).json(dir)``
+        — each trigger then commits a bounded generation.
+        """
         w = (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)

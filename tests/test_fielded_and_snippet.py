@@ -73,6 +73,26 @@ def test_fielded_count(fielded):
     assert got == exp
 
 
+def test_fielded_block_artifact_parity(spark, titled, fielded, tmp_path):
+    """Per-field committed artifacts must reproduce the logical fielded
+    engine exactly (record:basic title tf=1 applied at write time)."""
+    from prosearch_spark.index.artifact import (
+        load_fielded_index,
+        save_fielded_index,
+    )
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    eng, _ = fielded
+    save_fielded_index(spark, titled, str(tmp_path / "fidx"),
+                       {"title": "title", "body": "content"})
+    arts = load_fielded_index(spark, str(tmp_path / "fidx"))
+    blk = FieldedBlockSearchEngine(spark, arts)
+    for q in ["spark", "spark shuffle", "return the"]:
+        a = [(r["doc_id"], r["score"]) for r in eng.topk(q, 10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in blk.topk(q, 10).collect()]
+        assert a == b, q
+
+
 # -- snippets -------------------------------------------------------------------
 
 def test_snippet_highlights_terms():
