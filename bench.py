@@ -78,6 +78,25 @@ def main() -> None:
             eng.topk(q, 10).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
 
+    # -- physical artifact path: commit -> load -> pruned queries ------------
+    import tempfile
+
+    from prosearch_spark.index.artifact import IndexArtifact, save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art_path = tempfile.mkdtemp(prefix="prosearch_bench_idx_")
+    t0 = time.perf_counter()
+    save_index(spark, docs, art_path, text_col="text")
+    queries["artifact_commit"] = round(time.perf_counter() - t0, 4)
+
+    blk = BlockSearchEngine(spark, IndexArtifact.load(spark, art_path))
+    t0 = time.perf_counter()
+    blk.topk("join hash", 10).collect()
+    queries["q_blocks_and2"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    _, wand_stats = blk.topk_wand("spark", 10)
+    queries["q_wand_single"] = round(time.perf_counter() - t0, 4)
+
     # -- representative ops ---------------------------------------------------
     t0 = time.perf_counter()
     dd.exact_dup_groups(docs, content_col="text").count()
@@ -101,6 +120,8 @@ def main() -> None:
         "n_postings": n_postings,
         "files_per_sec": round(n_docs / t_build, 2) if t_build else None,
         "postings_per_sec": round(n_postings / t_build, 2) if t_build else None,
+        "wand_blocks_decoded": wand_stats.get("blocks_decoded"),
+        "wand_blocks_total": wand_stats.get("blocks_total"),
         "cpus": cpus,
     }
     print(json.dumps(out))
