@@ -171,6 +171,25 @@ def q_oldest_first_dequeue(spark, sf_dir):
     ).select("event_id", "event_type", "ts")
 
 
+def q_rollup_orders(spark, sf_dir):
+    """A2 rollup at 60k-row scale over the TPC-H-ish orders table."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy(F.desc("n_orders"), F.asc("o_orderstatus"))
+    )
+
+
+def q_dequeue_orders(spark, sf_dir):
+    """W2 oldest-first dequeue at scale: earliest order per customer."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return co.oldest_first_dequeue(
+        o, host_col="o_custkey", ts_col="o_orderdate", id_col="o_orderkey"
+    ).select("o_custkey", "o_orderkey", "o_orderdate")
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_dedup(_docs(spark, sf_dir), content_col="text").select(
         "doc_id"
@@ -440,6 +459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_hosts": q_distinct_hosts,
         "stats_zero_fill": q_stats_zero_fill,
         "oldest_first_dequeue": q_oldest_first_dequeue,
+        "rollup_orders": q_rollup_orders,
+        "dequeue_orders": q_dequeue_orders,
         # dedup ladder (P5/W6 + training-data ops)
         "dedup_exact": q_dedup_exact,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -614,6 +635,21 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY event_type
                                           ORDER BY ts ASC, event_id ASC) AS rn
                 FROM events
+            ) WHERE rn = 1
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY o_orderstatus
+            ORDER BY n_orders DESC, o_orderstatus ASC
+        """,
+        "dequeue_orders": """
+            SELECT o_custkey, o_orderkey, o_orderdate FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate ASC,
+                                                   o_orderkey ASC) AS rn
+                FROM orders
             ) WHERE rn = 1
         """,
         "dedup_exact": """

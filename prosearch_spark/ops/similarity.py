@@ -91,20 +91,31 @@ def lsh_signature_col(vec_col, planes: list[list[float]]):
 
 def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_planes: int = 8, seed: int = 42) -> DataFrame:
-    """ANN top-k: exact re-rank within the query's LSH bucket.
+             n_planes: int = 8, seed: int = 42,
+             probes: int = 1) -> DataFrame:
+    """ANN top-k: exact re-rank within the query's LSH bucket(s).
 
-    Recall < 1 by design; at scale the signature is a partition key and
-    the filter prunes partitions before any vector math.
+    ``probes > 1`` enables multi-probe: also search the buckets at
+    Hamming distance 1 from the query signature, in order of how close
+    the query sits to each hyperplane — the standard recall lever that
+    avoids building more tables. Recall < 1 by design; at scale the
+    signature is a partition key and the IN-filter prunes partitions
+    before any vector math.
     """
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
-    qsig = "".join(
-        "1" if sum(a * b for a, b in zip(query_vec, p)) > 0 else "0"
-        for p in planes
-    )
+    margins = [sum(a * b for a, b in zip(query_vec, p)) for p in planes]
+    qsig = "".join("1" if m > 0 else "0" for m in margins)
+    sigs = [qsig]
+    if probes > 1:
+        # flip bits whose hyperplane margin is smallest first
+        order = sorted(range(len(planes)), key=lambda i: abs(margins[i]))
+        for i in order[: probes - 1]:
+            flipped = list(qsig)
+            flipped[i] = "0" if qsig[i] == "1" else "1"
+            sigs.append("".join(flipped))
     bucketed = emb.withColumn("sig", lsh_signature_col(F.col(vec_col), planes))
-    cand = bucketed.filter(F.col("sig") == qsig)
+    cand = bucketed.filter(F.col("sig").isin(sigs))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 

@@ -61,6 +61,60 @@ def test_snippet_bounded_and_safe(text, terms):
     assert s.count("<b>") == s.count("</b>")
 
 
+@given(st.lists(
+    st.tuples(st.integers(0, 2**40), st.integers(1, 1000),
+              st.integers(1, 10**6)),
+    min_size=1, max_size=400,
+))
+def test_block_cut_covers_all_postings(rows):
+    """Block cutting (pure kernel): every posting appears exactly once
+    across blocks, sorted, with correct metadata."""
+    import pandas as pd
+
+    from prosearch_spark.index.blocks import _encode_partition, decode_varints
+
+    df = pd.DataFrame(
+        sorted({r[0]: r for r in rows}.values()),
+        columns=["doc_id", "tf", "dl"],
+    )
+    df.insert(0, "term", "t")
+    out = list(_encode_partition(iter([df])))
+    blocks = pd.concat(out) if out else pd.DataFrame()
+    got = []
+    for b in blocks.itertuples(index=False):
+        docs = decode_varints(b.docs)
+        d = b.first_doc
+        acc = []
+        for delta in docs:
+            d += delta
+            acc.append(d)
+        assert acc[0] == b.first_doc and acc[-1] == b.last_doc
+        assert len(acc) == b.n <= 128
+        tfs = decode_varints(b.tfs)
+        assert max(tfs) == b.max_tf
+        got.extend(zip(acc, tfs, decode_varints(b.dls)))
+    assert got == list(map(tuple, df[["doc_id", "tf", "dl"]].to_numpy()))
+
+
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=50),
+       st.integers(2, 5))
+def test_block_cut_batch_boundary_invariance(doc_ids, n_chunks):
+    """Cutting the same sorted run delivered in arbitrary Arrow batch
+    splits yields identical blocks (the cross-batch carry logic)."""
+    import pandas as pd
+
+    from prosearch_spark.index.blocks import _encode_partition
+
+    ids = sorted(set(doc_ids))
+    df = pd.DataFrame({"term": "t", "doc_id": ids,
+                       "tf": [1] * len(ids), "dl": [7] * len(ids)})
+    whole = pd.concat(list(_encode_partition(iter([df])))).reset_index(drop=True)
+    size = max(1, len(df) // n_chunks)
+    chunks = [df.iloc[i:i + size] for i in range(0, len(df), size)]
+    split = pd.concat(list(_encode_partition(iter(chunks)))).reset_index(drop=True)
+    assert whole.equals(split)
+
+
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
