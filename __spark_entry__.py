@@ -406,11 +406,25 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_minhash_near_pairs(spark, sf_dir):
-    # rows-only check (signature algebra not reasonably SQL-expressible)
+    """Full MinHash pipeline: shingle -> md5 signatures -> LSH bands ->
+    exact Jaccard verify. Oracle recomputes every stage in SQL."""
     return dd.minhash_dedup_pairs(
         _docs(spark, sf_dir), content_col="text", n=3,
         num_hashes=16, bands=4, threshold=0.5,
     )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """Exploded MinHash signature matrix (doc_id, pos, v)."""
+    sh = dd.shingles(_docs(spark, sf_dir), content_col="text", n=3)
+    sig = dd.minhash_signatures(sh, num_hashes=16)
+    return sig.select("doc_id", F.posexplode("sig").alias("pos", "v"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (the LSH ground truth)."""
+    return dd.exact_jaccard_pairs(_docs(spark, sf_dir), content_col="text",
+                                  n=3, threshold=0.5)
 
 
 def q_simhash(spark, sf_dir):
@@ -465,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_groups": q_dedup_exact_groups,
         "minhash_near_pairs": q_minhash_near_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         # similarity search
         "knn_cosine": q_knn_cosine,
@@ -684,8 +700,96 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
-        # minhash_near_pairs / simhash: intentionally omitted -> the
-        # driver records the weaker rows-only check (non-SQL-expressible
-        # signature algebra; verified against a Python twin in pytest).
+        "minhash_signatures": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT doc_id, i::INT AS pos,
+                   min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::UBIGINT::BIGINT) AS v
+            FROM sh, range(16) t(i)
+            GROUP BY doc_id, i
+        """,
+        "minhash_near_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            mh AS (
+                SELECT doc_id, i AS pos,
+                       min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::UBIGINT::BIGINT) AS v
+                FROM sh, range(16) t(i)
+                GROUP BY doc_id, i
+            ),
+            sig AS (SELECT doc_id, list(v ORDER BY pos) AS sig FROM mh GROUP BY doc_id),
+            banded AS (
+                SELECT doc_id, b AS band,
+                       array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+                FROM sig, range(4) t(b)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_id2
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            {_JACCARD_TAIL}
+        """,
+        "ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_id2
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ),
+            {_JACCARD_TAIL}
+        """,
+        "simhash": f"""
+            WITH {_TOKS},
+            h AS (
+                SELECT doc_id, tf,
+                       ('0x' || substr(md5(term), 1, 15))::UBIGINT::BIGINT AS h
+                FROM tf
+            ),
+            bits AS (
+                SELECT doc_id, j,
+                       sum(CASE WHEN (h >> j::INT) & 1 = 1 THEN tf ELSE -tf END) AS s
+                FROM h, range(32) t(j)
+                GROUP BY doc_id, j
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        # search_snippet: intentionally omitted -> rows-only (snippet
+        # windowing is a UDF; verified against its Python twin in pytest)
     }
     return sql
+
+
+# shingle CTE: k=3 token n-grams, distinct per doc, mirroring
+# ops/dedup.shingles (short docs yield one short gram, empties dropped)
+_SHINGLES_CTE = """
+d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tl
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(tl[i:i+2], ' ') AS shingle
+    FROM d, unnest(generate_series(1, greatest(len(tl) - 2, 1))) AS t(i)
+    WHERE array_to_string(tl[i:i+2], ' ') <> ''
+)
+"""
+
+# exact-Jaccard verification tail over a `cand(doc_id, doc_id2)` CTE
+_JACCARD_TAIL = """
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT c.doc_id, c.doc_id2, count(*) AS inter
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.doc_id
+                JOIN sh y ON y.doc_id = c.doc_id2 AND y.shingle = x.shingle
+                GROUP BY c.doc_id, c.doc_id2
+            )
+            SELECT i.doc_id, i.doc_id2,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter i
+            JOIN sz sa ON i.doc_id = sa.doc_id
+            JOIN sz sb ON i.doc_id2 = sb.doc_id
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+"""

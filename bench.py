@@ -70,13 +70,16 @@ def main() -> None:
         "q_hot": "the a",
         "q_count": None,  # count collector
     }
-    for name, q in qset.items():
-        t0 = time.perf_counter()
-        if name == "q_count":
-            eng.count("join hash").collect()
-        else:
-            eng.topk(q, 10).collect()
-        queries[name] = round(time.perf_counter() - t0, 4)
+    from prosearch_spark.session import query_mode
+
+    with query_mode(spark):
+        for name, q in qset.items():
+            t0 = time.perf_counter()
+            if name == "q_count":
+                eng.count("join hash").collect()
+            else:
+                eng.topk(q, 10).collect()
+            queries[name] = round(time.perf_counter() - t0, 4)
 
     # -- physical artifact path: commit -> load -> pruned queries ------------
     import tempfile

@@ -168,6 +168,23 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame,
     )
 
 
+def exact_jaccard_pairs(docs: DataFrame, content_col: str = "content",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over every co-shingle pair (no LSH) —
+    the ground truth the LSH pipeline approximates; used as its
+    recall oracle and as the gate-scale dedup entry."""
+    sh = shingles(docs, content_col, id_col, n)
+    a = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("shb"))
+    pairs = (
+        a.join(b, (F.col("sha") == F.col("shb")) & (F.col("da") < F.col("db")))
+        .select(F.col("da").alias("doc_id"), F.col("db").alias("doc_id2"))
+        .distinct()
+    )
+    return jaccard_verify(sh, pairs, threshold)
+
+
 def minhash_dedup_pairs(docs: DataFrame, content_col: str = "content",
                         id_col: str = "doc_id", n: int = 3,
                         num_hashes: int = 32, bands: int = 8,

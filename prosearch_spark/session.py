@@ -10,7 +10,32 @@ from __future__ import annotations
 
 import os
 
+from contextlib import contextmanager
+
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def query_mode(spark: SparkSession, shuffle_partitions: int | None = None):
+    """Low-latency settings for short interactive queries.
+
+    AQE's runtime re-planning adds per-query stages worth ~0.25 s each
+    on sub-second queries (measured at sf0.1: 0.79 -> 0.53 s/query
+    with AQE off). Index BUILDS should keep AQE on (skew-join
+    splitting, partition coalescing); point queries should not pay for
+    it. Restores previous settings on exit.
+    """
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(shuffle_partitions))
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def get_spark(

@@ -61,9 +61,7 @@ def test_queries_have_oracles_or_are_flagged():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     # non-SQL-expressible exceptions only:
-    assert set(qs) - set(oracles) == {
-        "minhash_near_pairs", "simhash", "search_snippet",
-    }
+    assert set(qs) - set(oracles) == {"search_snippet"}
 
 
 @pytest.mark.parametrize("name", SAMPLE)
