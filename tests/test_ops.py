@@ -62,6 +62,25 @@ def test_minhash_signature_matches_python_twin(spark):
         assert sig[i] == exp, i
 
 
+def test_minhash_recall_vs_exact_jaccard(spark, corpus):
+    """LSH pipeline vs exact ground truth on the synthetic corpus:
+    every identical pair (jaccard == 1.0 -> identical signatures ->
+    identical band buckets) MUST be found; no false positives survive
+    the verify stage."""
+    exact = {
+        (r["doc_id"], r["doc_id2"]): r["jaccard"]
+        for r in dd.exact_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_id"], r["doc_id2"]): r["jaccard"]
+        for r in dd.minhash_dedup_pairs(corpus, num_hashes=16, bands=4,
+                                        threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)  # verify stage kills false positives
+    sure = {k for k, j in exact.items() if j == 1.0}
+    assert sure <= set(lsh)  # exact dups always collide
+
+
 def test_simhash_identical_and_near(dup_docs):
     simdf = dd.simhash(dup_docs, bits=32)
     vals = {r["doc_id"]: r["simhash"] for r in simdf.collect()}
