@@ -100,6 +100,12 @@ def main() -> None:
     _, wand_stats = blk.topk_wand("spark", 10)
     queries["q_wand_single"] = round(time.perf_counter() - t0, 4)
 
+    # -- doc-store fetch for the top-10 (bench.rs:79-101 analog) --------------
+    hits = eng.topk("join hash", 10)
+    t0 = time.perf_counter()
+    eng.fetch(hits, docs.select("doc_id", "lang", "source", "n_chars")).collect()
+    queries["store_fetch_top10"] = round(time.perf_counter() - t0, 4)
+
     # -- representative ops ---------------------------------------------------
     t0 = time.perf_counter()
     dd.exact_dup_groups(docs, content_col="text").count()

@@ -168,23 +168,38 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             yield pd.DataFrame(rows)
 
 
+def _decode_np(buf: bytes) -> "np.ndarray":
+    """Vectorized varint decode: all-single-byte buffers (the common
+    case) are one ``frombuffer``; mixed buffers fall back."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if not (b & 0x80).any():
+        return b.astype(np.int64)
+    return np.asarray(decode_varints(buf), dtype=np.int64)
+
+
 def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for batch in batches:
-        out: dict[str, list] = {"term": [], "doc_id": [], "tf": [], "dl": []}
+        terms: list = []
+        docs: list = []
+        tfs: list = []
+        dls: list = []
         for r in batch.itertuples(index=False):
-            deltas = decode_varints(r.docs)
-            doc = r.first_doc
-            docs = []
-            for d in deltas:
-                doc += d
-                docs.append(doc)
-            tfs = decode_varints(r.tfs)
-            dls = decode_varints(r.dls)
-            out["term"].extend([r.term] * r.n)
-            out["doc_id"].extend(docs)
-            out["tf"].extend(tfs)
-            out["dl"].extend(dls)
-        yield pd.DataFrame(out)
+            deltas = _decode_np(r.docs)
+            # first stored delta is 0, so cumsum + first_doc restores
+            # absolute ids in one vector op
+            docs.append(deltas.cumsum() + r.first_doc)
+            tfs.append(_decode_np(r.tfs))
+            dls.append(_decode_np(r.dls))
+            terms.append(np.repeat(np.array([r.term], dtype=object), r.n))
+        if not terms:
+            yield pd.DataFrame({"term": [], "doc_id": [], "tf": [], "dl": []})
+            continue
+        yield pd.DataFrame({
+            "term": np.concatenate(terms),
+            "doc_id": np.concatenate(docs),
+            "tf": np.concatenate(tfs),
+            "dl": np.concatenate(dls),
+        })
 
 
 # -- public API ----------------------------------------------------------------
