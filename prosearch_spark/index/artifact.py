@@ -50,17 +50,30 @@ def term_bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
-def term_bucket_py(term: str, n_buckets: int, spark: SparkSession) -> int:
-    """Driver-side bucket of one term (for partition-pruning filters).
+_BUCKET_MEMO: dict[tuple[str, int], int] = {}
 
-    Computed by the SAME JVM expression to guarantee agreement with the
-    write path (xxhash64 seed/semantics live in Spark, not Python).
-    Cheap: one local expression eval, no job.
+
+def term_buckets_py(terms: list[str], n_buckets: int,
+                    spark: SparkSession) -> dict[str, int]:
+    """Driver-side buckets for a set of terms, in ONE local job.
+
+    Computed by the SAME JVM expression as the write path (xxhash64
+    semantics live in Spark, not Python) and memoized — a query must
+    not pay one scheduler round-trip per term.
     """
-    row = spark.range(1).select(
-        term_bucket(F.lit(term), n_buckets).alias("b")
-    ).head()
-    return int(row["b"])
+    missing = [t for t in terms if (t, n_buckets) not in _BUCKET_MEMO]
+    if missing:
+        rows = spark.createDataFrame(
+            [(t,) for t in missing], "term string"
+        ).select("term", term_bucket(F.col("term"), n_buckets).alias("b")
+                 ).collect()
+        for r in rows:
+            _BUCKET_MEMO[(r["term"], n_buckets)] = int(r["b"])
+    return {t: _BUCKET_MEMO[(t, n_buckets)] for t in terms}
+
+
+def term_bucket_py(term: str, n_buckets: int, spark: SparkSession) -> int:
+    return term_buckets_py([term], n_buckets, spark)[term]
 
 
 @dataclass
@@ -87,9 +100,10 @@ class IndexArtifact:
         """Block rows, bucket-pruned + term-filtered when terms given."""
         df = self.spark.read.parquet(os.path.join(self.path, "blocks"))
         if terms is not None:
-            buckets = sorted({
-                term_bucket_py(t, self.n_buckets, self.spark) for t in terms
-            })
+            buckets = sorted(set(
+                term_buckets_py(sorted(set(terms)), self.n_buckets,
+                                self.spark).values()
+            ))
             df = df.filter(F.col("tb").isin(buckets) &
                            F.col("term").isin(sorted(set(terms))))
         return df
@@ -105,9 +119,10 @@ class IndexArtifact:
     def term_stats(self, terms: list[str] | None = None) -> DataFrame:
         df = self.spark.read.parquet(os.path.join(self.path, "term_stats"))
         if terms is not None:
-            buckets = sorted({
-                term_bucket_py(t, self.n_buckets, self.spark) for t in terms
-            })
+            buckets = sorted(set(
+                term_buckets_py(sorted(set(terms)), self.n_buckets,
+                                self.spark).values()
+            ))
             df = df.filter(F.col("tb").isin(buckets) &
                            F.col("term").isin(sorted(set(terms))))
         return df.select("term", "df")
@@ -176,17 +191,24 @@ class IndexArtifact:
         snapshot-commit analog)."""
         if os.path.abspath(out_path) == os.path.abspath(self.path):
             raise ValueError("merge requires a new generation path")
-        alive = self.postings(None)  # tombstones applied
-        term_stats = alive.groupBy("term").agg(F.count("*").alias("df"))
-        doc_stats = alive.select("doc_id", "dl").distinct()
-        n_docs = doc_stats.count()
-        total = doc_stats.agg(F.sum("dl")).collect()[0][0] or 0
-        avgdl = total / n_docs if n_docs else 0.0
-        return _write_artifact(
-            self.spark, out_path, alive, term_stats, doc_stats,
-            n_docs=n_docs, avgdl=avgdl,
-            n_buckets=self.n_buckets, analyzer=self.manifest["analyzer"],
-        )
+        # persist: stats aggregations + encode_blocks' range sampling
+        # would otherwise re-decode the whole index ~5x
+        alive = self.postings(None).persist()  # tombstones applied
+        try:
+            term_stats = alive.groupBy("term").agg(F.count("*").alias("df"))
+            doc_stats = alive.select("doc_id", "dl").distinct()
+            agg = doc_stats.agg(
+                F.count("*").alias("n"), F.sum("dl").alias("total")
+            ).collect()[0]
+            n_docs = int(agg["n"] or 0)
+            avgdl = (agg["total"] or 0) / n_docs if n_docs else 0.0
+            return _write_artifact(
+                self.spark, out_path, alive, term_stats, doc_stats,
+                n_docs=n_docs, avgdl=avgdl,
+                n_buckets=self.n_buckets, analyzer=self.manifest["analyzer"],
+            )
+        finally:
+            alive.unpersist()
 
 
 def save_index(spark: SparkSession, docs: DataFrame, path: str,
@@ -309,26 +331,42 @@ def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
                 lang_col: str = "lang") -> IndexArtifact:
     """B8 (TantivyCommitter.java:42-91): delete-then-reindex upsert.
 
-    Tombstones the incoming doc_ids, merges the old index (applying
-    tombstones), indexes the new docs, and concatenates postings into
-    a fresh commit with recomputed collection stats. ``out_path`` must
-    be a new generation directory (see merge()).
+    Excludes the incoming doc_ids from the old postings in-plan,
+    indexes the new docs, and concatenates into a fresh commit with
+    recomputed collection stats. The previous generation is NEVER
+    mutated — if this crashes before the new manifest publishes,
+    readers keep the old commit whole. ``out_path`` must be a new
+    generation directory (see merge()).
     """
     if os.path.abspath(out_path) == os.path.abspath(artifact.path):
         raise ValueError("upsert requires a new generation path")
-    artifact.delete_docs(new_docs.select(F.col(id_col).alias("doc_id")))
-    old = artifact.postings(None)
+    # exclude the upserted doc_ids IN-PLAN (broadcast anti-join), never
+    # by writing tombstones into the previous generation: the old
+    # commit must stay fully intact until the new manifest publishes
+    # (atomic-publish guarantee; a crash here must not lose docs).
+    upsert_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    old = artifact.postings(None).join(
+        F.broadcast(upsert_ids), "doc_id", "left_anti"
+    )
     new_idx = build_index(new_docs, text_col=text_col, id_col=id_col,
                           analyzer=artifact.manifest["analyzer"],
                           lang_col=lang_col)
-    merged = old.unionByName(new_idx.postings.select("term", "doc_id", "tf", "dl"))
-    term_stats = merged.groupBy("term").agg(F.count("*").alias("df"))
-    doc_stats = merged.select("doc_id", "dl").distinct()
-    n_docs = doc_stats.count()
-    total = doc_stats.agg(F.sum("dl")).collect()[0][0] or 0
-    avgdl = total / n_docs if n_docs else 0.0
-    return _write_artifact(
-        spark, out_path, merged, term_stats, doc_stats,
-        n_docs=n_docs, avgdl=avgdl,
-        n_buckets=artifact.n_buckets, analyzer=artifact.manifest["analyzer"],
-    )
+    merged = old.unionByName(
+        new_idx.postings.select("term", "doc_id", "tf", "dl")
+    ).persist()  # multiple aggregations + encode sampling below
+    try:
+        term_stats = merged.groupBy("term").agg(F.count("*").alias("df"))
+        doc_stats = merged.select("doc_id", "dl").distinct()
+        agg = doc_stats.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("total")
+        ).collect()[0]
+        n_docs = int(agg["n"] or 0)
+        avgdl = (agg["total"] or 0) / n_docs if n_docs else 0.0
+        return _write_artifact(
+            spark, out_path, merged, term_stats, doc_stats,
+            n_docs=n_docs, avgdl=avgdl,
+            n_buckets=artifact.n_buckets,
+            analyzer=artifact.manifest["analyzer"],
+        )
+    finally:
+        merged.unpersist()

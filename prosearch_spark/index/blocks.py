@@ -80,7 +80,11 @@ def encode_varints(values) -> bytes:
     a = np.asarray(values, dtype=np.int64)
     if a.size == 0:
         return b""
-    if a.max() < 128 and a.min() >= 0:
+    if a.min() < 0:
+        # unsigned LEB128 only: a negative value (e.g. deltas from
+        # UNSORTED doc_ids) would loop forever in the generic path
+        raise ValueError("encode_varints requires non-negative values")
+    if a.max() < 128:
         return a.astype(np.uint8).tobytes()
     out = bytearray()
     for v in a.tolist():

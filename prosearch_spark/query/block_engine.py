@@ -112,7 +112,9 @@ class BlockSearchEngine:
 
         clauses = analyze_query(q)
         terms = sorted({t for t, _ in clauses})
-        if len(terms) != 1:
+        if len(clauses) != 1:
+            # multi-clause (including duplicated-term) queries sum per
+            # clause — route through the general engine
             return self.topk(q, k, round_to), {}
         boost = clauses[0][1]
 
@@ -172,8 +174,15 @@ class BlockSearchEngine:
             # fewer than k postings exist in total -> no pruning possible
             survivors = meta
         else:
-            # ub is boost-free; compare against the boost-free kth score
-            survivors = meta.filter(F.col("ub") >= F.lit(kth["sk"] / boost))
+            # ub is boost-free; compare against the boost-free kth
+            # score. When the caller ranks on ROUNDED scores, a doc in
+            # a pruned block could round into a tie with the kth score
+            # and win on doc_id — widen the threshold by the rounding
+            # half-step to stay sound under round-before-rank.
+            eps = 0.5 * 10 ** (-round_to) if round_to is not None else 0.0
+            survivors = meta.filter(
+                F.col("ub") >= F.lit((kth["sk"] - eps) / boost)
+            )
         n_decoded = survivors.count()
 
         postings = decode_blocks(survivors.select(

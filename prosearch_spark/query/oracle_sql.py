@@ -51,7 +51,7 @@ stats AS (
 def postings_sql(limit_terms: list[str] | None = None) -> str:
     where = ""
     if limit_terms:
-        inlist = ", ".join(f"'{t}'" for t in sorted(limit_terms))
+        inlist = ", ".join(_sql_str(t) for t in sorted(limit_terms))
         where = f"WHERE term IN ({inlist})"
     return f"WITH {INDEX_CTES} SELECT term, doc_id, tf, dl FROM postings {where}"
 
@@ -72,9 +72,15 @@ def corpus_stats_sql() -> str:
     return f"WITH {INDEX_CTES} SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats"
 
 
+def _sql_str(t: str) -> str:
+    """SQL string literal (single quotes doubled — queries may contain
+    apostrophes; DuckDB standard strings don't process backslashes)."""
+    return "'" + t.replace("'", "''") + "'"
+
+
 def _query_clause_cte(q: str) -> tuple[str, int]:
     clauses = analyze_query(q)
-    vals = ", ".join(f"('{t}', {b!r}::DOUBLE)" for t, b in clauses)
+    vals = ", ".join(f"({_sql_str(t)}, {b!r}::DOUBLE)" for t, b in clauses)
     cte = f"qterms(term, boost) AS (SELECT * FROM (VALUES {vals}))"
     return cte, len(clauses)
 
@@ -247,7 +253,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 def _query_clause_cte_fielded(q: str) -> tuple[str, int]:
     clauses = analyze_query(q)
     vals = ", ".join(
-        f"({i}, '{t}', {b!r}::DOUBLE)" for i, (t, b) in enumerate(clauses)
+        f"({i}, {_sql_str(t)}, {b!r}::DOUBLE)"
+        for i, (t, b) in enumerate(clauses)
     )
     return (
         f"qterms(clause_id, term, boost) AS (SELECT * FROM (VALUES {vals}))",

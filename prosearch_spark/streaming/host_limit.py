@@ -30,20 +30,20 @@ def _admit(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (count,) = state.get if state.exists else (0,)
-    out = []
-    limit = None
-    for pdf in pdfs:
-        if limit is None and len(pdf):
-            limit = int(pdf["_limit"].iloc[0])
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        room = max(0, (limit or 0) - count)
-        take = pdf.head(room)
-        count += len(take)
-        if len(take):
-            out.append(take.drop(columns=["_limit"]))
-    state.update((count,))
-    if out:
-        yield pd.concat(out)
+    # buffer the whole group's chunks BEFORE sorting: admission must be
+    # deterministic by doc_id across the entire micro-batch, not per
+    # Arrow chunk (chunk boundaries depend on upstream partitioning)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        state.update((count,))
+        return
+    all_rows = pd.concat(chunks).sort_values("doc_id", kind="mergesort")
+    limit = int(all_rows["_limit"].iloc[0])
+    room = max(0, limit - count)
+    take = all_rows.head(room)
+    state.update((count + len(take),))
+    if len(take):
+        yield take.drop(columns=["_limit"])
 
 
 def admitted_stream(stream, host_col: str, limit: int,

@@ -71,6 +71,33 @@ def test_wand_with_deletes_stays_exact(spark, big_artifact, tmp_path):
     assert got_ids == exp_ids
 
 
+def test_wand_duplicated_term_falls_back(spark, big_artifact):
+    """'spark spark' is TWO clauses of one term: each clause scores, so
+    WAND's single-clause path must NOT run (regression: the guard used
+    the deduped term set and halved the scores)."""
+    docs, art = big_artifact
+    blk = BlockSearchEngine(spark, art)
+    flat = SearchEngine(spark, build_index(docs, text_col="content"))
+    got, stats = blk.topk_wand("spark spark", 5)
+    assert stats == {}
+    exp = flat.topk("spark spark", 5).collect()
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(r["doc_id"], r["score"]) for r in exp]
+
+
+def test_oracle_sql_handles_apostrophes():
+    """Query tokens containing quotes must produce valid oracle SQL."""
+    import duckdb
+
+    from prosearch_spark.query.oracle_sql import topk_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    out = con.execute(topk_sql("don't o'reilly", 5)).df()
+    assert len(out) == 0  # no matches, but no syntax error
+
+
 def test_wand_multi_term_falls_back(spark, big_artifact):
     docs, art = big_artifact
     blk = BlockSearchEngine(spark, art)
