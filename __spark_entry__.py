@@ -377,6 +377,31 @@ def q_bm25_topk_fielded_blocks(spark, sf_dir):
                                                       round_to=ROUND)
 
 
+def _phrase(spark, sf_dir, phrase):
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.index.positions import (
+        phrase_topk,
+        positional_postings,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pp = positional_postings(docs, text_col="text")
+    stats = build_index(docs, text_col="text").stats
+    return phrase_topk(spark, pp, stats, phrase, 10, round_to=ROUND)
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Exact-phrase BM25 (positional postings; record:position parity,
+    meta.json:21-33)."""
+    return _phrase(spark, sf_dir, "join hash")
+
+
+def q_phrase_topk_repeat(spark, sf_dir):
+    """Duplicate-term phrase ('table table') — consecutive-occurrence
+    position algebra."""
+    return _phrase(spark, sf_dir, "table table")
+
+
 def q_bpe_token_count(spark, sf_dir):
     """BPE-style pre-token counting (training-data corpus costing)."""
     return _docs(spark, sf_dir).select(
@@ -462,6 +487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "search_fetch": q_search_fetch,
         "search_snippet": q_search_snippet,
+        "phrase_topk": q_phrase_topk,
+        "phrase_topk_repeat": q_phrase_topk_repeat,
         # scalar text transforms (T1-T12, SURVEY §2.3)
         "content_sha256": q_content_sha256,
         "whitespace_collapse": q_whitespace_collapse,
@@ -566,6 +593,8 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),
+        "phrase_topk": osql.phrase_topk_sql("join hash", 10, ROUND),
+        "phrase_topk_repeat": osql.phrase_topk_sql("table table", 10, ROUND),
         "content_sha256": (
             "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
         ),

@@ -1,0 +1,109 @@
+"""Positional postings + phrase matching.
+
+The reference indexes ``body`` with ``record:"position"`` — postings
+carry docids + term freqs + token positions (meta.json:21-33;
+inspect.rs:71-76 reports the positions store). Its own query front-end
+never issues multi-term phrases (each token is quoted alone,
+serve.rs:270-299), but the index supports them; a complete rebuild
+should too.
+
+Layout: ``(term, doc_id, tf, dl, positions array<int>)`` — positions
+are 0-based token offsets, sorted. Phrase matching is pure relational
+algebra: for terms t1..tn, a doc matches iff
+``intersect_i (positions(t_i) - (i-1))`` is non-empty; the size of
+that intersection is the PHRASE FREQUENCY, which scores as the tf of
+a synthetic term (Lucene's PhraseQuery semantics: df of the phrase is
+the number of docs containing it).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prosearch_spark.analyzer import analyze_query
+from prosearch_spark.query.bm25 import SCORE_EXPR
+
+
+def positional_postings(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(term, doc_id, tf, dl, positions) with the white_lower analyzer.
+
+    Positions index the NON-EMPTY token sequence (0-based), matching
+    white_lower_py enumeration.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda t: t != F.lit("")),
+        ).alias("pos", "term"),
+    )
+    per_term = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"),
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+    )
+    return per_term.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    ).select("term", "doc_id", "tf", "dl", "positions")
+
+
+def phrase_matches(postings: DataFrame, phrase_terms: list[str]) -> DataFrame:
+    """(doc_id, dl, phrase_freq) for docs containing the exact phrase.
+
+    n-way broadcast-friendly join on doc_id; the position algebra is
+    array_intersect over shifted position arrays (all JVM built-ins).
+    Duplicate terms in the phrase are handled naturally (each slot
+    joins the same posting row, shifted differently).
+    """
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    def shifted(by: int):
+        # NB: single-parameter lambda — a second parameter would be
+        # bound to the element index by F.transform
+        return F.transform("positions", lambda p: p - F.lit(by))
+
+    sides = []
+    for i, t in enumerate(phrase_terms):
+        side = postings.filter(F.col("term") == t).select(
+            "doc_id",
+            *(["dl"] if i == 0 else []),
+            shifted(i).alias(f"p{i}"),
+        )
+        sides.append(side)
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), sides)
+    inter = reduce(
+        lambda acc, i: F.array_intersect(acc, F.col(f"p{i}")),
+        range(1, len(phrase_terms)),
+        F.col("p0"),
+    )
+    return (
+        joined.withColumn("phrase_freq", F.size(inter))
+        .filter(F.col("phrase_freq") > 0)
+        .select("doc_id", "dl", F.col("phrase_freq").cast("long").alias("tf"))
+    )
+
+
+def phrase_topk(spark: SparkSession, postings: DataFrame,
+                n_docs_avgdl: DataFrame, phrase: str, k: int = 10,
+                round_to: int | None = None) -> DataFrame:
+    """BM25 top-k for an exact phrase: tf = phrase frequency, df = the
+    phrase's document frequency (Lucene PhraseQuery scoring shape)."""
+    terms = [t for t, _ in analyze_query(phrase)]
+    m = phrase_matches(postings, terms)
+    df_frame = m.agg(F.count("*").alias("df"))
+    scored = (
+        m.crossJoin(F.broadcast(df_frame))
+        .crossJoin(F.broadcast(n_docs_avgdl))
+        .withColumn("boost", F.lit(1.0))
+        .withColumn("score", F.expr(SCORE_EXPR))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )

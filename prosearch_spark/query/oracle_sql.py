@@ -262,6 +262,69 @@ def _query_clause_cte_fielded(q: str) -> tuple[str, int]:
     )
 
 
+def phrase_topk_sql(phrase: str, k: int = 10, round_to: int = 6) -> str:
+    """Exact-phrase BM25 top-k oracle: token positions from scratch,
+    n-way shifted list_intersect, tf = phrase frequency, df = phrase
+    document frequency (mirrors index/positions.py)."""
+    terms = [t for t, _ in analyze_query(phrase)]
+    assert terms
+    joins = "\n".join(
+        f"    JOIN pos a{i} ON a{i}.doc_id = a0.doc_id"
+        f" AND a{i}.term = {_sql_str(t)}"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    inter = "a0.positions"
+    for i in range(1, len(terms)):
+        inter = (
+            f"list_intersect({inter}, "
+            f"list_transform(a{i}.positions, x -> x - {i}))"
+        )
+    phrase_map = {
+        "boost": "1.0",
+        "n_docs": "stats.n_docs",
+        "avgdl": "stats.avgdl",
+        "df": "pdf.df",
+        "tf": "matched.pf",
+        "dl": "dlen.dl",
+    }
+    score = _QUALIFY_RE.sub(lambda mt: phrase_map[mt.group(1)], SCORE_EXPR)
+    return f"""
+WITH {INDEX_CTES},
+dlen AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+d2 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tl
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, term, list(i - 1 ORDER BY i) AS positions
+    FROM (
+        SELECT doc_id, i, tl[i] AS term
+        FROM d2, unnest(generate_series(1, len(tl))) u(i)
+    )
+    WHERE term <> '' GROUP BY doc_id, term
+),
+m AS (
+    SELECT a0.doc_id, len({inter})::BIGINT AS pf
+    FROM pos a0
+{joins}
+    WHERE a0.term = {_sql_str(terms[0])}
+),
+matched AS (SELECT doc_id, pf FROM m WHERE pf > 0),
+pdf AS (SELECT count(*)::BIGINT AS df FROM matched),
+scored AS (
+    SELECT matched.doc_id, {score} AS score
+    FROM matched
+    JOIN dlen ON dlen.doc_id = matched.doc_id
+    CROSS JOIN pdf CROSS JOIN stats
+),
+rounded AS (SELECT doc_id, round(score, {round_to}) AS score FROM scored)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+       doc_id, score
+FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def histogram_sql(q: str, value_col: str, interval: float) -> str:
     cte, _ = _scored_docs_cte_qualified(q)
     return (

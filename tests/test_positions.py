@@ -1,0 +1,80 @@
+"""Positional postings + phrase matching (record:position parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from prosearch_spark.index.build import build_index
+from prosearch_spark.index.positions import (
+    phrase_matches,
+    phrase_topk,
+    positional_postings,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (0, "alpha beta gamma alpha beta"),
+        (1, "beta alpha beta gamma"),
+        (2, "gamma gamma gamma"),
+        (3, "alpha alpha beta"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_positions_recorded(spark, tiny):
+    pp = positional_postings(tiny, text_col="text")
+    rows = {(r["term"], r["doc_id"]): r for r in pp.collect()}
+    assert rows[("alpha", 0)]["positions"] == [0, 3]
+    assert rows[("beta", 0)]["positions"] == [1, 4]
+    assert rows[("gamma", 2)]["positions"] == [0, 1, 2]
+    assert rows[("alpha", 0)]["tf"] == 2
+    assert rows[("alpha", 0)]["dl"] == 5
+
+
+@pytest.mark.parametrize("phrase,expected", [
+    ("alpha beta", {0: 2, 1: 1, 3: 1}),
+    ("beta gamma", {0: 1, 1: 1}),
+    ("gamma gamma", {2: 2}),          # duplicate-term phrase
+    ("alpha alpha beta", {3: 1}),     # 3-term with repeat
+    ("beta alpha beta", {1: 1}),
+    ("beta beta", {}),       # never consecutive anywhere
+    ("gamma alpha", {0: 1}),  # spans 'gamma alpha' in doc 0
+])
+def test_phrase_freq(spark, tiny, phrase, expected):
+    pp = positional_postings(tiny, text_col="text")
+    got = {r["doc_id"]: r["tf"]
+           for r in phrase_matches(pp, phrase.split()).collect()}
+    assert got == expected
+
+
+def test_phrase_topk_ordering(spark, tiny):
+    pp = positional_postings(tiny, text_col="text")
+    stats = build_index(tiny, text_col="text").stats
+    res = phrase_topk(spark, pp, stats, "alpha beta", 10).collect()
+    # doc 0 has phrase_freq 2 -> highest score
+    assert res[0]["doc_id"] == 0
+    assert {r["doc_id"] for r in res} == {0, 1, 3}
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_phrase_brute_force_parity(spark, corpus):
+    """Phrase frequency == naive string-window count on the synthetic
+    corpus (independent Python check)."""
+    from prosearch_spark.analyzer import white_lower_py
+
+    pp = positional_postings(corpus, text_col="content")
+    got = {r["doc_id"]: r["tf"]
+           for r in phrase_matches(pp, ["return", "the"]).collect()}
+    exp = {}
+    for row in corpus.select("doc_id", "content").collect():
+        toks = white_lower_py(row["content"])
+        n = sum(
+            1 for i in range(len(toks) - 1)
+            if toks[i] == "return" and toks[i + 1] == "the"
+        )
+        if n:
+            exp[row["doc_id"]] = n
+    assert got == exp
