@@ -402,6 +402,22 @@ def q_phrase_topk_repeat(spark, sf_dir):
     return _phrase(spark, sf_dir, "table table")
 
 
+def q_phrase_topk_blocks(spark, sf_dir):
+    """Phrase query over a positional BLOCK artifact (record:position
+    physical layout; same oracle as the logical phrase path)."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="prosearch_pos_")
+    art = save_index(spark, docs, path, text_col="text",
+                     with_positions=True)
+    return BlockSearchEngine(spark, art).phrase_topk("join hash", 10,
+                                                     round_to=ROUND)
+
+
 def q_bpe_token_count(spark, sf_dir):
     """BPE-style pre-token counting (training-data corpus costing)."""
     return _docs(spark, sf_dir).select(
@@ -489,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippet": q_search_snippet,
         "phrase_topk": q_phrase_topk,
         "phrase_topk_repeat": q_phrase_topk_repeat,
+        "phrase_topk_blocks": q_phrase_topk_blocks,
         # scalar text transforms (T1-T12, SURVEY §2.3)
         "content_sha256": q_content_sha256,
         "whitespace_collapse": q_whitespace_collapse,
@@ -595,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),
         "phrase_topk": osql.phrase_topk_sql("join hash", 10, ROUND),
         "phrase_topk_repeat": osql.phrase_topk_sql("table table", 10, ROUND),
+        "phrase_topk_blocks": osql.phrase_topk_sql("join hash", 10, ROUND),
         "content_sha256": (
             "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
         ),

@@ -214,17 +214,30 @@ class IndexArtifact:
 def save_index(spark: SparkSession, docs: DataFrame, path: str,
                text_col: str = "text", id_col: str = "doc_id",
                analyzer: str = "white_lower", lang_col: str = "lang",
-               n_buckets: int = 16, record_basic: bool = False) -> IndexArtifact:
+               n_buckets: int = 16, record_basic: bool = False,
+               with_positions: bool = False) -> IndexArtifact:
     """Build + commit an index artifact from a document DataFrame.
 
     ``record_basic=True`` stores tf=1 for every posting — the
     reference's ``record:"basic"`` field option (meta.json:12, used by
     ``title``): docids only, no term frequencies; ``dl`` keeps the
     true token count (fieldnorms are still recorded).
+    ``with_positions=True`` stores per-posting token positions in the
+    blocks — ``record:"position"`` (meta.json:21-33) — enabling phrase
+    queries over the committed artifact.
     """
-    idx = build_index(docs, text_col=text_col, id_col=id_col,
-                      analyzer=analyzer, lang_col=lang_col)
-    postings = idx.postings
+    if with_positions:
+        if analyzer != "white_lower":
+            raise ValueError("positional indexing implemented for the "
+                             "white_lower analyzer")
+        from prosearch_spark.index.positions import positional_postings
+
+        postings = positional_postings(docs, text_col=text_col,
+                                       id_col=id_col)
+    else:
+        idx = build_index(docs, text_col=text_col, id_col=id_col,
+                          analyzer=analyzer, lang_col=lang_col)
+        postings = idx.postings
     if record_basic:
         postings = postings.withColumn("tf", F.lit(1).cast("long"))
     # materialize ONCE: blocks, term_stats, doc_stats and the stats

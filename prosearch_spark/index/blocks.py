@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -60,12 +61,25 @@ BLOCK_SCHEMA = StructType([
     StructField("dls", BinaryType(), False),
 ])
 
+# record:"position" layout (meta.json:21-33): per block, the per-
+# posting position lists are stored as one varint stream of deltas
+# (first position absolute per posting, then gaps); poslens is absent
+# because tfs already encodes each posting's position count.
+BLOCK_SCHEMA_POS = StructType(
+    BLOCK_SCHEMA.fields + [StructField("positions", BinaryType(), False)]
+)
+
 POSTING_SCHEMA = StructType([
     StructField("term", StringType(), False),
     StructField("doc_id", LongType(), False),
     StructField("tf", LongType(), False),
     StructField("dl", LongType(), False),
 ])
+
+POSTING_SCHEMA_POS = StructType(
+    POSTING_SCHEMA.fields
+    + [StructField("positions", ArrayType(IntegerType()), False)]
+)
 
 
 # -- varint primitives (LEB128, unsigned) -------------------------------------
@@ -128,12 +142,14 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     pend: pd.DataFrame | None = None
 
     def cut(df: pd.DataFrame, flush_all: bool) -> tuple[list[dict], pd.DataFrame | None]:
+        with_pos = "positions" in df.columns
         rows: list[dict] = []
         rest: pd.DataFrame | None = None
         for term, g in df.groupby("term", sort=False):
             docs = g["doc_id"].to_numpy()
             tfs = g["tf"].to_numpy()
             dls = g["dl"].to_numpy()
+            poss = g["positions"].to_numpy() if with_pos else None
             n = len(docs)
             full = n if flush_all or term != df["term"].iloc[-1] else (
                 (n // BLOCK_SIZE) * BLOCK_SIZE
@@ -144,7 +160,7 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 e = min(s + BLOCK_SIZE, full)
                 d = docs[s:e]
                 deltas = np.diff(d, prepend=d[0])
-                rows.append({
+                row = {
                     "term": term,
                     "first_doc": int(d[0]),
                     "last_doc": int(d[-1]),
@@ -154,7 +170,19 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                     "docs": encode_varints(deltas),
                     "tfs": encode_varints(tfs[s:e]),
                     "dls": encode_varints(dls[s:e]),
-                })
+                }
+                if with_pos:
+                    # one varint stream: per posting, first position
+                    # absolute then gaps; tfs delimits the stream
+                    stream: list[int] = []
+                    for plist in poss[s:e]:
+                        prev = None
+                        for p in plist:
+                            stream.append(int(p) if prev is None
+                                          else int(p) - prev)
+                            prev = int(p)
+                    row["positions"] = encode_varints(stream)
+                rows.append(row)
             if full < n:
                 rest = g.iloc[full:]
         return rows, rest
@@ -183,46 +211,69 @@ def _decode_np(buf: bytes) -> "np.ndarray":
 
 def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for batch in batches:
+        with_pos = "positions" in batch.columns
         terms: list = []
         docs: list = []
         tfs: list = []
         dls: list = []
+        poss: list = []
         for r in batch.itertuples(index=False):
             deltas = _decode_np(r.docs)
             # first stored delta is 0, so cumsum + first_doc restores
             # absolute ids in one vector op
             docs.append(deltas.cumsum() + r.first_doc)
-            tfs.append(_decode_np(r.tfs))
+            tf_arr = _decode_np(r.tfs)
+            tfs.append(tf_arr)
             dls.append(_decode_np(r.dls))
             terms.append(np.repeat(np.array([r.term], dtype=object), r.n))
+            if with_pos:
+                stream = _decode_np(r.positions)
+                off = 0
+                for cnt in tf_arr:
+                    seg = stream[off:off + cnt]
+                    poss.append(seg.cumsum().astype("int32").tolist())
+                    off += cnt
         if not terms:
-            yield pd.DataFrame({"term": [], "doc_id": [], "tf": [], "dl": []})
+            cols = {"term": [], "doc_id": [], "tf": [], "dl": []}
+            if with_pos:
+                cols["positions"] = []
+            yield pd.DataFrame(cols)
             continue
-        yield pd.DataFrame({
+        out = {
             "term": np.concatenate(terms),
             "doc_id": np.concatenate(docs),
             "tf": np.concatenate(tfs),
             "dl": np.concatenate(dls),
-        })
+        }
+        if with_pos:
+            out["positions"] = poss
+        yield pd.DataFrame(out)
 
 
 # -- public API ----------------------------------------------------------------
 
 def encode_blocks(postings: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """(term, doc_id, tf, dl) -> block rows. Range-partitioned by
-    (term, doc_id) so each task sees contiguous sorted runs."""
+    """(term, doc_id, tf, dl[, positions]) -> block rows.
+    Range-partitioned by (term, doc_id) so each task sees contiguous
+    sorted runs. A ``positions`` column triggers the record:"position"
+    layout (extra varint position stream per block)."""
+    with_pos = "positions" in postings.columns
+    cols = ["term", "doc_id", "tf", "dl"] + (["positions"] if with_pos else [])
     np_ = num_partitions or postings.sparkSession.sparkContext.defaultParallelism
     arranged = (
-        postings.select("term", "doc_id", "tf", "dl")
+        postings.select(*cols)
         .repartitionByRange(np_, "term", "doc_id")
         .sortWithinPartitions("term", "doc_id")
     )
-    return arranged.mapInPandas(_encode_partition, BLOCK_SCHEMA)
+    schema = BLOCK_SCHEMA_POS if with_pos else BLOCK_SCHEMA
+    return arranged.mapInPandas(_encode_partition, schema)
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Block rows -> (term, doc_id, tf, dl)."""
-    return blocks.mapInPandas(_decode_partition, POSTING_SCHEMA)
+    """Block rows -> (term, doc_id, tf, dl[, positions])."""
+    with_pos = "positions" in blocks.columns
+    schema = POSTING_SCHEMA_POS if with_pos else POSTING_SCHEMA
+    return blocks.mapInPandas(_decode_partition, schema)
 
 
 def block_upper_bound_expr(n_docs: str = "n_docs", avgdl: str = "avgdl",

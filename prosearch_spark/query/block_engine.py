@@ -214,3 +214,20 @@ class BlockSearchEngine:
 
     def match_scan(self, q: str) -> DataFrame:
         return self._engine(q).match_scan(q)
+
+    def phrase_topk(self, phrase: str, k: int = 10,
+                    round_to: int | None = None) -> DataFrame:
+        """Exact-phrase BM25 over a positional artifact
+        (save_index(with_positions=True)); positions decode only for
+        the phrase's terms after bucket/term pruning."""
+        from prosearch_spark.index.positions import (
+            phrase_matches,
+            phrase_topk as _pt,
+        )
+
+        terms = [t for t, _ in analyze_query(phrase)]
+        postings = self.artifact.postings(sorted(set(terms)))
+        if "positions" not in postings.columns:
+            raise ValueError("artifact was not built with_positions=True")
+        return _pt(self.spark, postings, self.artifact.stats(), phrase, k,
+                   round_to)

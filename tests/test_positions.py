@@ -60,6 +60,35 @@ def test_phrase_topk_ordering(spark, tiny):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_positional_artifact_roundtrip(spark, tiny, tmp_path):
+    """Positions survive block encode -> commit -> load -> decode, and
+    artifact phrase queries match the logical path exactly."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = save_index(spark, tiny, str(tmp_path / "pidx"), text_col="text",
+                     with_positions=True)
+    decoded = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in art.postings(None).collect()
+    }
+    logical = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in positional_postings(tiny, text_col="text").collect()
+    }
+    assert decoded == logical
+
+    blk = BlockSearchEngine(spark, art)
+    pp = positional_postings(tiny, text_col="text")
+    stats = build_index(tiny, text_col="text").stats
+    for phrase in ["alpha beta", "gamma gamma", "beta alpha beta"]:
+        a = [(r["doc_id"], r["score"])
+             for r in blk.phrase_topk(phrase, 10).collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in phrase_topk(spark, pp, stats, phrase, 10).collect()]
+        assert a == b, phrase
+
+
 def test_phrase_brute_force_parity(spark, corpus):
     """Phrase frequency == naive string-window count on the synthetic
     corpus (independent Python check)."""
