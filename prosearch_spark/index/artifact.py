@@ -230,6 +230,12 @@ def save_index(spark: SparkSession, docs: DataFrame, path: str,
         if analyzer != "white_lower":
             raise ValueError("positional indexing implemented for the "
                              "white_lower analyzer")
+        if record_basic:
+            # decode delimits the position stream by tf; tf=1 with
+            # multi-position postings would corrupt it (and makes no
+            # sense: record:basic stores no positions by definition)
+            raise ValueError("record_basic and with_positions are "
+                             "mutually exclusive")
         from prosearch_spark.index.positions import positional_postings
 
         postings = positional_postings(docs, text_col=text_col,
