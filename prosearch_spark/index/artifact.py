@@ -167,6 +167,55 @@ class IndexArtifact:
             os.path.join(self.path, "deletes")
         )
 
+    # -- doc store (S4/S5) ------------------------------------------------------
+
+    def write_doc_store(self, docs: DataFrame, cols: list[str],
+                        id_col: str = "doc_id") -> None:
+        """S4: persist stored/display fields next to the index — the
+        analog of Tantivy's compressed row store (LZ4 16 KB blocks,
+        meta.json:2-5); here zstd parquet, columnar (strictly better
+        for top-k field fetch)."""
+        (
+            docs.select(F.col(id_col).alias("doc_id"), *cols)
+            .repartition(max(1, self.n_buckets // 2))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(os.path.join(self.path, "doc_store"))
+        )
+
+    def doc_store(self) -> DataFrame | None:
+        d = os.path.join(self.path, "doc_store")
+        if os.path.isdir(d):
+            return self.spark.read.parquet(d)
+        return None
+
+    def fetch_docs(self, hits: DataFrame) -> DataFrame:
+        """S5/J3: broadcast-join the k hits to stored fields
+        (serve.rs:421-435)."""
+        store = self.doc_store()
+        if store is None:
+            raise ValueError("no doc_store written for this artifact")
+        return store.join(F.broadcast(hits), "doc_id")
+
+    # -- space usage (inspect.rs:40-77 analog) ----------------------------------
+
+    def space_usage(self) -> dict:
+        """Per-structure on-disk bytes — the `tantivy inspect` report."""
+        out = {}
+        for sub in ["blocks", "term_stats", "doc_stats", "deletes",
+                    "doc_store"]:
+            p = os.path.join(self.path, sub)
+            if os.path.isdir(p):
+                total = 0
+                for root, _d, files in os.walk(p):
+                    total += sum(os.path.getsize(os.path.join(root, f))
+                                 for f in files)
+                out[sub] = total
+        out["total"] = sum(out.values())
+        out["n_docs"] = self.manifest["n_docs"]
+        return out
+
     def delete_by_url(self, urls: DataFrame, docs: DataFrame,
                       url_expr: str = "concat(repo, '/', path)") -> None:
         """B7 exact parity: delete by the url TERM (serve.rs:456-467,

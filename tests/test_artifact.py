@@ -122,6 +122,25 @@ def test_upsert_delete_then_reindex(spark, corpus, tmp_path):
     assert art2.manifest["n_docs"] == art.manifest["n_docs"]
 
 
+def test_doc_store_and_space_usage(spark, corpus, artifact):
+    artifact.write_doc_store(corpus, ["repo", "path", "lang"])
+    eng = BlockSearchEngine(spark, artifact)
+    hits = eng.topk("spark", 5)
+    fetched = artifact.fetch_docs(hits)
+    rows = fetched.orderBy("rank").collect()
+    assert len(rows) == 5
+    assert {"doc_id", "repo", "path", "lang", "rank", "score"} <= set(fetched.columns)
+    # stored fields agree with the source
+    src = {r["doc_id"]: r["repo"] for r in corpus.collect()}
+    for r in rows:
+        assert r["repo"] == src[r["doc_id"]]
+
+    su = artifact.space_usage()
+    assert su["blocks"] > 0 and su["doc_store"] > 0
+    assert su["total"] >= su["blocks"] + su["doc_store"]
+    assert su["n_docs"] == artifact.manifest["n_docs"]
+
+
 def test_and_range_pruning_correct(spark, corpus, artifact):
     """Doc-range pruning must not lose any conjunctive match."""
     flat = SearchEngine(spark, build_index(corpus, text_col="content"))
