@@ -251,10 +251,17 @@ class IndexArtifact:
             ).collect()[0]
             n_docs = int(agg["n"] or 0)
             avgdl = (agg["total"] or 0) / n_docs if n_docs else 0.0
+            # carry the doc store forward, minus tombstoned docs;
+            # written inside _write_artifact BEFORE the manifest
+            store = self.doc_store()
+            if store is not None:
+                store = store.join(alive.select("doc_id").distinct(),
+                                   "doc_id", "left_semi")
             return _write_artifact(
                 self.spark, out_path, alive, term_stats, doc_stats,
                 n_docs=n_docs, avgdl=avgdl,
                 n_buckets=self.n_buckets, analyzer=self.manifest["analyzer"],
+                doc_store=store,
             )
         finally:
             alive.unpersist()
@@ -351,7 +358,8 @@ def load_fielded_index(spark: SparkSession, path: str) -> dict[str, IndexArtifac
 def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
                     term_stats: DataFrame, doc_stats: DataFrame,
                     n_docs: int, avgdl: float, n_buckets: int,
-                    analyzer: str) -> IndexArtifact:
+                    analyzer: str,
+                    doc_store: DataFrame | None = None) -> IndexArtifact:
     os.makedirs(path, exist_ok=True)
     blocks = encode_blocks(postings).withColumn(
         "tb", term_bucket(F.col("term"), n_buckets)
@@ -370,19 +378,26 @@ def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
         .parquet(os.path.join(path, "term_stats"))
     )
     doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
-    # clear tombstones from any previous generation at this path: a
-    # fresh commit has them physically applied already
-    deletes_dir = os.path.join(path, "deletes")
-    if os.path.isdir(deletes_dir):
-        import shutil
+    # clear per-generation state from any previous commit at this
+    # path: tombstones are physically applied in a fresh commit, and a
+    # stale doc_store would silently serve outdated stored fields
+    import shutil
 
-        shutil.rmtree(deletes_dir)
+    for stale in ("deletes", "doc_store"):
+        d = os.path.join(path, stale)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    if doc_store is not None:
+        # BEFORE the manifest publish — the commit must be whole
+        doc_store.write.mode("overwrite").option("compression", "zstd") \
+            .parquet(os.path.join(path, "doc_store"))
     manifest = {
         "version": VERSION,
         "n_docs": int(n_docs),
         "avgdl": float(avgdl),
         "n_buckets": n_buckets,
         "analyzer": analyzer,
+        "positions": "positions" in postings.columns,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     # atomic publish: manifest written last, via rename
@@ -416,11 +431,22 @@ def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
     old = artifact.postings(None).join(
         F.broadcast(upsert_ids), "doc_id", "left_anti"
     )
-    new_idx = build_index(new_docs, text_col=text_col, id_col=id_col,
-                          analyzer=artifact.manifest["analyzer"],
-                          lang_col=lang_col)
+    if "positions" in old.columns:
+        # positional artifact: the new docs must be indexed with
+        # positions too, or the union schemas diverge
+        from prosearch_spark.index.positions import positional_postings
+
+        new_postings = positional_postings(new_docs, text_col=text_col,
+                                           id_col=id_col)
+        cols = ["term", "doc_id", "tf", "dl", "positions"]
+    else:
+        new_postings = build_index(
+            new_docs, text_col=text_col, id_col=id_col,
+            analyzer=artifact.manifest["analyzer"], lang_col=lang_col,
+        ).postings
+        cols = ["term", "doc_id", "tf", "dl"]
     merged = old.unionByName(
-        new_idx.postings.select("term", "doc_id", "tf", "dl")
+        new_postings.select(*cols)
     ).persist()  # multiple aggregations + encode sampling below
     try:
         term_stats = merged.groupBy("term").agg(F.count("*").alias("df"))

@@ -34,12 +34,17 @@ def positional_postings(docs: DataFrame, text_col: str = "text",
     Positions index the NON-EMPTY token sequence (0-based), matching
     white_lower_py enumeration.
     """
+    from prosearch_spark.analyzer import white_lower_tokens
+
+    # NB: positions must index the FILTERED token sequence, so the
+    # empty-token filter has to happen BEFORE posexplode assigns
+    # offsets — the flat row-filter-after-explode form used by
+    # build.tokens() would leave gaps at empty slots. The array-level
+    # HOF costs codegen on this projection; positional indexing is
+    # opt-in and pays it knowingly (documented trade).
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                     lambda t: t != F.lit("")),
-        ).alias("pos", "term"),
+        F.posexplode(white_lower_tokens(text_col)).alias("pos", "term"),
     )
     per_term = toks.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"),
@@ -92,18 +97,26 @@ def phrase_topk(spark: SparkSession, postings: DataFrame,
     """BM25 top-k for an exact phrase: tf = phrase frequency, df = the
     phrase's document frequency (Lucene PhraseQuery scoring shape)."""
     terms = [t for t, _ in analyze_query(phrase)]
-    m = phrase_matches(postings, terms)
-    df_frame = m.agg(F.count("*").alias("df"))
-    scored = (
-        m.crossJoin(F.broadcast(df_frame))
-        .crossJoin(F.broadcast(n_docs_avgdl))
-        .withColumn("boost", F.lit(1.0))
-        .withColumn("score", F.expr(SCORE_EXPR))
-    )
-    if round_to is not None:
-        scored = scored.withColumn("score", F.round("score", round_to))
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "doc_id", "score"
-    )
+    # persist: the n-way phrase join feeds BOTH the phrase-df aggregate
+    # and the scoring pass — unpersisted it would decode + join twice
+    m = phrase_matches(postings, terms).persist()
+    try:
+        phrase_df = m.count()
+        scored = (
+            m.withColumn("df", F.lit(int(phrase_df)))
+            .crossJoin(F.broadcast(n_docs_avgdl))
+            .withColumn("boost", F.lit(1.0))
+            .withColumn("score", F.expr(SCORE_EXPR))
+        )
+        if round_to is not None:
+            scored = scored.withColumn("score", F.round("score", round_to))
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        rows = top.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score"
+        ).collect()
+        schema = "rank int, doc_id long, score double"
+        return spark.createDataFrame(rows, schema) if rows else \
+            spark.createDataFrame([], schema)
+    finally:
+        m.unpersist()
