@@ -119,6 +119,50 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+class IVFIndex:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer + per-centroid
+    posting buckets — the other standard scale path besides LSH. At
+    100 TB the ``bucket`` column becomes the partition key; a query
+    reads only its n_probe nearest centroids' partitions.
+
+    Deterministic for a fixed seed + input. Train on a sample at
+    scale; assignment is a broadcast of k centroid vectors.
+    """
+
+    def __init__(self, assigned: DataFrame, centers: list, k: int,
+                 id_col: str, vec_col: str):
+        self.assigned = assigned  # original cols + 'bucket'
+        self.centers = centers    # list[np.ndarray]
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def fit(cls, emb: DataFrame, n_centroids: int = 16, seed: int = 42,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = emb.withColumn("_features", array_to_vector(F.col(vec_col)))
+        model = KMeans(k=n_centroids, seed=seed, featuresCol="_features",
+                       predictionCol="bucket").fit(feat)
+        assigned = model.transform(feat).drop("_features")
+        return cls(assigned, [c for c in model.clusterCenters()],
+                   n_centroids, id_col, vec_col)
+
+    def topk(self, query_vec: list[float], k: int = 10,
+             n_probe: int = 2) -> DataFrame:
+        """Exact cosine re-rank within the n_probe nearest buckets."""
+        import numpy as np
+
+        q = np.asarray(query_vec, dtype="float64")
+        dists = [float(np.linalg.norm(np.asarray(c) - q))
+                 for c in self.centers]
+        probe = sorted(range(self.k), key=lambda i: dists[i])[:n_probe]
+        cand = self.assigned.filter(F.col("bucket").isin(probe))
+        return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)
+
+
 def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 6, seed: int = 42, dim: int = 64) -> DataFrame:
