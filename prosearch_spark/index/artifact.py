@@ -245,7 +245,16 @@ class IndexArtifact:
         alive = self.postings(None).persist()  # tombstones applied
         try:
             term_stats = alive.groupBy("term").agg(F.count("*").alias("df"))
-            doc_stats = alive.select("doc_id", "dl").distinct()
+            # doc_stats from the PERSISTED table minus tombstones, NOT
+            # from alive postings: the stored table carries zero-token
+            # docs (dl=0) which have no postings, and n_docs/avgdl must
+            # keep the ONE definition shared by every commit path
+            # (n_docs = corpus docs, incl. token-less ones).
+            doc_stats = self.doc_stats()
+            _deletes = self.deletes()
+            if _deletes is not None:
+                doc_stats = doc_stats.join(F.broadcast(_deletes), "doc_id",
+                                           "left_anti")
             agg = doc_stats.agg(
                 F.count("*").alias("n"), F.sum("dl").alias("total")
             ).collect()[0]
@@ -262,6 +271,7 @@ class IndexArtifact:
                 n_docs=n_docs, avgdl=avgdl,
                 n_buckets=self.n_buckets, analyzer=self.manifest["analyzer"],
                 doc_store=store,
+                record_basic=self.manifest.get("record_basic", False),
             )
         finally:
             alive.unpersist()
@@ -308,17 +318,24 @@ def save_index(spark: SparkSession, docs: DataFrame, path: str,
     # 800k-doc commit). The 100 TB analog is a staging postings table.
     postings = postings.persist()
     try:
-        doc_stats = postings.select("doc_id", "dl").distinct()
+        # doc_stats covers EVERY corpus doc: zero-token docs get dl=0.
+        # This is the one n_docs definition shared by save/merge/upsert/
+        # lineage-finalize (n_docs = count(doc_stats)) so BM25 stats
+        # never drift between build paths on corpora with empty docs.
+        doc_stats = docs.select(F.col(id_col).alias("doc_id")).join(
+            postings.select("doc_id", "dl").distinct(), "doc_id", "left"
+        ).select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
         agg = doc_stats.agg(
-            F.sum("dl").alias("total"), F.count("*").alias("n_tok_docs")
+            F.sum("dl").alias("total"), F.count("*").alias("n")
         ).collect()[0]
-        n_docs = docs.count()  # counts zero-token docs too (cheap scan)
+        n_docs = int(agg["n"] or 0)
         avgdl = (agg["total"] or 0) / n_docs if n_docs else 0.0
         term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
         return _write_artifact(
             spark, path, postings, term_stats, doc_stats,
             n_docs=n_docs, avgdl=avgdl,
             n_buckets=n_buckets, analyzer=analyzer,
+            record_basic=record_basic,
         )
     finally:
         postings.unpersist()
@@ -359,7 +376,18 @@ def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
                     term_stats: DataFrame, doc_stats: DataFrame,
                     n_docs: int, avgdl: float, n_buckets: int,
                     analyzer: str,
-                    doc_store: DataFrame | None = None) -> IndexArtifact:
+                    doc_store: DataFrame | None = None,
+                    record_basic: bool = False) -> IndexArtifact:
+    # refuse to commit over a LIVE artifact: overwriting blocks under a
+    # readable old manifest breaks the atomic-publish guarantee (a crash
+    # mid-commit would leave a valid-looking manifest over torn data).
+    # Every commit goes to a fresh generation dir, like merge/upsert.
+    if os.path.exists(os.path.join(path, MANIFEST)):
+        raise ValueError(
+            f"{path} already holds a committed artifact; commit to a new "
+            "generation directory (the previous commit stays readable "
+            "until the new manifest publishes)"
+        )
     os.makedirs(path, exist_ok=True)
     blocks = encode_blocks(postings).withColumn(
         "tb", term_bucket(F.col("term"), n_buckets)
@@ -398,6 +426,10 @@ def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
         "n_buckets": n_buckets,
         "analyzer": analyzer,
         "positions": "positions" in postings.columns,
+        # record:"basic" (meta.json:12): postings carry tf=1. Persisted
+        # so upsert/merge re-apply the same tf semantics to new postings
+        # instead of silently mixing true-tf docs into a basic artifact.
+        "record_basic": bool(record_basic),
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     # atomic publish: manifest written last, via rename
@@ -445,22 +477,61 @@ def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
             analyzer=artifact.manifest["analyzer"], lang_col=lang_col,
         ).postings
         cols = ["term", "doc_id", "tf", "dl"]
+    record_basic = bool(artifact.manifest.get("record_basic", False))
+    if record_basic:
+        # the artifact stores record:"basic" postings (tf=1) — re-apply
+        # the same tf semantics to the incoming docs or the artifact
+        # would silently mix tf conventions after the first upsert
+        new_postings = new_postings.withColumn("tf", F.lit(1).cast("long"))
     merged = old.unionByName(
         new_postings.select(*cols)
     ).persist()  # multiple aggregations + encode sampling below
     try:
         term_stats = merged.groupBy("term").agg(F.count("*").alias("df"))
-        doc_stats = merged.select("doc_id", "dl").distinct()
+        # one n_docs definition (see save_index): old doc_stats minus
+        # the upserted ids, plus EVERY new doc (zero-token docs at dl=0)
+        new_doc_stats = new_docs.select(F.col(id_col).alias("doc_id")).join(
+            new_postings.select("doc_id", "dl").distinct(), "doc_id", "left"
+        ).select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+        old_doc_stats = artifact.doc_stats().join(
+            F.broadcast(upsert_ids), "doc_id", "left_anti"
+        )
+        deletes = artifact.deletes()
+        if deletes is not None:
+            old_doc_stats = old_doc_stats.join(F.broadcast(deletes),
+                                               "doc_id", "left_anti")
+        doc_stats = old_doc_stats.unionByName(new_doc_stats)
         agg = doc_stats.agg(
             F.count("*").alias("n"), F.sum("dl").alias("total")
         ).collect()[0]
         n_docs = int(agg["n"] or 0)
         avgdl = (agg["total"] or 0) / n_docs if n_docs else 0.0
+        # carry stored/display fields forward like merge(): previous
+        # generation's doc_store minus the upserted ids, plus the new
+        # docs' stored columns (they must exist on new_docs — an upsert
+        # must not silently drop the store for surviving docs)
+        store = artifact.doc_store()
+        if store is not None:
+            missing = [c for c in store.columns if c not in new_docs.columns
+                       and c != "doc_id"]
+            if missing:
+                raise ValueError(
+                    "artifact has a doc_store with columns "
+                    f"{store.columns}; new_docs lacks {missing} — provide "
+                    "the stored fields on the upserted docs"
+                )
+            store = store.join(F.broadcast(upsert_ids), "doc_id", "left_anti"
+                               ).unionByName(
+                new_docs.select(F.col(id_col).alias("doc_id"),
+                                *[c for c in store.columns if c != "doc_id"])
+            )
         return _write_artifact(
             spark, out_path, merged, term_stats, doc_stats,
             n_docs=n_docs, avgdl=avgdl,
             n_buckets=artifact.n_buckets,
             analyzer=artifact.manifest["analyzer"],
+            doc_store=store,
+            record_basic=record_basic,
         )
     finally:
         merged.unpersist()

@@ -182,7 +182,16 @@ class ResumableIndexBuild:
         partials = self.spark.read.parquet(os.path.join(self.path, "partials"))
         postings = partials.select("term", "doc_id", "tf", "dl")
         term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
-        doc_stats = postings.select("doc_id", "dl").distinct()
+        # one n_docs definition across ALL commit paths (save_index/
+        # merge/upsert/finalize): doc_stats covers every corpus doc,
+        # zero-token docs at dl=0 — otherwise the same corpus would get
+        # different n_docs/avgdl (hence different BM25 scores) depending
+        # on which build path committed it.
+        doc_stats = self.docs.select(
+            F.col(self.id_col).alias("doc_id")
+        ).join(postings.select("doc_id", "dl").distinct(), "doc_id", "left"
+               ).select("doc_id",
+                        F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
         agg = doc_stats.agg(
             F.count("*").alias("n"), F.sum("dl").alias("total")
         ).collect()[0]

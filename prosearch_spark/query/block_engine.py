@@ -177,9 +177,11 @@ class BlockSearchEngine:
             # ub is boost-free; compare against the boost-free kth
             # score. When the caller ranks on ROUNDED scores, a doc in
             # a pruned block could round into a tie with the kth score
-            # and win on doc_id — widen the threshold by the rounding
-            # half-step to stay sound under round-before-rank.
-            eps = 0.5 * 10 ** (-round_to) if round_to is not None else 0.0
+            # and win on doc_id — widen the threshold by a FULL rounding
+            # step (a half step still lets a doc in [sk-2eps, sk-eps)
+            # round onto the kth grid value): round(x) < round(sk) is
+            # guaranteed for every pruned x < sk - 10^-r.
+            eps = 10 ** (-round_to) if round_to is not None else 0.0
             survivors = meta.filter(
                 F.col("ub") >= F.lit((kth["sk"] - eps) / boost)
             )
