@@ -425,9 +425,20 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_knn_join_lsh(spark, sf_dir):
+    """The 100 TB semantic near-dup path, oracle-gated: LSH-bucketed
+    k-NN self-join (equi-join on hyperplane signature, exact cosine
+    re-rank inside buckets) — NO BroadcastNestedLoopJoin anywhere in
+    the plan (pinned by tests/test_plans.py). q_embedding_near_dup
+    below is its exact-recall ground truth at gate scale."""
+    emb = _emb(spark, sf_dir)
+    return sim.knn_join(emb, emb, k=3, n_planes=6, seed=42, dim=64)
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact all-pairs at gate scale;
-    the 100 TB path is the LSH-bucketed knn_join in ops/similarity)."""
+    """Embedding-cosine near-dup RECALL ORACLE: exact all-pairs at gate
+    scale only (BroadcastNestedLoopJoin by construction — do NOT run at
+    scale; the 100 TB path is the oracle-gated knn_join_lsh above)."""
     emb = _emb(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
@@ -463,7 +474,10 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs (the LSH ground truth)."""
+    """Exact n-gram Jaccard RECALL ORACLE: all co-shingle pairs, gate
+    scale only (a hot shingle makes the pair join quadratic — do NOT
+    run at scale; the 100 TB lexical path is minhash_near_pairs, whose
+    LSH banding bounds candidates per bucket)."""
     return dd.exact_jaccard_pairs(_docs(spark, sf_dir), content_col="text",
                                   n=3, threshold=0.5)
 
@@ -528,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         # similarity search
         "knn_cosine": q_knn_cosine,
+        "knn_join_lsh": q_knn_join_lsh,
     }
 
 
@@ -747,6 +762,8 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
+        "knn_join_lsh": osql.knn_join_lsh_sql(k=3, n_planes=6, seed=42,
+                                              dim=64, round_to=ROUND),
         "minhash_signatures": f"""
             WITH {_SHINGLES_CTE}
             SELECT doc_id, i::INT AS pos,

@@ -356,6 +356,53 @@ def search_fetch_sql(q: str, k: int = 5, round_to: int = 6) -> str:
     )
 
 
+def knn_join_lsh_sql(k: int = 3, n_planes: int = 6, seed: int = 42,
+                     dim: int = 64, round_to: int = 6) -> str:
+    """DuckDB twin of ops/similarity.knn_join — the LSH-BUCKETED k-NN
+    join (the 100 TB near-dup path, NOT the all-pairs formulation).
+
+    The hyperplanes are md5-deterministic (ops/similarity._hyperplanes),
+    so the oracle recomputes bucket membership exactly: the plane
+    constants are baked into the SQL as double literals (repr() is
+    shortest-roundtrip, so both engines parse the identical double).
+    The sign test uses the RAW dot product — sign flips would need a
+    margin within float-error of 0, far rarer than a rounded-grid
+    boundary crossing.
+    """
+    from prosearch_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = ",\n               ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(c) for c in p)
+        + "]) > 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sig AS (
+    SELECT vec_id, v,
+           concat({bits}) AS sig
+    FROM e
+),
+pairs AS (
+    SELECT a.vec_id AS l_id, b.vec_id AS r_id,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), {round_to}) AS cosine
+    FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+)
+SELECT l_id, r_id, cosine, rank FROM (
+    SELECT l_id, r_id, cosine,
+           row_number() OVER (PARTITION BY l_id
+                              ORDER BY cosine DESC, r_id ASC)::INT AS rank
+    FROM pairs
+) WHERE rank <= {k}
+"""
+
+
 def stats_agg_sql(q: str, value_col: str) -> str:
     cte, _ = _scored_docs_cte_qualified(q)
     return (

@@ -94,6 +94,24 @@ def test_code_analyzer_no_python_nodes(spark, corpus):
     assert "BroadcastHashJoin" in plan  # stopword anti-join broadcast
 
 
+def test_knn_join_is_bucketed_not_nested_loop(spark):
+    """The gated semantic near-dup path must be an EQUI-join on the LSH
+    signature — a BroadcastNestedLoopJoin here means the all-pairs
+    formulation leaked back into the 100 TB path (VERDICT r01)."""
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.ops.similarity import knn_join
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), "
+               "i -> cast(pmod(id * i, 7) - 3 as float))").alias("embedding"),
+    )
+    plan = _plan(knn_join(emb, emb, k=2, n_planes=4, dim=8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_doc_fetch_is_broadcast(spark, corpus):
     eng = SearchEngine(spark, build_index(corpus, text_col="content"))
     hits = eng.topk("spark", 5)
