@@ -284,6 +284,24 @@ def q_bm25_topk_wand(spark, sf_dir):
     return out
 
 
+def q_bm25_topk_wand_and2(spark, sf_dir):
+    """Multi-term Block-Max WAND: the rarest-term zipper with summed
+    per-term block bounds (serve.rs:413-419 BooleanQuery analog) —
+    same oracle as the unpruned conjunction path."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="prosearch_wand2_")
+    art = save_index(spark, docs, path, text_col="text")
+    out, _stats = BlockSearchEngine(spark, art).topk_wand(
+        Q_AND2, 10, round_to=ROUND
+    )
+    return out
+
+
 def q_salted_posting_summary(spark, sf_dir):
     """Salted two-phase posting-array merge (hot-term skew defense);
     summary projection proves completeness + sortedness."""
@@ -509,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fielded": q_bm25_topk_fielded,
         "bm25_topk_blocks": q_bm25_topk_blocks,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_wand_and2": q_bm25_topk_wand_and2,
         "bm25_topk_fielded_blocks": q_bm25_topk_fielded_blocks,
         "salted_posting_summary": q_salted_posting_summary,
         "url_ops": q_url_ops,
@@ -574,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_fielded": osql.fielded_topk_sql(Q_AND2, 10, ROUND),
         "bm25_topk_blocks": osql.topk_sql(Q_AND2, 10, ROUND),
         "bm25_topk_wand": osql.topk_sql(Q_SINGLE, 10, ROUND),
+        "bm25_topk_wand_and2": osql.topk_sql(Q_AND2, 10, ROUND),
         "bm25_topk_fielded_blocks": osql.fielded_topk_sql(Q_AND2, 10, ROUND),
         "salted_posting_summary": f"""
             WITH {_TOKS}

@@ -77,139 +77,209 @@ class BlockSearchEngine:
     def topk(self, q: str, k: int = 10, round_to: int | None = None) -> DataFrame:
         return self._engine(q).topk(q, k, round_to)
 
-    def topk_wand(self, q: str, k: int = 10,
-                  round_to: int | None = None) -> tuple[DataFrame, dict]:
-        """Block-Max WAND top-k for single-term queries — EXACT results
-        with score-based block pruning (the DataFrame shape of the
-        reference's block-max skip data, SURVEY.md §4.2/§7 stage 3).
-
-        Sound two-pass scheme over block METADATA (never decodes a
-        block it can prove irrelevant):
-
-          pass 1: rank blocks by their BM25 upper bound
-                  ub = idf * (k1+1)*max_tf / (max_tf + k1*(1-b+b*min_dl/avgdl))
-                  take the smallest prefix (by ub desc) holding >= k
-                  postings; decode + score exactly; let s_k = the k-th
-                  exact score.
-          pass 2: decode ONLY blocks with ub >= s_k. Any doc scoring
-                  above s_k must live in such a block (ub bounds every
-                  doc in the block), so the final top-k is exact.
-
-        Multi-term conjunctions fall back to topk() (which already
-        applies rarest-term doc-range pruning before decode); document-
-        at-a-time WAND is iterator-shaped and not a DataFrame win.
-
-        Returns (result, stats) where stats reports blocks total /
-        decoded — the pruning evidence.
-        """
-        from pyspark.sql import Window
-
-        from prosearch_spark.index.blocks import (
-            block_upper_bound_expr,
-            decode_blocks,
-        )
-        from prosearch_spark.query.bm25 import SCORE_EXPR
-
-        clauses = analyze_query(q)
-        terms = sorted({t for t, _ in clauses})
-        if len(clauses) != 1:
-            # multi-clause (including duplicated-term) queries sum per
-            # clause — route through the general engine
-            return self.topk(q, k, round_to), {}
-        boost = clauses[0][1]
-
-        blocks = self.artifact.blocks(terms)
-        ts = self.artifact.term_stats(terms)
-        meta = (
-            blocks.join(F.broadcast(ts), "term")
-            .join(F.broadcast(self.artifact.stats()))
-            .withColumn("ub", F.expr(block_upper_bound_expr()))
-        ).persist()
-        n_blocks = meta.count()
-        if n_blocks == 0:
-            meta.unpersist()
-            return self.topk(q, k, round_to), {"blocks_total": 0,
-                                               "blocks_decoded": 0}
-
-        # pass 1: ub-desc prefix covering >= k postings AND at least B
-        # whole blocks — a one-block prefix would take its kth score
-        # from ordinary docs and give a toothless threshold; the true
-        # heavy hitters concentrate in the highest-ub blocks. Window
-        # over block metadata only (tiny rows; a 10^12-doc term still
-        # has ~1e7 metadata rows -> fine for one task).
-        from prosearch_spark.index.blocks import BLOCK_SIZE
-
-        b_min = max(4, -(-k // BLOCK_SIZE) * 2)
-        w = Window.orderBy(F.desc("ub"), F.asc("first_doc"))
-        ranked = meta.withColumn("rk", F.row_number().over(w)).withColumn(
-            "cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        prefix = ranked.filter(
-            (F.col("cum") - F.col("n") < k) | (F.col("rk") <= b_min)
-        )
-        decoded1 = decode_blocks(prefix.select(
-            "term", "first_doc", "last_doc", "n", "max_tf", "min_dl",
-            "docs", "tfs", "dls",
-        ))
-        deletes1 = self.artifact.deletes()
-        if deletes1 is not None:
-            # tombstones must be applied BEFORE taking the pass-1 kth
-            # score: a deleted high scorer would inflate s_k and make
-            # the pass-2 prune unsound
-            decoded1 = decoded1.join(F.broadcast(deletes1), "doc_id",
-                                     "left_anti")
-        scored1 = (
-            decoded1
-            .join(F.broadcast(ts), "term")
-            .join(F.broadcast(self.artifact.stats()))
-            .withColumn("boost", F.lit(float(boost)))
-            .withColumn("s", F.expr(SCORE_EXPR))
-        )
-        kth = (
-            scored1.orderBy(F.desc("s"), F.asc("doc_id")).limit(k)
-            .agg(F.min("s").alias("sk"), F.count("*").alias("nk"))
-            .collect()[0]
-        )
-        if kth["nk"] < k:
-            # fewer than k postings exist in total -> no pruning possible
-            survivors = meta
-        else:
-            # ub is boost-free; compare against the boost-free kth
-            # score. When the caller ranks on ROUNDED scores, a doc in
-            # a pruned block could round into a tie with the kth score
-            # and win on doc_id — widen the threshold by a FULL rounding
-            # step (a half step still lets a doc in [sk-2eps, sk-eps)
-            # round onto the kth grid value): round(x) < round(sk) is
-            # guaranteed for every pruned x < sk - 10^-r.
-            eps = 10 ** (-round_to) if round_to is not None else 0.0
-            survivors = meta.filter(
-                F.col("ub") >= F.lit((kth["sk"] - eps) / boost)
-            )
-        n_decoded = survivors.count()
-
-        postings = decode_blocks(survivors.select(
+    def _engine_on_blocks(self, blocks: DataFrame, terms: list[str]
+                          ) -> SearchEngine:
+        """Decode the given block rows (tombstones applied) and wrap a
+        SearchEngine — final scoring is byte-identical to the flat
+        engine/oracle regardless of which blocks were pruned."""
+        postings = decode_blocks(blocks.select(
             "term", "first_doc", "last_doc", "n", "max_tf", "min_dl",
             "docs", "tfs", "dls",
         ))
         deletes = self.artifact.deletes()
         if deletes is not None:
-            postings = postings.join(F.broadcast(deletes), "doc_id", "left_anti")
-        final = (
-            postings.join(F.broadcast(ts), "term")
+            postings = postings.join(F.broadcast(deletes), "doc_id",
+                                     "left_anti")
+        return SearchEngine(self.spark, InvertedIndex(
+            postings=postings,
+            term_stats=self.artifact.term_stats(terms),
+            stats=self.artifact.stats(),
+        ))
+
+    def topk_wand(self, q: str, k: int = 10,
+                  round_to: int | None = None) -> tuple[DataFrame, dict]:
+        """Block-Max WAND top-k — EXACT results with score-based block
+        pruning, for single terms AND conjunctions (the relational form
+        of the reference's BooleanQuery zipper over block-max skip data,
+        serve.rs:413-419; SURVEY.md §4.2/§7 stage 3).
+
+        The rarest query term drives the zipper, exactly like a DAAT
+        intersection. Over block METADATA only:
+
+          seed:  take the top-B rarest-term blocks by BM25 block upper
+                 bound via ``orderBy(ub).limit(B)`` — physically
+                 TakeOrderedAndProject (per-partition heaps + driver
+                 merge), NEVER a single-task global sort/window. Pull
+                 in every other-term block overlapping those doc
+                 ranges: any doc inside a seed range then has ALL its
+                 postings present, so its exact conjunctive score is
+                 computable. theta = the k-th exact seed score; if the
+                 seed matched < k docs, double B and retry (when B
+                 reaches every rarest block the seed result is already
+                 the exact answer and no second pass runs).
+          prune: for each rarest block r, every conjunctive match in
+                 r's doc range scores at most
+                     bound(r) = sum_t w_t * maxub_t(r)
+                 where w_t sums the clause boosts on term t and
+                 maxub_t(r) is the max block ub of t's blocks
+                 overlapping r (a broadcast range join on metadata; a
+                 term with NO overlapping block kills r outright —
+                 the zipper's skip). Drop r where bound(r) < theta-eps;
+                 keep other terms' blocks only where they overlap a
+                 SURVIVING rarest range.
+
+        Soundness: every posting of a doc lives in exactly one block
+        per term, so dropping rarest block r removes exactly the docs
+        in r's range, and each of those scores <= bound(r) < theta-eps
+        while >= k seed docs score >= theta. Under round-before-rank,
+        eps = one full rounding step guarantees round(pruned) <
+        round(theta). Returns (result, stats) with blocks_total /
+        blocks_decoded (seed + final) — the pruning evidence.
+        """
+        from prosearch_spark.index.blocks import block_upper_bound_expr
+
+        clauses = analyze_query(q)
+        terms = sorted({t for t, _ in clauses})
+        weights = {t: 0.0 for t in terms}
+        for t, b in clauses:
+            weights[t] += b
+
+        blocks = self._pruned_blocks(terms)
+        ts = self.artifact.term_stats(terms)
+        if len(terms) > 1 and ts.count() < len(terms):
+            # a clause with zero postings -> conjunction is empty;
+            # route through the plain engine for the empty result shape
+            return self.topk(q, k, round_to), {"blocks_total": 0,
+                                               "blocks_decoded": 0}
+        meta = (
+            blocks.join(F.broadcast(ts), "term")
             .join(F.broadcast(self.artifact.stats()))
-            .withColumn("boost", F.lit(float(boost)))
-            .withColumn("score", F.expr(SCORE_EXPR))
-            .select("doc_id", "score")
-        )
-        if round_to is not None:
-            final = final.withColumn("score", F.round("score", round_to))
-        top = final.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        out = top.withColumn("rank", F.row_number().over(wr)).select(
-            "rank", "doc_id", "score"
-        )
-        meta.unpersist()
-        return out, {"blocks_total": n_blocks, "blocks_decoded": n_decoded}
+            .withColumn("ub", F.expr(block_upper_bound_expr()))
+        ).persist()
+        try:
+            n_blocks = meta.count()
+            if n_blocks == 0:
+                return self.topk(q, k, round_to), {"blocks_total": 0,
+                                                   "blocks_decoded": 0}
+            dfs = {r["term"]: r["df"] for r in ts.collect()}
+            rarest = min(terms, key=lambda t: (dfs[t], t))
+            rmeta = meta.filter(F.col("term") == rarest)
+            n_rarest = rmeta.count()
+
+            # -- seed: doubling prefix of rarest blocks by ub ----------
+            from prosearch_spark.index.blocks import BLOCK_SIZE
+
+            B = max(4, -(-k // BLOCK_SIZE) * 2)
+            while True:
+                covers_all = B >= n_rarest
+                # metadata-only heap rows (payload binaries excluded);
+                # orderBy+limit = TakeOrderedAndProject, never a
+                # single-partition global sort
+                ranges = [
+                    (r["first_doc"], r["last_doc"])
+                    for r in rmeta.select("ub", "first_doc", "last_doc")
+                    .orderBy(F.desc("ub"), F.asc("first_doc"))
+                    .limit(B).collect()
+                ]
+                ranges_df = self.spark.createDataFrame(
+                    ranges, "rf long, rl long"
+                )
+                seed_blocks = meta.join(
+                    F.broadcast(ranges_df),
+                    (F.col("first_doc") <= F.col("rl"))
+                    & (F.col("last_doc") >= F.col("rf")),
+                    "left_semi",
+                )
+                n_seed = seed_blocks.count()
+                seed_top = self._engine_on_blocks(seed_blocks, terms).topk(
+                    q, k, round_to=None
+                )
+                seed_rows = seed_top.collect()
+                if len(seed_rows) >= k or covers_all:
+                    break
+                B *= 4
+            if covers_all:
+                # the seed spanned every rarest block -> every
+                # conjunctive match was scored exactly; done.
+                out = seed_top
+                if round_to is not None:
+                    out = self._engine_on_blocks(seed_blocks, terms).topk(
+                        q, k, round_to=round_to
+                    )
+                return out, {"blocks_total": n_blocks,
+                             "blocks_decoded": n_seed,
+                             "blocks_seed": n_seed, "blocks_final": 0}
+            theta = min(r["score"] for r in seed_rows)
+            eps = 10 ** (-round_to) if round_to is not None else 0.0
+
+            # -- bound per rarest block (broadcast metadata range join)
+            r_ranges = rmeta.select(
+                F.col("first_doc").alias("rf"), F.col("last_doc").alias("rl"),
+                F.col("ub").alias("rub"),
+            )
+            if len(terms) == 1:
+                bounds = r_ranges.withColumn(
+                    "bound", F.lit(weights[rarest]) * F.col("rub")
+                )
+            else:
+                w_expr = None
+                for t in terms:
+                    e = F.when(F.col("term") == t, F.lit(weights[t]))
+                    w_expr = e if w_expr is None else w_expr.when(
+                        F.col("term") == t, F.lit(weights[t])
+                    )
+                others = meta.filter(F.col("term") != rarest).select(
+                    "term", "first_doc", "last_doc",
+                    (w_expr * F.col("ub")).alias("wub"),
+                )
+                per_term_max = (
+                    others.join(
+                        F.broadcast(r_ranges),
+                        (F.col("first_doc") <= F.col("rl"))
+                        & (F.col("last_doc") >= F.col("rf")),
+                    )
+                    .groupBy("rf", "rl", "rub", "term")
+                    .agg(F.max("wub").alias("mx"))
+                )
+                bounds = (
+                    per_term_max.groupBy("rf", "rl", "rub")
+                    .agg(F.sum("mx").alias("osum"),
+                         F.count("*").alias("nterms"))
+                    # a rarest range overlapped by < n-1 other terms
+                    # cannot host a conjunctive match at all
+                    .filter(F.col("nterms") == len(terms) - 1)
+                    .withColumn(
+                        "bound",
+                        F.lit(weights[rarest]) * F.col("rub") + F.col("osum"),
+                    )
+                )
+            surviving_r = bounds.filter(
+                F.col("bound") >= F.lit(theta - eps)
+            ).select("rf", "rl")
+            survivors = meta.join(
+                F.broadcast(surviving_r),
+                (F.col("first_doc") <= F.col("rl"))
+                & (F.col("last_doc") >= F.col("rf")),
+                "left_semi",
+            )
+            # blocks already decoded for the seed are not decoded again:
+            # the final scoring set = seed blocks + surviving blocks the
+            # seed did not cover ((term, first_doc) is a unique block
+            # key — ranges per term are disjoint). Extra seed blocks are
+            # harmless: their docs score complete and below theta.
+            new_blocks = survivors.join(
+                seed_blocks.select("term", "first_doc"),
+                ["term", "first_doc"], "left_anti",
+            )
+            n_new = new_blocks.count()
+            out = self._engine_on_blocks(
+                seed_blocks.unionByName(new_blocks), terms
+            ).topk(q, k, round_to=round_to)
+            return out, {"blocks_total": n_blocks,
+                         "blocks_decoded": n_seed + n_new,
+                         "blocks_seed": n_seed, "blocks_final": n_new}
+        finally:
+            meta.unpersist()
 
     def count(self, q: str) -> DataFrame:
         return self._engine(q).count(q)

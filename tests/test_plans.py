@@ -94,6 +94,30 @@ def test_code_analyzer_no_python_nodes(spark, corpus):
     assert "BroadcastHashJoin" in plan  # stopword anti-join broadcast
 
 
+def test_wand_pass1_has_no_global_window(spark):
+    """The WAND seed prefix must come from orderBy+limit (per-partition
+    heaps merged on the driver: TakeOrderedAndProject), never from an
+    unpartitioned Window that sorts all block metadata in ONE task
+    (VERDICT r01: the single-task ceiling at 1e7 metadata rows)."""
+    import inspect
+
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    src = inspect.getsource(BlockSearchEngine.topk_wand)
+    assert "Window" not in src, "global window crept back into WAND pass 1"
+    assert ".limit(B)" in src  # the TakeOrderedAndProject prefix
+
+    # and the physical shape of the prefix pattern itself:
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("first_doc"), (F.col("id") % 97).alias("ub")
+    )
+    plan = _plan(df.orderBy(F.desc("ub"), F.asc("first_doc")).limit(8))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_knn_join_is_bucketed_not_nested_loop(spark):
     """The gated semantic near-dup path must be an EQUI-join on the LSH
     signature — a BroadcastNestedLoopJoin here means the all-pairs

@@ -71,15 +71,16 @@ def test_wand_with_deletes_stays_exact(spark, big_artifact, tmp_path):
     assert got_ids == exp_ids
 
 
-def test_wand_duplicated_term_falls_back(spark, big_artifact):
-    """'spark spark' is TWO clauses of one term: each clause scores, so
-    WAND's single-clause path must NOT run (regression: the guard used
-    the deduped term set and halved the scores)."""
+def test_wand_duplicated_term_exact(spark, big_artifact):
+    """'spark spark' is TWO clauses of one term: each clause scores
+    (regression: an early guard used the deduped term set and halved
+    the scores). WAND folds the clause boosts into one per-term weight
+    w=2.0 and must stay exact."""
     docs, art = big_artifact
     blk = BlockSearchEngine(spark, art)
     flat = SearchEngine(spark, build_index(docs, text_col="content"))
     got, stats = blk.topk_wand("spark spark", 5)
-    assert stats == {}
+    assert stats["blocks_total"] > 0
     exp = flat.topk("spark spark", 5).collect()
     assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
         [(r["doc_id"], r["score"]) for r in exp]
@@ -98,13 +99,64 @@ def test_oracle_sql_handles_apostrophes():
     assert len(out) == 0  # no matches, but no syntax error
 
 
-def test_wand_multi_term_falls_back(spark, big_artifact):
+@pytest.mark.parametrize("q,k", [("spark shuffle", 5), ("the python", 10),
+                                 ("spark return the", 5)])
+def test_wand_multi_term_exact(spark, big_artifact, q, k):
+    """Conjunctions run real Block-Max WAND (rarest-term zipper with
+    summed per-term block bounds) and must match the unpruned engine
+    exactly, scores included."""
     docs, art = big_artifact
     blk = BlockSearchEngine(spark, art)
-    got, stats = blk.topk_wand("spark shuffle", 5)
-    assert stats == {}
-    exp = blk.topk("spark shuffle", 5).collect()
-    assert [r["doc_id"] for r in got.collect()] == [r["doc_id"] for r in exp]
+    flat = SearchEngine(spark, build_index(docs, text_col="content"))
+    # multi-clause scores sum per clause; partial-agg order makes the
+    # raw sum differ in the last ulp between plans, so compare under
+    # the same round-before-rank contract the oracle gate uses
+    got, stats = blk.topk_wand(q, k, round_to=6)
+    assert stats["blocks_total"] >= stats["blocks_final"]
+    exp = flat.topk(q, k, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(r["doc_id"], r["score"]) for r in exp], q
+
+
+def test_wand_multi_term_prunes_on_skew(spark, tmp_path):
+    """Two-term conjunction over a skewed corpus: a few doc ranges hold
+    the heavy (needle, haystack) co-occurrences; every other rarest
+    block's summed bound falls below the kth seed score and is skipped
+    before decode."""
+    rows = []
+    for i in range(2000):
+        heavy = i % 500 == 0  # 4 heavy docs
+        tf = 40 if heavy else 1
+        body = ["needle"] * tf + ["haystack"] * (tf if heavy else 1)
+        rows.append((i, " ".join(body + ["filler", f"x{i}"])))
+    docs = spark.createDataFrame(rows, "doc_id long, content string") \
+        .withColumn("lang", __import__("pyspark.sql.functions",
+                                       fromlist=["lit"]).lit("md"))
+    art = save_index(spark, docs, str(tmp_path / "skew2"),
+                     text_col="content")
+    blk = BlockSearchEngine(spark, art)
+    got, stats = blk.topk_wand("needle haystack", 4)
+    assert [r["doc_id"] for r in got.collect()] == [0, 500, 1000, 1500]
+    assert stats["blocks_decoded"] < stats["blocks_total"], stats
+    # exactness against the unpruned path
+    exp = blk.topk("needle haystack", 4).collect()
+    assert [r["doc_id"] for r in got.collect()] == \
+        [r["doc_id"] for r in exp]
+
+
+def test_wand_multi_term_with_deletes(spark, big_artifact, tmp_path):
+    docs, _ = big_artifact
+    art = save_index(spark, docs, str(tmp_path / "gen0d"),
+                     text_col="content")
+    blk = BlockSearchEngine(spark, art)
+    top_before, _ = blk.topk_wand("spark shuffle", 5)
+    victim = top_before.collect()[0]["doc_id"]
+    art.delete_docs(spark.createDataFrame([(victim,)], "doc_id long"))
+    got, _ = blk.topk_wand("spark shuffle", 5)
+    got_ids = [r["doc_id"] for r in got.collect()]
+    assert victim not in got_ids
+    exp_ids = [r["doc_id"] for r in blk.topk("spark shuffle", 5).collect()]
+    assert got_ids == exp_ids
 
 
 def test_wand_fewer_than_k_results(spark, big_artifact):
