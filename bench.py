@@ -100,6 +100,28 @@ def main() -> None:
     _, wand_stats = blk.topk_wand("spark", 10)
     queries["q_wand_single"] = round(time.perf_counter() - t0, 4)
 
+    # -- WAND pruning on a realistic Zipf corpus ------------------------------
+    # The driver corpus has a uniform vocabulary (every term hot in
+    # every block -> block-max bounds can't fire). Real pruning
+    # evidence needs a long-tail vocabulary with doc-locality:
+    # corpus.zipf_corpus. Reported as blocks decoded vs total.
+    from prosearch_spark.corpus import zipf_corpus
+
+    zdocs = zipf_corpus(spark, n_docs=20000)
+    zpath = tempfile.mkdtemp(prefix="prosearch_bench_zipf_")
+    t0 = time.perf_counter()
+    save_index(spark, zdocs, zpath, text_col="content")
+    queries["zipf_build_20k"] = round(time.perf_counter() - t0, 4)
+    zblk = BlockSearchEngine(spark, IndexArtifact.load(spark, zpath))
+    t0 = time.perf_counter()
+    zout1, zst1 = zblk.topk_wand("z3_1", 10)
+    zout1.collect()
+    queries["q_wand_zipf_single"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    zout2, zst2 = zblk.topk_wand("z3_1 z3_2", 10)
+    zout2.collect()
+    queries["q_wand_zipf_and2"] = round(time.perf_counter() - t0, 4)
+
     # -- doc-store fetch for the top-10 (bench.rs:79-101 analog) --------------
     hits = eng.topk("join hash", 10)
     t0 = time.perf_counter()
@@ -131,6 +153,14 @@ def main() -> None:
         "postings_per_sec": round(n_postings / t_build, 2) if t_build else None,
         "wand_blocks_decoded": wand_stats.get("blocks_decoded"),
         "wand_blocks_total": wand_stats.get("blocks_total"),
+        "zipf_wand_single": zst1,
+        "zipf_wand_and2": zst2,
+        "zipf_wand_single_pruned_pct": round(
+            100.0 * (1 - zst1["blocks_decoded"] / max(zst1["blocks_total"], 1)), 1
+        ),
+        "zipf_wand_and2_pruned_pct": round(
+            100.0 * (1 - zst2["blocks_decoded"] / max(zst2["blocks_total"], 1)), 1
+        ),
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -99,6 +99,67 @@ def synth_corpus(spark: SparkSession, n_docs: int = 1000,
     return df.withColumnRenamed("range_id", "doc_id")
 
 
+def zipf_corpus(spark: SparkSession, n_docs: int = 20000,
+                vocab_size: int = 2000, n_topics: int = 16,
+                topic_vocab: int = 25, seed: int = 101,
+                min_len: int = 40, max_len: int = 260,
+                region: int = 1024) -> DataFrame:
+    """Deterministic corpus with a REALISTIC long-tail vocabulary —
+    the pruning benchmark the uniform synth/test corpora cannot be
+    (every term there is hot in every block, so block-max bounds never
+    fire; VERDICT r01).
+
+    Two properties real crawled corpora have and WAND exploits:
+
+    - Zipf(1) global vocabulary: filler token rank drawn by inverse
+      CDF in log space (``r = floor(exp(u*ln(V)))`` => P(r) ~ 1/r).
+    - doc_id-locality of topicality: contiguous ``region``-sized id
+      runs share a topic (crawl order clusters by host); a topic's
+      terms appear with HIGH tf inside its regions and tf~1 as
+      scattered background mentions elsewhere. Block-max pruning
+      skips exactly those background blocks once the seed threshold
+      is set by the topical heavy hitters.
+
+    (doc_id, content, lang): pure column expressions, no driver data.
+    """
+    import math
+
+    lnv = math.log(vocab_size)
+    lnt = math.log(topic_vocab)
+
+    def u(salt: int) -> str:
+        return f"(pmod(xxhash64(id, i, {salt}), 1000000) / 1000000.0)"
+
+    # round-robin region -> topic: every topic owns >= 1 contiguous id
+    # region deterministically (a hash here can leave topics empty)
+    doc_topic = f"pmod(id div {region}, {n_topics})"
+    zrank = f"greatest(cast(exp({u(seed + 3)} * {lnt}) as int), 1)"
+    trank = f"greatest(cast(exp({u(seed + 4)} * {lnv}) as int), 1)"
+    rand_topic = f"pmod(xxhash64(id, i, {seed + 5}), {n_topics})"
+    token = (
+        f"CASE WHEN {u(seed + 1)} < 0.35 "
+        f"  THEN concat('z', {doc_topic}, '_', {zrank}) "
+        f"WHEN {u(seed + 1)} < 0.45 "
+        f"  THEN concat('z', {rand_topic}, '_', {zrank}) "
+        f"ELSE concat('t', {trank}) END"
+    )
+    return (
+        spark.range(n_docs)
+        .withColumn(
+            "n_tokens",
+            F.expr(f"{min_len} + pmod(xxhash64(id, {seed + 2}), "
+                   f"{max_len - min_len})"),
+        )
+        .withColumn(
+            "content",
+            F.expr(f"concat_ws(' ', transform(sequence(1, n_tokens), "
+                   f"i -> {token}))"),
+        )
+        .select(F.col("id").alias("doc_id"), "content",
+                F.lit("md").alias("lang"))
+    )
+
+
 def with_doc_ids(corpus: DataFrame) -> DataFrame:
     """Deterministic dense doc_id over (repo, path).
 

@@ -144,6 +144,26 @@ def test_wand_multi_term_prunes_on_skew(spark, tmp_path):
         [r["doc_id"] for r in exp]
 
 
+def test_wand_prunes_on_zipf_vocabulary(spark, tmp_path):
+    """On a realistic long-tail corpus (Zipf vocab + doc-id-local
+    topics), the majority of a topical term's blocks are background
+    mentions whose bounds fall below the seed threshold — the pruning
+    the driver bench reports (VERDICT r01 item 3)."""
+    from prosearch_spark.corpus import zipf_corpus
+
+    docs = zipf_corpus(spark, n_docs=6000, n_topics=8, region=512)
+    art = save_index(spark, docs, str(tmp_path / "zipf"),
+                     text_col="content")
+    blk = BlockSearchEngine(spark, art)
+    got, stats = blk.topk_wand("z3_1", 10, round_to=6)
+    # exact vs the unpruned engine
+    exp = blk.topk("z3_1", 10, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(r["doc_id"], r["score"]) for r in exp]
+    pruned = 1 - stats["blocks_decoded"] / stats["blocks_total"]
+    assert pruned >= 0.4, stats
+
+
 def test_wand_multi_term_with_deletes(spark, big_artifact, tmp_path):
     docs, _ = big_artifact
     art = save_index(spark, docs, str(tmp_path / "gen0d"),
