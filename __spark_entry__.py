@@ -256,8 +256,9 @@ def q_bm25_topk_blocks(spark, sf_dir):
 
 
 def q_search_snippet(spark, sf_dir):
-    """Q10: snippet generation over the top-k rows (rows-only check;
-    verified against the Python twin in pytest)."""
+    """Q10: snippet generation over the top-k rows — oracle-gated: the
+    DuckDB twin recomputes the best-window + highlight algebra in SQL
+    (osql.snippet_sql), and pytest pins the Python twin too."""
     from prosearch_spark.query.snippet import with_snippet
 
     eng, docs = _engine(spark, sf_dir)
@@ -839,8 +840,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
             FROM bits GROUP BY doc_id
         """,
-        # search_snippet: intentionally omitted -> rows-only (snippet
-        # windowing is a UDF; verified against its Python twin in pytest)
+        # Q10 snippets: best 20-token window + <b> highlights, both
+        # sides recomputed from the stored text (serve.rs:443-453)
+        "search_snippet": osql.snippet_sql(Q_RARE, 5, ROUND),
     }
     return sql
 

@@ -356,6 +356,77 @@ def search_fetch_sql(q: str, k: int = 5, round_to: int = 6) -> str:
     )
 
 
+def snippet_sql(q: str, k: int = 5, round_to: int = 6,
+                window: int = 20) -> str:
+    """DuckDB twin of query/snippet.make_snippet_py over the top-k rows
+    (serve.rs:443-453 SnippetGenerator analog): tokenize the stored
+    text, slide a fixed ``window``-token frame, keep the frame with the
+    most query-term hits (ties -> earliest start), wrap matched tokens
+    in <b>..</b>. The no-hit case falls out naturally: every frame sums
+    to 0, the earliest frame wins, and no token highlights.
+    """
+    terms = sorted({t for t, _ in analyze_query(q)})
+    inlist = ", ".join(_sql_str(t) for t in terms)
+    cte, _ = _scored_docs_cte_qualified(q)
+    return f"""
+WITH {cte},
+rounded AS (
+    SELECT doc_id, round(score, {round_to}) AS score FROM docs_scored
+),
+ranked AS (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+           doc_id, score
+    FROM rounded
+),
+hits AS (SELECT rank, doc_id, score FROM ranked WHERE rank <= {k}),
+dtok AS (
+    SELECT h.rank, h.doc_id, h.score,
+           list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS tl
+    FROM hits h JOIN documents d USING (doc_id)
+),
+tok AS (
+    SELECT doc_id, i, tl[i] AS raw,
+           CASE WHEN lower(tl[i]) IN ({inlist}) THEN 1 ELSE 0 END AS hit
+    FROM dtok, unnest(generate_series(1, len(tl))) u(i)
+),
+starts AS (
+    SELECT doc_id, s
+    FROM (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(tl) - {window} + 1, 1))) AS s
+        FROM dtok
+    )
+),
+wins AS (
+    SELECT st.doc_id, st.s, coalesce(sum(t.hit), 0) AS nhit
+    FROM starts st
+    LEFT JOIN tok t ON t.doc_id = st.doc_id
+                   AND t.i BETWEEN st.s AND st.s + {window} - 1
+    GROUP BY st.doc_id, st.s
+),
+best AS (
+    SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY nhit DESC, s ASC) AS rn
+        FROM wins
+    ) WHERE rn = 1
+),
+snip AS (
+    SELECT b.doc_id,
+           coalesce(string_agg(
+               CASE WHEN t.hit = 1 THEN '<b>' || t.raw || '</b>'
+                    ELSE t.raw END, ' ' ORDER BY t.i), '') AS snip
+    FROM best b
+    LEFT JOIN tok t ON t.doc_id = b.doc_id
+                   AND t.i BETWEEN b.s AND b.s + {window} - 1
+    GROUP BY b.doc_id
+)
+SELECT h.doc_id, h.rank, h.score, s.snip
+FROM hits h JOIN snip s USING (doc_id)
+"""
+
+
 def knn_join_lsh_sql(k: int = 3, n_planes: int = 6, seed: int = 42,
                      dim: int = 64, round_to: int = 6) -> str:
     """DuckDB twin of ops/similarity.knn_join — the LSH-BUCKETED k-NN
