@@ -33,6 +33,11 @@ Q_AND3 = "spark dup table"
 Q_MIXED = "The A"
 Q_NOMATCH = "zzz qqq"
 Q_DUPTERMS = "spark spark"
+Q_MIXED_PHRASE = 'spark "join hash"'
+# lenient-grammar torture: empty phrase dropped, one-token phrase folds
+# to a term clause, dangling quote content dropped -> parses to exactly
+# the same clauses as Q_MIXED_PHRASE plus the 'dup' term
+Q_LENIENT_JUNK = '"" spark "dup" "join hash" "dangling tail'
 
 ROUND = 6
 
@@ -437,6 +442,25 @@ def q_phrase_topk_blocks(spark, sf_dir):
                                                      round_to=ROUND)
 
 
+def q_bm25_topk_mixed_phrase(spark, sf_dir):
+    """Lenient front-end (serve.rs:407-409) routing a mixed query —
+    one bare term + one quoted phrase — through term BM25 + phrase
+    BM25, conjunctive, clause scores summed."""
+    from prosearch_spark.query.mixed import mixed_topk
+
+    return mixed_topk(spark, _docs(spark, sf_dir), Q_MIXED_PHRASE, 10,
+                      round_to=ROUND)
+
+
+def q_bm25_topk_lenient_junk(spark, sf_dir):
+    """Lenient clause-dropping: empty phrase, one-token phrase fold,
+    dangling-quote tail — the surviving clauses score normally."""
+    from prosearch_spark.query.mixed import mixed_topk
+
+    return mixed_topk(spark, _docs(spark, sf_dir), Q_LENIENT_JUNK, 10,
+                      round_to=ROUND)
+
+
 def q_bpe_token_count(spark, sf_dir):
     """BPE-style pre-token counting (training-data corpus costing)."""
     return _docs(spark, sf_dir).select(
@@ -540,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "phrase_topk_repeat": q_phrase_topk_repeat,
         "phrase_topk_blocks": q_phrase_topk_blocks,
+        "bm25_topk_mixed_phrase": q_bm25_topk_mixed_phrase,
+        "bm25_topk_lenient_junk": q_bm25_topk_lenient_junk,
         # scalar text transforms (T1-T12, SURVEY §2.3)
         "content_sha256": q_content_sha256,
         "whitespace_collapse": q_whitespace_collapse,
@@ -646,6 +672,10 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),
+        "bm25_topk_mixed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
+                                                      ROUND),
+        "bm25_topk_lenient_junk": osql.mixed_topk_sql(Q_LENIENT_JUNK, 10,
+                                                      ROUND),
         "phrase_topk": osql.phrase_topk_sql("join hash", 10, ROUND),
         "phrase_topk_repeat": osql.phrase_topk_sql("table table", 10, ROUND),
         "phrase_topk_blocks": osql.phrase_topk_sql("join hash", 10, ROUND),

@@ -318,6 +318,45 @@ def analyze_query(q: str) -> list[tuple[str, float]]:
     return out
 
 
+def parse_query_lenient(q: str) -> list[tuple[str, object]]:
+    """Lenient user-query grammar (serve.rs:407-409
+    ``parse_query_lenient``: bad clauses are DROPPED, never an error),
+    extended with the quoted-phrase syntax the positional index
+    supports:
+
+    - a quoted span becomes ONE phrase clause, tokens white-lowercased;
+    - bare tokens become term clauses with the T5 boost rule
+      (serve.rs:388-405 — boosts match the RAW whitespace token);
+    - a one-token phrase folds into an exact term clause at boost 1.0
+      (the reference quotes every token for exactly this equivalence,
+      serve.rs:270-299);
+    - empty quotes and text after a dangling quote are dropped.
+
+    Returns ``[("term", (term, boost)) | ("phrase", [terms])]``;
+    clauses are conjunctive, like the reference's
+    ``set_conjunction_by_default`` (serve.rs:343-344).
+    """
+    clauses: list[tuple[str, object]] = []
+    parts = q.split('"')
+    for i, part in enumerate(parts):
+        inside = i % 2 == 1
+        if inside and i == len(parts) - 1:
+            continue  # unterminated quote -> bad clause, dropped
+        if inside:
+            terms = [t.lower() for t in part.split()]
+            if not terms:
+                continue  # empty phrase dropped
+            if len(terms) == 1:
+                clauses.append(("term", (terms[0], 1.0)))
+            else:
+                clauses.append(("phrase", terms))
+        else:
+            for raw in part.split():
+                boost = TERM_BOOST if raw in BOOST_TERMS else 1.0
+                clauses.append(("term", (raw.lower(), boost)))
+    return clauses
+
+
 def query_terms_df(spark, q: str):
     """[(term, boost)] as a broadcastable one-row-per-clause DataFrame."""
     rows = analyze_query(q)
@@ -334,6 +373,7 @@ __all__: Iterable[str] = [
     "TERM_BOOST",
     "escape_query_term",
     "analyze_query",
+    "parse_query_lenient",
     "query_terms_df",
     "LANG_STOPWORDS",
 ]

@@ -72,3 +72,45 @@ def test_escape_reference_cases():
     assert escape_query_term('"AND"') == '"\\"AND\\""'
     assert escape_query_term("'OR'") == "\"\\'OR\\'\""
     assert escape_query_term("a\\b") == '"a\\\\b"'
+
+
+def test_parse_query_lenient_mixed():
+    from prosearch_spark.analyzer import parse_query_lenient
+
+    assert parse_query_lenient('spark "join hash"') == [
+        ("term", ("spark", 1.0)),
+        ("phrase", ["join", "hash"]),
+    ]
+
+
+def test_parse_query_lenient_drops_bad_clauses():
+    from prosearch_spark.analyzer import parse_query_lenient
+
+    # empty phrase dropped; 1-token phrase folds to a term clause;
+    # dangling-quote tail dropped (serve.rs:407-409 lenient semantics)
+    got = parse_query_lenient('"" spark "dup" "join hash" "dangling tail')
+    assert got == [
+        ("term", ("spark", 1.0)),
+        ("term", ("dup", 1.0)),
+        ("phrase", ["join", "hash"]),
+    ]
+    assert parse_query_lenient('"') == []
+    assert parse_query_lenient("") == []
+
+
+def test_parse_query_lenient_boosts_bare_terms_only():
+    from prosearch_spark.analyzer import parse_query_lenient
+
+    got = parse_query_lenient('python "python rust"')
+    assert got == [
+        ("term", ("python", 2.5)),
+        ("phrase", ["python", "rust"]),
+    ]
+
+
+def test_parse_query_lenient_lowercases_phrase_tokens():
+    from prosearch_spark.analyzer import parse_query_lenient
+
+    assert parse_query_lenient('"Join HASH"') == [
+        ("phrase", ["join", "hash"]),
+    ]
