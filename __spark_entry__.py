@@ -442,6 +442,16 @@ def q_phrase_topk_blocks(spark, sf_dir):
                                                      round_to=ROUND)
 
 
+def q_bm25_topk_quantized(spark, sf_dir):
+    """BM25 with the 1-byte fieldnorm codebook ON (meta.json:13,27;
+    SURVEY §4.3): dl round-trips through the 256-entry table on BOTH
+    engine and oracle sides."""
+    from prosearch_spark.index.fieldnorm import build_quantized_index
+
+    idx = build_quantized_index(_docs(spark, sf_dir), text_col="text")
+    return SearchEngine(spark, idx).topk(Q_AND2, 10, round_to=ROUND)
+
+
 def q_bm25_topk_mixed_phrase(spark, sf_dir):
     """Lenient front-end (serve.rs:407-409) routing a mixed query —
     one bare term + one quoted phrase — through term BM25 + phrase
@@ -566,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_blocks": q_phrase_topk_blocks,
         "bm25_topk_mixed_phrase": q_bm25_topk_mixed_phrase,
         "bm25_topk_lenient_junk": q_bm25_topk_lenient_junk,
+        "bm25_topk_quantized": q_bm25_topk_quantized,
         # scalar text transforms (T1-T12, SURVEY §2.3)
         "content_sha256": q_content_sha256,
         "whitespace_collapse": q_whitespace_collapse,
@@ -672,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),
+        "bm25_topk_quantized": osql.quantized_topk_sql(Q_AND2, 10, ROUND),
         "bm25_topk_mixed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
                                                       ROUND),
         "bm25_topk_lenient_junk": osql.mixed_topk_sql(Q_LENIENT_JUNK, 10,

@@ -325,6 +325,65 @@ FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def quantized_topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
+    """topk_sql with 1-byte-codebook-quantized dl (B9, meta.json:13,27):
+    postings score with the decoded fieldnorm, avgdl is the mean of the
+    decoded norms. The codebook literals come from the SAME Python
+    table the Spark engine uses (index/fieldnorm.FIELDNORM_TABLE), so
+    quantization is pure integer algebra on both sides."""
+    from prosearch_spark.index.fieldnorm import quantize_dl_sql
+
+    qcte, n_clauses = _query_clause_cte(q)
+    score = _qualify(SCORE_EXPR)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ) WHERE term <> ''
+),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM toks GROUP BY doc_id, term
+),
+dlq AS (
+    SELECT doc_id, {quantize_dl_sql('dl')}::BIGINT AS dl
+    FROM (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id)
+),
+postings AS (
+    SELECT t.term, t.doc_id, t.tf, d.dl FROM tf t JOIN dlq d USING (doc_id)
+),
+term_stats AS (
+    SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+stats AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+           (SELECT sum(dl) FROM dlq) * 1.0
+               / (SELECT count(*) FROM documents) AS avgdl
+),
+{qcte},
+scored AS (
+    SELECT p.doc_id AS doc_id, {score} AS s
+    FROM qterms q
+    JOIN postings p ON p.term = q.term
+    JOIN term_stats t ON t.term = q.term
+    CROSS JOIN stats
+),
+docs_scored AS (
+    SELECT doc_id, sum(s) AS score, count(*) AS nmatch
+    FROM scored GROUP BY doc_id
+    HAVING count(*) = {n_clauses}
+),
+rounded AS (
+    SELECT doc_id, round(score, {round_to}) AS score FROM docs_scored
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+       doc_id, score
+FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def mixed_topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
     """Oracle for the lenient mixed grammar (query/mixed.mixed_topk):
     bare tokens score as term clauses, quoted spans as phrase clauses

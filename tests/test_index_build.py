@@ -80,3 +80,73 @@ def test_code_analyzer_index(spark, corpus, corpus_rows):
         for t, n in c.items():
             expected[(t, d["doc_id"])] = n
     assert got == expected
+
+
+def test_fieldnorm_codebook_shape():
+    from prosearch_spark.index.fieldnorm import (
+        FIELDNORM_TABLE,
+        fieldnorm_to_id,
+        id_to_fieldnorm,
+        quantize_dl_py,
+    )
+
+    # exact 0-40 (meta.json:13,27 shape), geometric above
+    assert FIELDNORM_TABLE[:41] == list(range(41))
+    assert len(FIELDNORM_TABLE) == 256
+    assert all(b > a for a, b in zip(FIELDNORM_TABLE, FIELDNORM_TABLE[1:]))
+    for dl in range(41):
+        assert quantize_dl_py(dl) == dl
+    # round-down semantics: stored norm never exceeds the true length
+    for dl in [41, 45, 100, 1000, 10**6]:
+        q = quantize_dl_py(dl)
+        assert q <= dl
+        fid = fieldnorm_to_id(dl)
+        assert id_to_fieldnorm(fid) == q
+        if fid < 255:
+            assert id_to_fieldnorm(fid + 1) > dl
+    # 1 byte of dynamic range covers any real document
+    assert FIELDNORM_TABLE[-1] > 2**31
+
+
+def test_quantized_index_scores_with_decoded_norms(spark):
+    """Long docs (dl > 40) must score with the codebook value, not the
+    exact dl, and Spark must agree with the pure-Python twin."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.index.fieldnorm import (
+        build_quantized_index,
+        quantize_dl_py,
+    )
+    from prosearch_spark.query.bm25 import bm25_py
+    from prosearch_spark.query.engine import SearchEngine
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 50 + cast(id as int) * 7), "
+            "i -> CASE WHEN i = 1 AND id % 3 = 0 THEN 'needle' "
+            "ELSE concat('w', pmod(id * 31 + i, 97)) END))"
+        ).alias("text"),
+        F.lit("md").alias("lang"),
+    )
+    idx = build_quantized_index(docs, text_col="text")
+    got = {r["doc_id"]: r["score"]
+           for r in SearchEngine(spark, idx).topk("needle", 10).collect()}
+    assert got  # needle matches exist
+
+    # python twin: recompute each matching doc's score from raw lengths
+    rows = docs.collect()
+    lens = {r["doc_id"]: len(r["text"].split()) for r in rows}
+    matches = {r["doc_id"] for r in rows
+               if "needle" in r["text"].lower().split()}
+    n = len(rows)
+    avgdl = sum(quantize_dl_py(l) for l in lens.values()) / n
+    df = len(matches)
+    # the codebook actually fires somewhere (some length is lossy)
+    assert any(quantize_dl_py(l) != l for l in lens.values())
+    for d in got:
+        dl_q = quantize_dl_py(lens[d])
+        exp = bm25_py(1, df, dl_q, n, avgdl)
+        assert math.isclose(got[d], exp, rel_tol=1e-12), (d, got[d], exp)
