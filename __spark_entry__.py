@@ -442,6 +442,31 @@ def q_phrase_topk_blocks(spark, sf_dir):
                                                      round_to=ROUND)
 
 
+def q_bm25_topk_fastfield(spark, sf_dir):
+    """Typed fast-field slice (new.rs:136-231; fast:true meta.json:34-46):
+    an i64 (n_chars) and a Date (crawl_date, derived deterministically
+    from doc_id) are carried columnar through doc_stats and filter the
+    matches before ranking, with the predicate pushed into the parquet
+    scan."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "crawl_date",
+        F.expr("date_add(DATE'2020-01-01', cast(doc_id % 365 as int))"),
+    )
+    path = tempfile.mkdtemp(prefix="prosearch_ff_")
+    art = save_index(spark, docs, path, text_col="text",
+                     fast_fields={"n_chars": "n_chars",
+                                  "crawl_date": "crawl_date"})
+    return BlockSearchEngine(spark, art).topk_filtered(
+        Q_SINGLE, "n_chars < 350 AND crawl_date >= DATE'2020-03-01'",
+        10, round_to=ROUND,
+    )
+
+
 def q_bm25_topk_quantized(spark, sf_dir):
     """BM25 with the 1-byte fieldnorm codebook ON (meta.json:13,27;
     SURVEY §4.3): dl round-trips through the 256-entry table on BOTH
@@ -577,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_mixed_phrase": q_bm25_topk_mixed_phrase,
         "bm25_topk_lenient_junk": q_bm25_topk_lenient_junk,
         "bm25_topk_quantized": q_bm25_topk_quantized,
+        "bm25_topk_fastfield": q_bm25_topk_fastfield,
         # scalar text transforms (T1-T12, SURVEY §2.3)
         "content_sha256": q_content_sha256,
         "whitespace_collapse": q_whitespace_collapse,
@@ -684,6 +710,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),
         "bm25_topk_quantized": osql.quantized_topk_sql(Q_AND2, 10, ROUND),
+        "bm25_topk_fastfield": osql.topk_filtered_sql(
+            Q_SINGLE,
+            "d.n_chars < 350 AND "
+            "(DATE '2020-01-01' + (d.doc_id % 365)::INT) >= DATE '2020-03-01'",
+            10, ROUND,
+        ),
         "bm25_topk_mixed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
                                                       ROUND),
         "bm25_topk_lenient_junk": osql.mixed_topk_sql(Q_LENIENT_JUNK, 10,

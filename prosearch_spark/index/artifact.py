@@ -272,6 +272,7 @@ class IndexArtifact:
                 n_buckets=self.n_buckets, analyzer=self.manifest["analyzer"],
                 doc_store=store,
                 record_basic=self.manifest.get("record_basic", False),
+                fast_fields=self.manifest.get("fast_fields") or None,
             )
         finally:
             alive.unpersist()
@@ -281,7 +282,8 @@ def save_index(spark: SparkSession, docs: DataFrame, path: str,
                text_col: str = "text", id_col: str = "doc_id",
                analyzer: str = "white_lower", lang_col: str = "lang",
                n_buckets: int = 16, record_basic: bool = False,
-               with_positions: bool = False) -> IndexArtifact:
+               with_positions: bool = False,
+               fast_fields: dict[str, str] | None = None) -> IndexArtifact:
     """Build + commit an index artifact from a document DataFrame.
 
     ``record_basic=True`` stores tf=1 for every posting — the
@@ -291,6 +293,11 @@ def save_index(spark: SparkSession, docs: DataFrame, path: str,
     ``with_positions=True`` stores per-posting token positions in the
     blocks — ``record:"position"`` (meta.json:21-33) — enabling phrase
     queries over the committed artifact.
+    ``fast_fields`` maps fast-field name -> source column: typed
+    per-doc values (i64/f64/date/bool..., new.rs:136-231) stored
+    COLUMNAR next to dl in doc_stats — the Tantivy ``fast:true``
+    analog (meta.json:34-46) — filterable at query time with parquet
+    predicate pushdown (BlockSearchEngine.topk_filtered).
     """
     if with_positions:
         if analyzer != "white_lower":
@@ -322,9 +329,14 @@ def save_index(spark: SparkSession, docs: DataFrame, path: str,
         # This is the one n_docs definition shared by save/merge/upsert/
         # lineage-finalize (n_docs = count(doc_stats)) so BM25 stats
         # never drift between build paths on corpora with empty docs.
-        doc_stats = docs.select(F.col(id_col).alias("doc_id")).join(
+        ff = fast_fields or {}
+        doc_stats = docs.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(src).alias(name) for name, src in ff.items()],
+        ).join(
             postings.select("doc_id", "dl").distinct(), "doc_id", "left"
-        ).select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+        ).select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+                 *ff.keys())
         agg = doc_stats.agg(
             F.sum("dl").alias("total"), F.count("*").alias("n")
         ).collect()[0]
@@ -335,7 +347,7 @@ def save_index(spark: SparkSession, docs: DataFrame, path: str,
             spark, path, postings, term_stats, doc_stats,
             n_docs=n_docs, avgdl=avgdl,
             n_buckets=n_buckets, analyzer=analyzer,
-            record_basic=record_basic,
+            record_basic=record_basic, fast_fields=fast_fields,
         )
     finally:
         postings.unpersist()
@@ -377,7 +389,9 @@ def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
                     n_docs: int, avgdl: float, n_buckets: int,
                     analyzer: str,
                     doc_store: DataFrame | None = None,
-                    record_basic: bool = False) -> IndexArtifact:
+                    record_basic: bool = False,
+                    fast_fields: dict[str, str] | None = None
+                    ) -> IndexArtifact:
     # refuse to commit over a LIVE artifact: overwriting blocks under a
     # readable old manifest breaks the atomic-publish guarantee (a crash
     # mid-commit would leave a valid-looking manifest over torn data).
@@ -430,6 +444,9 @@ def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
         # so upsert/merge re-apply the same tf semantics to new postings
         # instead of silently mixing true-tf docs into a basic artifact.
         "record_basic": bool(record_basic),
+        # fast-field name -> SOURCE column on the document table, so
+        # upsert can re-derive the typed values for incoming docs
+        "fast_fields": dict(fast_fields or {}),
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     # atomic publish: manifest written last, via rename
@@ -490,9 +507,20 @@ def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
         term_stats = merged.groupBy("term").agg(F.count("*").alias("df"))
         # one n_docs definition (see save_index): old doc_stats minus
         # the upserted ids, plus EVERY new doc (zero-token docs at dl=0)
-        new_doc_stats = new_docs.select(F.col(id_col).alias("doc_id")).join(
+        ff = artifact.manifest.get("fast_fields") or {}
+        missing_ff = [s for s in ff.values() if s not in new_docs.columns]
+        if missing_ff:
+            raise ValueError(
+                f"artifact has fast_fields {ff}; new_docs lacks source "
+                f"columns {missing_ff}"
+            )
+        new_doc_stats = new_docs.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(src).alias(name) for name, src in ff.items()],
+        ).join(
             new_postings.select("doc_id", "dl").distinct(), "doc_id", "left"
-        ).select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+        ).select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+                 *ff.keys())
         old_doc_stats = artifact.doc_stats().join(
             F.broadcast(upsert_ids), "doc_id", "left_anti"
         )
@@ -532,6 +560,7 @@ def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
             analyzer=artifact.manifest["analyzer"],
             doc_store=store,
             record_basic=record_basic,
+            fast_fields=ff or None,
         )
     finally:
         merged.unpersist()

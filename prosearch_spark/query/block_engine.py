@@ -281,6 +281,26 @@ class BlockSearchEngine:
         finally:
             meta.unpersist()
 
+    def topk_filtered(self, q: str, predicate: str, k: int = 10,
+                      round_to: int | None = None) -> DataFrame:
+        """Fast-field filtered top-k: matches are restricted by a SQL
+        predicate over the typed doc_stats columns BEFORE ranking — the
+        Tantivy fast-field collector filter (``fast:true`` columns,
+        meta.json:34-46; typed-field options new.rs:136-231). The
+        predicate is pushed into the doc_stats parquet scan (plan-
+        pinned), then a semi-join keeps only qualifying docs; BM25
+        stats (df/avgdl/N) stay corpus-global, exactly like a filtered
+        Tantivy search."""
+        idx = self.index_for(q)
+        qualifying = self.artifact.doc_stats().filter(
+            F.expr(predicate)
+        ).select("doc_id")
+        postings = idx.postings.join(qualifying, "doc_id", "left_semi")
+        eng = SearchEngine(self.spark, InvertedIndex(
+            postings=postings, term_stats=idx.term_stats, stats=idx.stats,
+        ))
+        return eng.topk(q, k, round_to)
+
     def count(self, q: str) -> DataFrame:
         return self._engine(q).count(q)
 

@@ -325,6 +325,29 @@ FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def topk_filtered_sql(q: str, predicate: str, k: int = 10,
+                      round_to: int = 6) -> str:
+    """topk_sql with a fast-field predicate applied to matches BEFORE
+    ranking (Tantivy fast:true collector filter; new.rs:136-231 typed
+    fields). ``predicate`` is a boolean SQL expression over the
+    documents view aliased ``d``. BM25 stats stay corpus-global."""
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte},\n"
+        "filtered AS (\n"
+        "    SELECT m.doc_id, m.score FROM docs_scored m\n"
+        "    JOIN documents d USING (doc_id)\n"
+        f"    WHERE {predicate}\n"
+        "),\n"
+        "rounded AS (\n"
+        f"    SELECT doc_id, round(score, {round_to}) AS score FROM filtered\n"
+        ")\n"
+        "SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,\n"
+        "       doc_id, score\n"
+        f"FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
 def quantized_topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
     """topk_sql with 1-byte-codebook-quantized dl (B9, meta.json:13,27):
     postings score with the decoded fieldnorm, avgdl is the mean of the

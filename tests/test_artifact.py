@@ -149,3 +149,42 @@ def test_and_range_pruning_correct(spark, corpus, artifact):
         a = sorted(r["doc_id"] for r in flat.match_scan(q).collect())
         b = sorted(r["doc_id"] for r in blk.match_scan(q).collect())
         assert a == b, q
+
+
+def test_fast_fields_survive_upsert(spark, corpus, tmp_path):
+    """Typed fast-field columns (new.rs:136-231 analog) must be
+    re-derived for incoming docs and carried for surviving ones."""
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = corpus.withColumn("clen", F.length("content").cast("long"))
+    art = save_index(spark, docs, str(tmp_path / "g0"), text_col="content",
+                     fast_fields={"flen": "clen"})
+    assert art.manifest["fast_fields"] == {"flen": "clen"}
+    assert "flen" in art.doc_stats().columns
+
+    new_docs = docs.limit(3).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" extra extra"))
+    ).withColumn("clen", F.length("content").cast("long"))
+    art2 = upsert_docs(spark, art, new_docs, str(tmp_path / "g1"),
+                       text_col="content")
+    ds = art2.doc_stats()
+    assert "flen" in ds.columns
+    assert ds.count() == docs.count()
+    # the upserted docs carry the NEW value
+    upd = {r["doc_id"]: r["flen"] for r in
+           ds.join(new_docs.select("doc_id"), "doc_id").collect()}
+    exp = {r["doc_id"]: r["clen"] for r in new_docs.collect()}
+    assert upd == exp
+    # and the filtered query path works on the new generation
+    blk = BlockSearchEngine(spark, art2)
+    out = blk.topk_filtered("spark", "flen >= 0", 5)
+    assert out.count() > 0
+
+    # upsert without the source column must refuse, not silently drop
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fast_fields"):
+        upsert_docs(spark, art2, docs.limit(1).drop("clen"),
+                    str(tmp_path / "g2"), text_col="content")

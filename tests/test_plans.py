@@ -136,6 +136,20 @@ def test_knn_join_is_bucketed_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_fastfield_predicate_pushed_to_parquet(spark, corpus, tmp_path):
+    """The fast-field filter must reach the doc_stats parquet scan
+    (columnar fast-field read, not a post-scan Filter over all rows)."""
+    from pyspark.sql import functions as F
+
+    docs = corpus.withColumn("clen", F.length("content").cast("long"))
+    art = save_index(spark, docs, str(tmp_path / "ff"),
+                     text_col="content",
+                     fast_fields={"flen": "clen"})
+    plan = _plan(art.doc_stats().filter(F.expr("flen < 100")))
+    assert "PushedFilters: [IsNotNull(flen), LessThan(flen,100)]" in plan \
+        or "LessThan(flen,100)" in plan, plan[:800]
+
+
 def test_doc_fetch_is_broadcast(spark, corpus):
     eng = SearchEngine(spark, build_index(corpus, text_col="content"))
     hits = eng.topk("spark", 5)
