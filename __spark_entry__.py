@@ -22,6 +22,7 @@ from prosearch_spark.ops import dedup as dd
 from prosearch_spark.ops import similarity as sim
 from prosearch_spark.ops import textstats as ts
 from prosearch_spark.functions import crawl_ops as co
+from prosearch_spark.functions.text import remove_dot_segments_sql as osql_dot
 
 # fixed query set (FIXTURES.md §2): single / AND / rare / 3-term /
 # mixed-case / no-match / duplicated-clause shapes over the sf corpus
@@ -323,12 +324,19 @@ def q_salted_posting_summary(spark, sf_dir):
 
 # deterministic synthetic url per row, exercising every normalization
 # rule (uppercase scheme/host, default port, duplicate slashes,
-# fragment, query, root-only)
+# fragment, query, root-only, dot segments: /a/./b/../, climbing
+# sub/../../, and /c/./)
+_DOT_INFIX = (
+    "CASE WHEN doc_id % 8 = 0 THEN 'a/./b/../'"
+    " WHEN doc_id % 8 = 1 THEN 'sub/../../'"
+    " WHEN doc_id % 8 = 2 THEN 'c/./'"
+    " ELSE '' END"
+)
 _URL_EXPR = (
     "concat('HTTPS://', source, '.Example.COM',"
     " CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,"
     " CASE WHEN doc_id % 7 = 0 THEN '' ELSE"
-    "   concat('/docs//page', doc_id,"
+    f"   concat('/docs//', {_DOT_INFIX}, 'page', doc_id,"
     "          CASE WHEN doc_id % 5 = 0 THEN '?q=1' ELSE '' END,"
     "          CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) END)"
 )
@@ -336,13 +344,15 @@ _URL_EXPR = (
 
 # DuckDB twin of _URL_EXPR (identical construction; concat coerces
 # BIGINT doc_id in both dialects)
-_URL_SQL = (
-    "concat('HTTPS://', source, '.Example.COM',"
-    " CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,"
-    " CASE WHEN doc_id % 7 = 0 THEN '' ELSE"
-    "   concat('/docs//page', doc_id,"
-    "          CASE WHEN doc_id % 5 = 0 THEN '?q=1' ELSE '' END,"
-    "          CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) END)"
+_URL_SQL = _URL_EXPR
+
+# dot-segment removal over the path-only slice of u4 (the oracle's
+# step-4 output), precomputed because f-string expressions cannot
+# contain backslashes
+_URL_DOT_SQL = osql_dot(
+    "regexp_extract(regexp_replace(u4,"
+    " '^[a-z][a-z0-9+.\\-]*://[^/?#]*', ''),"
+    " '^([^?#]*)', 1)"
 )
 
 
@@ -686,14 +696,21 @@ def oracle_sql() -> dict[str, str]:
             step4 AS (  -- removeDuplicateSlashes (path only)
                 SELECT doc_id, url,
                        regexp_extract(u3, '^([a-z][a-z0-9+.\\-]*://[^/?#]*)', 1)
-                       || regexp_replace(regexp_replace(u3, '^[a-z][a-z0-9+.\\-]*://[^/?#]*', ''), '//+', '/', 'g') AS url_norm
+                       || regexp_replace(regexp_replace(u3, '^[a-z][a-z0-9+.\\-]*://[^/?#]*', ''), '//+', '/', 'g') AS u4
                 FROM step3
+            ),
+            step5 AS (  -- removeDotSegments (path only, before query)
+                SELECT doc_id, url,
+                       regexp_extract(u4, '^([a-z][a-z0-9+.\\-]*://[^/?#]*)', 1)
+                       || {_URL_DOT_SQL}
+                       || regexp_replace(regexp_replace(u4, '^[a-z][a-z0-9+.\\-]*://[^/?#]*', ''), '^[^?#]*', '') AS url_norm
+                FROM step4
             )
             SELECT doc_id, url_norm,
                    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1) AS host,
                    regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS stripped,
                    regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+/?$') AS is_root
-            FROM step4
+            FROM step5
         """,
         "title_fallback_len": f"""
             WITH d AS (

@@ -14,12 +14,82 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# dot-segment removal (RFC 3986 §5.2.4) as a BOUNDED REWRITE: each pass
+# collapses /./, /seg/../ (leftmost-first protects a literal '..' from
+# being consumed as seg anywhere it matters), and leading /../ ; real
+# paths are < 8 segments deep, and both engines apply the identical
+# pass count with identical replace-ALL semantics, so engine == oracle
+# by construction (pytest additionally pins the result against a pure
+# RFC 5.2.4 Python twin on a case catalog).
+DOT_PASSES = 8
+_DOT_RULES = [
+    (r"/\./", "/"),          # /a/./b -> /a/b
+    (r"/\.$", "/"),          # /a/.   -> /a/
+    (r"/[^/]+/\.\./", "/"),  # /a/../ -> /
+    (r"/[^/]+/\.\.$", "/"),  # /a/..  -> /
+    (r"^/\.\./", "/"),       # leading /../ -> /
+    (r"^/\.\.$", "/"),       # bare /..     -> /
+]
+
+
+def _remove_dot_segments_col(path: Column) -> Column:
+    p = path
+    for _ in range(DOT_PASSES):
+        for pat, rep in _DOT_RULES:
+            p = F.regexp_replace(p, pat, rep)
+    return p
+
+
+def remove_dot_segments_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_remove_dot_segments_col` — the same rules
+    in the same order with the 'g' (replace-all) flag."""
+    p = expr
+    for _ in range(DOT_PASSES):
+        for pat, rep in _DOT_RULES:
+            # DuckDB standard strings don't process backslashes — emit
+            # the Java-regex pattern verbatim (RE2-compatible subset)
+            sql_pat = pat.replace("'", "''")
+            p = f"regexp_replace({p}, '{sql_pat}', '{rep}', 'g')"
+    return p
+
+
+def remove_dot_segments_py(path: str) -> str:
+    """Pure RFC 3986 §5.2.4 implementation — the test oracle for the
+    bounded-rewrite formulation above."""
+    out: list[str] = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if out:
+                out.pop()
+        elif buf == "/..":
+            buf = "/"
+            if out:
+                out.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            i = buf.find("/", 1)
+            seg, buf = (buf, "") if i < 0 else (buf[:i], buf[i:])
+            out.append(seg)
+    return "".join(out)
+
+
 def url_normalize(url: Column | str) -> Column:
-    """T6 (CrawlerRunner.java:26-38) — the expressible subset:
-    removeFragment, lowerCaseSchemeHost, removeDefaultPort,
-    removeDuplicateSlashes (path only). Dot-segment removal and
-    escape-sequence normalization need stateful parsing and live in
-    the crawler, not the index; they are documented out of scope.
+    """T6 (CrawlerRunner.java:26-38): removeFragment,
+    lowerCaseSchemeHost, removeDefaultPort, removeDuplicateSlashes
+    (path only), removeDotSegments (path only, before the query).
+    Escape-sequence normalization needs stateful percent parsing and
+    stays documented out of scope.
     """
     u = _c(url)
     u = F.regexp_replace(u, r"#.*$", "")  # removeFragment
@@ -38,7 +108,12 @@ def url_normalize(url: Column | str) -> Column:
             r"//+", "/",
         ),
     )
-    return u
+    # removeDotSegments on the PATH only (query/fragment untouched)
+    prefix = F.regexp_extract(u, r"^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1)
+    rest = F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    tail = F.regexp_replace(rest, r"^[^?#]*", "")
+    return F.concat(prefix, _remove_dot_segments_col(path), tail)
 
 
 def host_of(url: Column | str) -> Column:

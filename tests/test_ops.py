@@ -246,3 +246,49 @@ def test_stats_zero_fill(spark):
     out = co.stats_with_zero_fill(spark, df, ["a", "b", "c"])
     got = {r["host"]: r["urls"] for r in out.collect()}
     assert got == {"a": 2, "b": 1, "c": 0}
+
+
+def test_dot_segment_removal_matches_rfc(spark):
+    """The bounded-rewrite formulation must agree with a pure RFC 3986
+    §5.2.4 implementation on realistic path shapes (both engines apply
+    the identical rewrite, so this pins semantic correctness once)."""
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.functions.text import (
+        _remove_dot_segments_col,
+        remove_dot_segments_py,
+    )
+
+    cases = [
+        "/a/./b/../c", "/a/b/../../c", "/./a", "/a/.", "/a/..", "/..",
+        "/../a", "/../../a", "/a/../../b", "/a/b/c/../../../d",
+        "/a/./././b", "/a/../b/../c/../d", "/", "", "/a/b/c",
+        "/.hidden/./x", "/a/..b/c", "/..a/../b", "/a/b/..",
+        "/sub/../../page", "/docs/a/./b/../page9",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "p string")
+    got = {r["p"]: r["out"] for r in df.withColumn(
+        "out", _remove_dot_segments_col(F.col("p"))).collect()}
+    for c in cases:
+        assert got[c] == remove_dot_segments_py(c), (
+            c, got[c], remove_dot_segments_py(c))
+
+
+def test_dot_segment_sql_matches_spark(spark):
+    """The DuckDB twin produces byte-identical output."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.functions.text import (
+        _remove_dot_segments_col,
+        remove_dot_segments_sql,
+    )
+
+    cases = ["/a/./b/../c", "/sub/../../page", "/c/./x", "/..", "/a/b/.."]
+    df = spark.createDataFrame([(c,) for c in cases], "p string")
+    got = {r["p"]: r["out"] for r in df.withColumn(
+        "out", _remove_dot_segments_col(F.col("p"))).collect()}
+    con = duckdb.connect()
+    for c in cases:
+        sql = "SELECT " + remove_dot_segments_sql("'" + c + "'")
+        assert con.execute(sql).fetchone()[0] == got[c], c
