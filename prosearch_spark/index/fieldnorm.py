@@ -50,12 +50,14 @@ def quantize_dl_py(dl: int) -> int:
     return FIELDNORM_TABLE[fieldnorm_to_id(dl)]
 
 
-_TABLE_ARRAY = F.array(*[F.lit(v).cast("long") for v in FIELDNORM_TABLE])
-
-
 def quantize_dl_col(dl: Column) -> Column:
-    """Spark twin of :func:`quantize_dl_py` (pure integer algebra)."""
-    return F.array_max(F.filter(_TABLE_ARRAY, lambda v: v <= dl))
+    """Spark twin of :func:`quantize_dl_py` (pure integer algebra).
+
+    The literal array is built lazily — F.lit needs an active
+    SparkContext, and the DRIVER imports this module (via
+    oracle_sql generators) before any session exists."""
+    table = F.array(*[F.lit(v).cast("long") for v in FIELDNORM_TABLE])
+    return F.array_max(F.filter(table, lambda v: v <= dl))
 
 
 def quantize_dl_sql(dl_expr: str) -> str:

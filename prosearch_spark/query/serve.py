@@ -69,3 +69,47 @@ class Searcher:
             self.engine.topk(q, k).collect()
             out[q] = round(time.perf_counter() - t0, 4)
         return out
+
+    def api_lenient(self, q: str, nhits: int = 10) -> dict:
+        """The /api responder through the LENIENT grammar
+        (serve.rs:407-409): quoted spans run as phrase clauses, bad
+        clauses are dropped. Queries without quotes take the plain
+        engine path (identical scoring, no positional build)."""
+        from prosearch_spark.analyzer import parse_query_lenient
+        from prosearch_spark.query.mixed import mixed_topk
+
+        clauses = parse_query_lenient(q)
+        if '"' not in q:
+            # no quotes -> the lenient parse IS analyze_query's clause
+            # list (same raw-token boost rule); take the plain engine
+            # path and skip the positional build
+            return self.api(q, nhits)
+        t0 = time.perf_counter()
+        hits = mixed_topk(self.spark, self.docs, q, nhits,
+                          text_col=self.body_col, id_col=self.id_col)
+        fetched = self.engine.fetch(
+            hits,
+            self.docs.select(self.id_col, self.body_col, *self.display_cols),
+            self.id_col,
+        )
+        # highlight using every clause's terms
+        flat_terms = " ".join(
+            c[0] if kind == "term" else " ".join(c)
+            for kind, c in clauses
+        )
+        fetched = with_snippet(fetched, flat_terms, self.body_col)
+        rows = fetched.orderBy("rank").collect()
+        ms = (time.perf_counter() - t0) * 1000.0
+        return {
+            "q": q,
+            "num_hits": len(rows),
+            "hits": [
+                {
+                    "doc": {c: r[c] for c in
+                            ("rank", "doc_id", "score", *self.display_cols)},
+                    "snip": r["snip"],
+                }
+                for r in rows
+            ],
+            "timings_ms": round(ms, 3),
+        }

@@ -60,8 +60,9 @@ def test_queries_have_oracles_or_are_flagged():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # non-SQL-expressible exceptions only:
-    assert set(qs) - set(oracles) == {"search_snippet"}
+    # every entry is oracle-gated since round 2 (snippets gained a SQL
+    # oracle); no rows-only exceptions remain
+    assert set(qs) - set(oracles) == set()
 
 
 @pytest.mark.parametrize("name", SAMPLE)

@@ -69,3 +69,30 @@ def test_corrupt_ndjson_rows_skipped(spark, tmp_path):
     # and the good rows index cleanly
     idx = build_index(good, text_col="text")
     assert idx.postings.count() > 0
+
+
+def test_api_lenient_phrase(spark, corpus):
+    """Quoted phrase routes through mixed scoring; result shape matches
+    the plain /api responder and the phrase highlights in the snippet."""
+    s = _searcher(spark, corpus)
+    serp = s.api_lenient('spark "merge commit"', nhits=5)
+    assert serp["q"] == 'spark "merge commit"'
+    if serp["num_hits"]:
+        hit = serp["hits"][0]
+        assert set(hit) == {"doc", "snip"}
+        assert "content" not in hit["doc"]
+    # unquoted queries take the plain path and agree with api()
+    a = s.api("spark shuffle", nhits=5)
+    b = s.api_lenient("spark shuffle", nhits=5)
+    assert [h["doc"]["doc_id"] for h in a["hits"]] == \
+        [h["doc"]["doc_id"] for h in b["hits"]]
+
+
+def test_api_lenient_phrase_restricts_matches(spark, corpus):
+    """A quoted phrase must be stricter than the same tokens unquoted."""
+    s = _searcher(spark, corpus)
+    loose = s.api("merge commit", nhits=100000)
+    tight = s.api_lenient('"merge commit"', nhits=100000)
+    loose_ids = {h["doc"]["doc_id"] for h in loose["hits"]}
+    tight_ids = {h["doc"]["doc_id"] for h in tight["hits"]}
+    assert tight_ids <= loose_ids
