@@ -14,21 +14,27 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-# dot-segment removal (RFC 3986 §5.2.4) as a BOUNDED REWRITE: each pass
-# collapses /./, /seg/../ (leftmost-first protects a literal '..' from
-# being consumed as seg anywhere it matters), and leading /../ ; real
-# paths are < 8 segments deep, and both engines apply the identical
+# dot-segment removal (RFC 3986 §5.2.4) as a BOUNDED REWRITE. Each of
+# the rules below performs only RFC-valid reductions (removing /./
+# anywhere, popping a REAL segment before /../, dropping a leading
+# /../) — the rewrite system is confluent, so iterating to a fixed
+# point yields exactly the RFC result. _SEG matches any path segment
+# EXCEPT '.' and '..' (a literal dot-dir consumed as the popped
+# segment was the round-2 review's fuzz-confirmed bug): it must start
+# with a non-dot, or be '.x...', or be '..x...'. Real paths are well
+# under 12 chained dot-segments deep; both engines apply the identical
 # pass count with identical replace-ALL semantics, so engine == oracle
-# by construction (pytest additionally pins the result against a pure
-# RFC 5.2.4 Python twin on a case catalog).
-DOT_PASSES = 8
+# by construction, and pytest fuzzes the result against a pure RFC
+# 5.2.4 Python twin.
+DOT_PASSES = 12
+_SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
 _DOT_RULES = [
-    (r"/\./", "/"),          # /a/./b -> /a/b
-    (r"/\.$", "/"),          # /a/.   -> /a/
-    (r"/[^/]+/\.\./", "/"),  # /a/../ -> /
-    (r"/[^/]+/\.\.$", "/"),  # /a/..  -> /
-    (r"^/\.\./", "/"),       # leading /../ -> /
-    (r"^/\.\.$", "/"),       # bare /..     -> /
+    (r"/\./", "/"),               # /a/./b -> /a/b
+    (r"/\.$", "/"),               # /a/.   -> /a/
+    (rf"/{_SEG}/\.\./", "/"),     # /a/../ -> /   (a != '.', '..')
+    (rf"/{_SEG}/\.\.$", "/"),     # /a/..  -> /
+    (r"^/\.\./", "/"),            # leading /../ -> /
+    (r"^/\.\.$", "/"),            # bare /..     -> /
 ]
 
 

@@ -261,10 +261,14 @@ class IndexArtifact:
             n_docs = int(agg["n"] or 0)
             avgdl = (agg["total"] or 0) / n_docs if n_docs else 0.0
             # carry the doc store forward, minus tombstoned docs;
-            # written inside _write_artifact BEFORE the manifest
+            # filtered against DOC_STATS-minus-tombstones, not alive
+            # postings: a zero-token doc has no postings but still
+            # exists in doc_stats/n_docs, and its stored fields must
+            # survive. Written inside _write_artifact BEFORE the
+            # manifest.
             store = self.doc_store()
             if store is not None:
-                store = store.join(alive.select("doc_id").distinct(),
+                store = store.join(doc_stats.select("doc_id"),
                                    "doc_id", "left_semi")
             return _write_artifact(
                 self.spark, out_path, alive, term_stats, doc_stats,
@@ -548,8 +552,12 @@ def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
                     f"{store.columns}; new_docs lacks {missing} — provide "
                     "the stored fields on the upserted docs"
                 )
-            store = store.join(F.broadcast(upsert_ids), "doc_id", "left_anti"
-                               ).unionByName(
+            keep = store.join(F.broadcast(upsert_ids), "doc_id", "left_anti")
+            if deletes is not None:
+                # tombstoned docs are physically applied in the new
+                # generation — their stored rows must not survive either
+                keep = keep.join(F.broadcast(deletes), "doc_id", "left_anti")
+            store = keep.unionByName(
                 new_docs.select(F.col(id_col).alias("doc_id"),
                                 *[c for c in store.columns if c != "doc_id"])
             )

@@ -178,6 +178,14 @@ class ResumableIndexBuild:
         missing = set(range(self.n_splits)) - self.completed_splits()
         if missing:
             raise RuntimeError(f"cannot finalize; incomplete splits: {sorted(missing)}")
+        idx_path = os.path.join(self.path, "index")
+        if os.path.exists(os.path.join(idx_path, "manifest.json")):
+            # resume path (B11): a previous finalize() already published
+            # the manifest (and possibly crashed before metrics.json).
+            # _write_artifact refuses to overwrite a live commit, so
+            # load it and complete the metrics write idempotently.
+            artifact = IndexArtifact.load(self.spark, idx_path)
+            return artifact, self._write_metrics(artifact, extra_wall=0.0)
         t0 = time.perf_counter()
         partials = self.spark.read.parquet(os.path.join(self.path, "partials"))
         postings = partials.select("term", "doc_id", "tf", "dl")
@@ -203,8 +211,14 @@ class ResumableIndexBuild:
             n_docs=n_docs, avgdl=avgdl,
             n_buckets=self.n_buckets, analyzer=self.analyzer,
         )
+        return artifact, self._write_metrics(
+            artifact, extra_wall=time.perf_counter() - t0
+        )
+
+    def _write_metrics(self, artifact: IndexArtifact,
+                       extra_wall: float) -> BuildMetrics:
         lineage = self.lineage()
-        build_wall = sum(r["wall_sec"] for r in lineage) + (time.perf_counter() - t0)
+        build_wall = sum(r["wall_sec"] for r in lineage) + extra_wall
         bytes_out = _dir_bytes(os.path.join(self.path, "index"))
         metrics = BuildMetrics(
             n_docs=sum(r["n_docs"] for r in lineage),
@@ -228,7 +242,7 @@ class ResumableIndexBuild:
                 "files_per_sec": round(metrics.files_per_sec, 2),
                 "postings_per_sec": round(metrics.postings_per_sec, 2),
             }, f)
-        return artifact, metrics
+        return metrics
 
     def verify_content_sha(self) -> bool:
         """Per-row invariant (input_hint): the XOR-fold of sha256 over

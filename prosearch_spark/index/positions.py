@@ -91,32 +91,36 @@ def phrase_matches(postings: DataFrame, phrase_terms: list[str]) -> DataFrame:
     )
 
 
+def phrase_scores(m: DataFrame, phrase_df: int,
+                  n_docs_avgdl: DataFrame) -> DataFrame:
+    """(doc_id, s): BM25 of the SYNTHETIC phrase term over matched docs
+    — tf = phrase frequency, df = phrase doc frequency, boost 1.0
+    (Lucene PhraseQuery shape). Shared by phrase_topk and the mixed
+    lenient engine so the phrase algebra exists once."""
+    return (
+        m.withColumn("df", F.lit(int(phrase_df)))
+        .crossJoin(F.broadcast(n_docs_avgdl))
+        .withColumn("boost", F.lit(1.0))
+        .withColumn("s", F.expr(SCORE_EXPR))
+        .select("doc_id", "s")
+    )
+
+
 def phrase_topk(spark: SparkSession, postings: DataFrame,
                 n_docs_avgdl: DataFrame, phrase: str, k: int = 10,
                 round_to: int | None = None) -> DataFrame:
     """BM25 top-k for an exact phrase: tf = phrase frequency, df = the
     phrase's document frequency (Lucene PhraseQuery scoring shape)."""
+    from prosearch_spark.query.engine import materialize_topk, rank_topk
+
     terms = [t for t, _ in analyze_query(phrase)]
     # persist: the n-way phrase join feeds BOTH the phrase-df aggregate
     # and the scoring pass — unpersisted it would decode + join twice
     m = phrase_matches(postings, terms).persist()
     try:
         phrase_df = m.count()
-        scored = (
-            m.withColumn("df", F.lit(int(phrase_df)))
-            .crossJoin(F.broadcast(n_docs_avgdl))
-            .withColumn("boost", F.lit(1.0))
-            .withColumn("score", F.expr(SCORE_EXPR))
-        )
-        if round_to is not None:
-            scored = scored.withColumn("score", F.round("score", round_to))
-        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        rows = top.withColumn("rank", F.row_number().over(w)).select(
-            "rank", "doc_id", "score"
-        ).collect()
-        schema = "rank int, doc_id long, score double"
-        return spark.createDataFrame(rows, schema) if rows else \
-            spark.createDataFrame([], schema)
+        scored = phrase_scores(m, phrase_df, n_docs_avgdl) \
+            .withColumnRenamed("s", "score")
+        return materialize_topk(spark, rank_topk(scored, k, round_to))
     finally:
         m.unpersist()

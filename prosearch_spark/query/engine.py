@@ -29,6 +29,31 @@ from prosearch_spark.index.build import InvertedIndex
 from prosearch_spark.query.bm25 import SCORE_EXPR
 
 
+def rank_topk(d: DataFrame, k: int, round_to: int | None) -> DataFrame:
+    """(doc_id, score) -> (rank, doc_id, score): THE round-before-rank
+    + (score DESC, doc_id ASC) tie-break, defined once so every engine
+    (flat / block / phrase / mixed) and the oracle gate agree on
+    ranking semantics by construction."""
+    if round_to is not None:
+        d = d.withColumn("score", F.round("score", round_to))
+    top = d.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+
+
+TOPK_SCHEMA = "rank int, doc_id long, score double"
+
+
+def materialize_topk(spark: SparkSession, ranked: DataFrame) -> DataFrame:
+    """Collect a ranked top-k into a small local-relation DataFrame so
+    callers that persist inputs can unpersist before returning."""
+    rows = ranked.collect()
+    return spark.createDataFrame(rows, TOPK_SCHEMA) if rows else \
+        spark.createDataFrame([], TOPK_SCHEMA)
+
+
 class SearchEngine:
     """Query API over an :class:`InvertedIndex` (single-field)."""
 
@@ -72,14 +97,7 @@ class SearchEngine:
         cross-engine correctness gate so rank order is identical even
         when the two engines differ in the last float ulp.
         """
-        d = self._docs_scored(q)
-        if round_to is not None:
-            d = d.withColumn("score", F.round("score", round_to))
-        top = d.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return top.withColumn("rank", F.row_number().over(w)).select(
-            "rank", "doc_id", "score"
-        )
+        return rank_topk(self._docs_scored(q), k, round_to)
 
     def count(self, q: str) -> DataFrame:
         """Q7: total hit count alongside/instead of top-k."""

@@ -9,53 +9,80 @@ engine's per-clause sum.
 
 One positional posting table serves both clause kinds (tf/dl for term
 scoring, the position arrays for the phrase intersection), so the
-corpus is tokenized once.
+corpus is tokenized once — and a SERVING caller (query/serve.Searcher)
+builds that table once and passes it in, so per-request cost is
+O(query), not O(corpus).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prosearch_spark.analyzer import parse_query_lenient
 from prosearch_spark.index.positions import (
     phrase_matches,
+    phrase_scores,
     positional_postings,
 )
 from prosearch_spark.query.bm25 import SCORE_EXPR
+from prosearch_spark.query.engine import (
+    TOPK_SCHEMA,
+    materialize_topk,
+    rank_topk,
+)
 
-_EMPTY = "rank int, doc_id long, score double"
+
+def build_positional(spark: SparkSession, docs: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id"
+                     ) -> tuple[DataFrame, DataFrame]:
+    """(positional postings, one-row stats) for mixed querying.
+
+    Stats match the flat index definition exactly: n_docs counts every
+    doc (zero-token included), avgdl = total tokens / n_docs.
+    """
+    pp = positional_postings(docs, text_col=text_col, id_col=id_col)
+    n_docs = docs.count()
+    tok_total = pp.agg(F.sum("tf")).collect()[0][0] or 0
+    avgdl = tok_total / n_docs if n_docs else 0.0
+    stats = spark.createDataFrame([(n_docs, float(avgdl))],
+                                  "n_docs long, avgdl double")
+    return pp, stats
 
 
 def mixed_topk(spark: SparkSession, docs: DataFrame, q: str, k: int = 10,
                round_to: int | None = None, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               pp: DataFrame | None = None,
+               stats: DataFrame | None = None) -> DataFrame:
     """BM25 top-k for a lenient query with optional quoted phrases.
 
     score(d) = sum over term clauses of boost * bm25(term, d)
              + sum over phrase clauses of bm25_phrase(phrase, d)
-    where a phrase scores as a synthetic term (tf = phrase frequency,
-    df = phrase doc frequency — Lucene PhraseQuery shape, the same
-    algebra as index/positions.phrase_topk) and a doc must match EVERY
-    clause (conjunction by default).
+    where a phrase scores via positions.phrase_scores and a doc must
+    match EVERY clause (conjunction by default).
+
+    Pass a prebuilt ``(pp, stats)`` from :func:`build_positional` to
+    amortize the corpus tokenize across queries (the serving path);
+    otherwise they are built and persisted for this one call.
     """
     clauses = parse_query_lenient(q)
     if not clauses:
-        return spark.createDataFrame([], _EMPTY)
+        return spark.createDataFrame([], TOPK_SCHEMA)
     n_clauses = len(clauses)
     term_clauses = [c for kind, c in clauses if kind == "term"]
     phrase_clauses = [c for kind, c in clauses if kind == "phrase"]
 
-    pp = positional_postings(docs, text_col=text_col, id_col=id_col
-                             ).persist()
-    persisted = [pp]
+    owns_pp = pp is None
+    persisted: list[DataFrame] = []
+    if owns_pp:
+        pp, stats = build_positional(spark, docs, text_col, id_col)
+        pp = pp.persist()
+        persisted.append(pp)
+    assert stats is not None, "stats must accompany a prebuilt pp"
     try:
-        n_docs = docs.count()
-        tok_total = pp.agg(F.sum("tf")).collect()[0][0] or 0
-        avgdl = tok_total / n_docs if n_docs else 0.0
-        stats = spark.createDataFrame([(n_docs, float(avgdl))],
-                                      "n_docs long, avgdl double")
-
         scored_parts: list[DataFrame] = []
         if term_clauses:
             qdf = spark.createDataFrame(term_clauses,
@@ -78,16 +105,8 @@ def mixed_topk(spark: SparkSession, docs: DataFrame, q: str, k: int = 10,
             persisted.append(m)
             phrase_df = m.count()
             if phrase_df == 0:
-                return spark.createDataFrame([], _EMPTY)  # conjunction dead
-            scored_parts.append(
-                m.withColumn("df", F.lit(int(phrase_df)))
-                .crossJoin(F.broadcast(stats))
-                .withColumn("boost", F.lit(1.0))
-                .withColumn("s", F.expr(SCORE_EXPR))
-                .select("doc_id", "s")
-            )
-
-        from functools import reduce
+                return spark.createDataFrame([], TOPK_SCHEMA)  # AND dead
+            scored_parts.append(phrase_scores(m, phrase_df, stats))
 
         scored = reduce(lambda a, b: a.unionByName(b), scored_parts)
         # each clause emits at most one row per doc, so the row count
@@ -99,15 +118,7 @@ def mixed_topk(spark: SparkSession, docs: DataFrame, q: str, k: int = 10,
             .filter(F.col("nmatch") == n_clauses)
             .drop("nmatch")
         )
-        if round_to is not None:
-            d = d.withColumn("score", F.round("score", round_to))
-        top = d.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        rows = top.withColumn("rank", F.row_number().over(w)).select(
-            "rank", "doc_id", "score"
-        ).collect()
-        return spark.createDataFrame(rows, _EMPTY) if rows else \
-            spark.createDataFrame([], _EMPTY)
+        return materialize_topk(spark, rank_topk(d, k, round_to))
     finally:
         for df in persisted:
             df.unpersist()

@@ -70,6 +70,20 @@ class Searcher:
             out[q] = round(time.perf_counter() - t0, 4)
         return out
 
+    def _positional(self):
+        """Positional postings + stats, built ONCE per Searcher and
+        persisted — quoted-query latency must be O(query), never a
+        per-request corpus re-tokenize (round-2 review finding)."""
+        if not hasattr(self, "_pp"):
+            from prosearch_spark.query.mixed import build_positional
+
+            pp, stats = build_positional(self.spark, self.docs,
+                                         self.body_col, self.id_col)
+            self._pp = pp.persist()
+            self._pp.count()  # materialize the cache eagerly
+            self._pp_stats = stats
+        return self._pp, self._pp_stats
+
     def api_lenient(self, q: str, nhits: int = 10) -> dict:
         """The /api responder through the LENIENT grammar
         (serve.rs:407-409): quoted spans run as phrase clauses, bad
@@ -85,8 +99,10 @@ class Searcher:
             # path and skip the positional build
             return self.api(q, nhits)
         t0 = time.perf_counter()
+        pp, stats = self._positional()
         hits = mixed_topk(self.spark, self.docs, q, nhits,
-                          text_col=self.body_col, id_col=self.id_col)
+                          text_col=self.body_col, id_col=self.id_col,
+                          pp=pp, stats=stats)
         fetched = self.engine.fetch(
             hits,
             self.docs.select(self.id_col, self.body_col, *self.display_cols),

@@ -188,3 +188,45 @@ def test_fast_fields_survive_upsert(spark, corpus, tmp_path):
     with _pytest.raises(ValueError, match="fast_fields"):
         upsert_docs(spark, art2, docs.limit(1).drop("clen"),
                     str(tmp_path / "g2"), text_col="content")
+
+
+def test_merge_keeps_zero_token_docs_store(spark, tmp_path):
+    """A doc with empty text has no postings but exists in doc_stats /
+    n_docs — merge must not drop its stored fields (r2 review)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "spark join", "a"), (1, "", "b"), (2, "hash spark", "c")],
+        "doc_id long, content string, title string",
+    ).withColumn("lang", F.lit("md"))
+    art = save_index(spark, docs, str(tmp_path / "g0"), text_col="content")
+    art.write_doc_store(docs, ["title"])
+    assert art.manifest["n_docs"] == 3
+    merged = art.merge(str(tmp_path / "g1"))
+    assert merged.manifest["n_docs"] == 3
+    store_ids = {r["doc_id"] for r in merged.doc_store().collect()}
+    assert store_ids == {0, 1, 2}  # the empty doc's store row survives
+
+
+def test_upsert_drops_tombstoned_store_rows(spark, tmp_path):
+    """delete_docs then upsert: the deleted doc must vanish from the
+    new generation's doc_store too, not just postings (r2 review)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"spark doc {i}", f"t{i}") for i in range(6)],
+        "doc_id long, content string, title string",
+    ).withColumn("lang", F.lit("md"))
+    art = save_index(spark, docs, str(tmp_path / "g0"), text_col="content")
+    art.write_doc_store(docs, ["title"])
+    art.delete_docs(spark.createDataFrame([(2,)], "doc_id long"))
+
+    new_docs = docs.filter("doc_id = 0").withColumn(
+        "content", F.lit("spark updated"))
+    art2 = upsert_docs(spark, art, new_docs, str(tmp_path / "g1"),
+                       text_col="content")
+    store_ids = {r["doc_id"] for r in art2.doc_store().collect()}
+    assert 2 not in store_ids
+    assert store_ids == {0, 1, 3, 4, 5}
+    # doc_stats agrees (half-present docs were the bug)
+    assert {r["doc_id"] for r in art2.doc_stats().collect()} == store_ids

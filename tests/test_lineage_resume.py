@@ -58,3 +58,20 @@ def test_resumed_index_queryable(spark, corpus, tmp_path):
     art, _ = b.finalize()
     eng = BlockSearchEngine(spark, art)
     assert eng.topk("spark", 5).count() > 0
+
+
+def test_finalize_is_rerunnable_after_manifest_publish(spark, corpus, tmp_path):
+    """Crash window between manifest publish and metrics.json: a retry
+    must complete idempotently, not refuse on the live manifest."""
+    b = ResumableIndexBuild(spark, corpus, str(tmp_path / "ckpt4"),
+                            text_col="content", n_splits=2)
+    b.run()
+    art1, m1 = b.finalize()
+    # simulate the crash-after-publish state: metrics.json missing
+    import os
+
+    os.remove(str(tmp_path / "ckpt4" / "metrics.json"))
+    art2, m2 = b.finalize()  # must NOT raise
+    assert art2.manifest == art1.manifest
+    assert m2.n_docs == m1.n_docs and m2.n_postings == m1.n_postings
+    assert os.path.exists(str(tmp_path / "ckpt4" / "metrics.json"))

@@ -265,13 +265,26 @@ def test_dot_segment_removal_matches_rfc(spark):
         "/a/./././b", "/a/../b/../c/../d", "/", "", "/a/b/c",
         "/.hidden/./x", "/a/..b/c", "/..a/../b", "/a/b/..",
         "/sub/../../page", "/docs/a/./b/../page9",
+        # round-2 review's fuzz-confirmed divergences (a literal dot-dir
+        # consumed as the popped segment / overlapping /./ runs):
+        "/a/b/../../..", "/a/././../x", "/a/a/../../..",
+        "/a/../..", "/a/./../..", "/.../../x", "/a/.../../x",
     ]
-    df = spark.createDataFrame([(c,) for c in cases], "p string")
+    # exhaustive sweep: every path of depth <= 4 over a dot-heavy
+    # segment alphabet, with and without a trailing slash
+    import itertools
+
+    alphabet = ["a", "b", ".", "..", ".a", "..b", "..."]
+    for depth in range(1, 5):
+        for segs in itertools.product(alphabet, repeat=depth):
+            cases.append("/" + "/".join(segs))
+            cases.append("/" + "/".join(segs) + "/")
+    df = spark.createDataFrame([(c,) for c in set(cases)], "p string")
     got = {r["p"]: r["out"] for r in df.withColumn(
         "out", _remove_dot_segments_col(F.col("p"))).collect()}
-    for c in cases:
-        assert got[c] == remove_dot_segments_py(c), (
-            c, got[c], remove_dot_segments_py(c))
+    bad = [(c, got[c], remove_dot_segments_py(c))
+           for c in got if got[c] != remove_dot_segments_py(c)]
+    assert not bad, (len(bad), bad[:10])
 
 
 def test_dot_segment_sql_matches_spark(spark):
