@@ -477,6 +477,29 @@ def q_bm25_topk_fastfield(spark, sf_dir):
     )
 
 
+def q_bm25_topk_facet(spark, sf_dir):
+    """Facet-typed fast field (new.rs:83-95 type system: Facet =
+    hierarchical path segments, mapped to array<string> per SURVEY
+    §1.4): each doc carries facets like 'lang/en' and 'src/<source>';
+    matches filter by facet membership before ranking."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "facets",
+        F.array(F.concat(F.lit("lang/"), F.col("lang")),
+                F.concat(F.lit("src/"), F.col("source"))),
+    )
+    path = tempfile.mkdtemp(prefix="prosearch_facet_")
+    art = save_index(spark, docs, path, text_col="text",
+                     fast_fields={"facets": "facets"})
+    return BlockSearchEngine(spark, art).topk_filtered(
+        Q_SINGLE, "array_contains(facets, 'lang/en')", 10, round_to=ROUND,
+    )
+
+
 def q_bm25_topk_quantized(spark, sf_dir):
     """BM25 with the 1-byte fieldnorm codebook ON (meta.json:13,27;
     SURVEY §4.3): dl round-trips through the 256-entry table on BOTH
@@ -613,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_lenient_junk": q_bm25_topk_lenient_junk,
         "bm25_topk_quantized": q_bm25_topk_quantized,
         "bm25_topk_fastfield": q_bm25_topk_fastfield,
+        "bm25_topk_facet": q_bm25_topk_facet,
         # scalar text transforms (T1-T12, SURVEY §2.3)
         "content_sha256": q_content_sha256,
         "whitespace_collapse": q_whitespace_collapse,
@@ -731,6 +755,12 @@ def oracle_sql() -> dict[str, str]:
             Q_SINGLE,
             "d.n_chars < 350 AND "
             "(DATE '2020-01-01' + (d.doc_id % 365)::INT) >= DATE '2020-03-01'",
+            10, ROUND,
+        ),
+        "bm25_topk_facet": osql.topk_filtered_sql(
+            Q_SINGLE,
+            "list_contains(['lang/' || d.lang, 'src/' || d.source],"
+            " 'lang/en')",
             10, ROUND,
         ),
         "bm25_topk_mixed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,

@@ -37,13 +37,15 @@ class BlockSearchEngine:
         self.spark = spark
         self.artifact = artifact
 
-    def _pruned_blocks(self, terms: list[str]) -> DataFrame:
+    def _pruned_blocks(self, terms: list[str],
+                       dfs: dict[str, int] | None = None) -> DataFrame:
         blocks = self.artifact.blocks(terms)
         if len(terms) > 1:
-            dfs = {
-                r["term"]: r["df"]
-                for r in self.artifact.term_stats(terms).collect()
-            }
+            if dfs is None:
+                dfs = {
+                    r["term"]: r["df"]
+                    for r in self.artifact.term_stats(terms).collect()
+                }
             if any(t not in dfs for t in terms):
                 # a clause with zero postings -> conjunction is empty
                 return blocks.filter(F.lit(False))
@@ -144,13 +146,16 @@ class BlockSearchEngine:
         for t, b in clauses:
             weights[t] += b
 
-        blocks = self._pruned_blocks(terms)
+        # ONE term-stats job serves the zero-posting check, the rarest
+        # pick, and _pruned_blocks' range pruning
         ts = self.artifact.term_stats(terms)
-        if len(terms) > 1 and ts.count() < len(terms):
+        dfs = {r["term"]: r["df"] for r in ts.collect()}
+        if len(terms) > 1 and len(dfs) < len(terms):
             # a clause with zero postings -> conjunction is empty;
             # route through the plain engine for the empty result shape
             return self.topk(q, k, round_to), {"blocks_total": 0,
                                                "blocks_decoded": 0}
+        blocks = self._pruned_blocks(terms, dfs)
         meta = (
             blocks.join(F.broadcast(ts), "term")
             .join(F.broadcast(self.artifact.stats()))
@@ -161,7 +166,6 @@ class BlockSearchEngine:
             if n_blocks == 0:
                 return self.topk(q, k, round_to), {"blocks_total": 0,
                                                    "blocks_decoded": 0}
-            dfs = {r["term"]: r["df"] for r in ts.collect()}
             rarest = min(terms, key=lambda t: (dfs[t], t))
             rmeta = meta.filter(F.col("term") == rarest)
             n_rarest = rmeta.count()
