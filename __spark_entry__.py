@@ -500,6 +500,42 @@ def q_bm25_topk_facet(spark, sf_dir):
     )
 
 
+def q_bm25_topk_typed_fields(spark, sf_dir):
+    """The REST of the schema wizard's type system (new.rs:83-95):
+    Json (string fast field queried with get_json_object), IpAddr
+    (string), and Bytes (binary, filtered on octet_length) — all
+    carried columnar through doc_stats and filtered before ranking.
+    The oracle recomputes the predicate independently from the
+    deterministic derivations (a stronger check than mirroring the
+    same JSON functions)."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("meta_json",
+                    F.expr("concat('{\"k\":\"', doc_id % 5, '\"}')"))
+        .withColumn("ip",
+                    F.expr("concat('10.0.', doc_id % 256, '.1')"))
+        .withColumn("payload",
+                    F.expr("encode(repeat('x', cast(doc_id % 4 as int) + 1),"
+                           " 'utf-8')"))
+    )
+    path = tempfile.mkdtemp(prefix="prosearch_typed_")
+    art = save_index(spark, docs, path, text_col="text",
+                     fast_fields={"meta_json": "meta_json", "ip": "ip",
+                                  "payload": "payload"})
+    return BlockSearchEngine(spark, art).topk_filtered(
+        Q_SINGLE,
+        "get_json_object(meta_json, '$.k') IN ('1', '2')"
+        " AND octet_length(payload) >= 2"
+        " AND ip LIKE '10.0.%'",
+        10, round_to=ROUND,
+    )
+
+
 def q_bm25_topk_quantized(spark, sf_dir):
     """BM25 with the 1-byte fieldnorm codebook ON (meta.json:13,27;
     SURVEY §4.3): dl round-trips through the 256-entry table on BOTH
@@ -565,6 +601,30 @@ def q_embedding_near_dup(spark, sf_dir):
         )
         .filter(F.col("cosine") >= 0.45)
         .select("i", "j", "cosine")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing, oracle-gated end-to-end: binary payloads
+    (utf-8 document bytes standing in for media) flow through the
+    Arrow-batched mapInPandas feature kernel; the deterministic fake
+    codec (sha256-derived features) lets DuckDB recompute every value.
+    Swapping the codec seam for a real decoder changes nothing in the
+    distributed machinery this entry verifies."""
+    from prosearch_spark.ops import multimodal as mm
+
+    assets = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("array('image','audio','video')[pmod(doc_id, 3)]")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("media"),
+    )
+    feats = mm.extract_features(assets, strict=False)
+    return feats.select(
+        "asset_id", "kind", "n_bytes", "sha256",
+        F.posexplode(F.transform(
+            "feature", lambda v: F.round(v.cast("double"), 4)
+        )).alias("pos", "v"),
     )
 
 
@@ -637,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_quantized": q_bm25_topk_quantized,
         "bm25_topk_fastfield": q_bm25_topk_fastfield,
         "bm25_topk_facet": q_bm25_topk_facet,
+        "bm25_topk_typed_fields": q_bm25_topk_typed_fields,
         # scalar text transforms (T1-T12, SURVEY §2.3)
         "content_sha256": q_content_sha256,
         "whitespace_collapse": q_whitespace_collapse,
@@ -660,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_cosine": q_knn_cosine,
         "knn_join_lsh": q_knn_join_lsh,
+        # multimodal plumbing (binary payloads -> Arrow feature kernel)
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -761,6 +824,16 @@ def oracle_sql() -> dict[str, str]:
             Q_SINGLE,
             "list_contains(['lang/' || d.lang, 'src/' || d.source],"
             " 'lang/en')",
+            10, ROUND,
+        ),
+        # independent re-derivation of the typed-field predicate from
+        # the same deterministic doc_id arithmetic (no JSON functions
+        # on the oracle side on purpose)
+        "bm25_topk_typed_fields": osql.topk_filtered_sql(
+            Q_SINGLE,
+            "(d.doc_id % 5) IN (1, 2)"
+            " AND ((d.doc_id % 4) + 1) >= 2"
+            " AND ('10.0.' || (d.doc_id % 256) || '.1') LIKE '10.0.%'",
             10, ROUND,
         ),
         "bm25_topk_mixed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
@@ -906,6 +979,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_join_lsh": osql.knn_join_lsh_sql(k=3, n_planes=6, seed=42,
                                               dim=64, round_to=ROUND),
+        "multimodal_features": """
+            WITH base AS (
+                SELECT doc_id AS asset_id,
+                       (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+                       octet_length(encode(text))::BIGINT AS n_bytes,
+                       sha256(text) AS sha
+                FROM documents
+            )
+            SELECT asset_id, kind, n_bytes, sha AS sha256, i::INT AS pos,
+                   round((('0x' || substr(sha, i::INT * 2 + 1, 2))::INT)
+                         / 255.0, 4) AS v
+            FROM base, range(16) t(i)
+        """,
         "minhash_signatures": f"""
             WITH {_SHINGLES_CTE}
             SELECT doc_id, i::INT AS pos,
