@@ -196,6 +196,16 @@ def q_dequeue_orders(spark, sf_dir):
     ).select("o_custkey", "o_orderkey", "o_orderdate")
 
 
+def q_event_window_counts(spark, sf_dir):
+    """Event-time tumbling-window rollup (A7 analog, Manager.java:
+    209-229 restore-on-resume counts): the SAME plan serves batch (this
+    gate) and Structured Streaming with a watermark (pytest drives the
+    streaming run)."""
+    from prosearch_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(_events(spark, sf_dir), window="1 day")
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_dedup(_docs(spark, sf_dir), content_col="text").select(
         "doc_id"
@@ -709,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_hosts": q_distinct_hosts,
         "stats_zero_fill": q_stats_zero_fill,
         "oldest_first_dequeue": q_oldest_first_dequeue,
+        "event_window_counts": q_event_window_counts,
         "rollup_orders": q_rollup_orders,
         "dequeue_orders": q_dequeue_orders,
         # dedup ladder (P5/W6 + training-data ops)
@@ -929,6 +940,15 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts ASC, event_id ASC) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "event_window_counts": """
+            SELECT date_trunc('day', ts) AS window_start,
+                   date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         "rollup_orders": """
             SELECT o_orderstatus, count(*)::BIGINT AS n_orders,

@@ -70,3 +70,40 @@ def test_streaming_end_to_end(spark, tmp_path):
     eng = BlockSearchEngine(spark, ix.current())
     assert [r["doc_id"] for r in eng.match_scan("late").collect()] == [12]
     assert ix.current().manifest["n_docs"] == 3
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    """The tumbling-window rollup runs the SAME plan in batch and in
+    Structured Streaming (readStream -> withWatermark -> window ->
+    memory sink); results must be identical."""
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.streaming.windows import tumbling_counts
+
+    events = spark.range(500).select(
+        F.col("id").alias("event_id"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id * 137)").alias("ts"),
+        F.expr("array('a','b','c')[pmod(id, 3)]").alias("event_type"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    batch = tumbling_counts(spark.read.parquet(src), window="1 hour")
+    exp = sorted(map(tuple, batch.collect()))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    agg = tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("win_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM win_sink").collect()))
+    assert got == exp
+    assert len(got) > 0
