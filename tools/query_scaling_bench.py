@@ -22,10 +22,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# hot global terms only: each query decodes + scores a large fraction
+# of the corpus's postings, so the measurement captures the DATA-bound
+# regime (rare-term queries are scheduler-latency-bound on local mode
+# and belong to the latency table in BENCH.md, not the scaling one)
 QUERIES = [
-    "t1", "t2", "t3", "z1_1", "z3_1", "z5_1", "z7_1", "z11_1",
-    "t1 t2", "t2 t3", "z3_1 z3_2", "z7_1 z7_2",
-    "t1 z3_1", "t4 t5", "z9_1", "t1 t2 t3",
+    "t1", "t2", "t3", "t4",
+    "t1 t2", "t2 t3", "t1 t3", "t3 t4",
+    "t1 t2 t3", "t2 t3 t4", "t1 t4", "t2 t4",
 ]
 
 
@@ -44,7 +48,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    docs = zipf_corpus(spark, n_docs=n_docs).repartition(n_parts).cache()
+    # short docs: more docs per posting budget -> hot-term queries touch
+    # hundreds of thousands of postings while the build stays quick
+    docs = zipf_corpus(spark, n_docs=n_docs, min_len=20, max_len=60
+                       ).repartition(n_parts).cache()
     docs.count()
     path = tempfile.mkdtemp(prefix="qscale_")
     t0 = time.perf_counter()
@@ -54,18 +61,37 @@ def main() -> None:
 
     blk.topk("t1 z3_1", 10).collect()  # warm codegen/broadcast caches
 
+    # serial batch: per-query LATENCY (floor = job-launch overhead on
+    # local mode, so this number barely moves with cores — reported
+    # for honesty, not as the scaling metric)
     t0 = time.perf_counter()
     for q in QUERIES:
         blk.topk(q, 10).collect()
-    batch_sec = time.perf_counter() - t0
+    serial_sec = time.perf_counter() - t0
+
+    # concurrent batch: serving THROUGHPUT — 8 client threads submit
+    # queries simultaneously, Spark's FIFO scheduler overlaps their
+    # stages across the available cores. This is the number that must
+    # scale with executor count on a real cluster.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_one(q: str) -> None:
+        blk.topk(q, 10).collect()
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(run_one, QUERIES * 2))
+    conc_sec = time.perf_counter() - t0
+    n_conc = len(QUERIES) * 2
 
     print(json.dumps({
         "cpus": cpus,
         "n_docs": n_docs,
         "build_sec": round(build_sec, 2),
-        "query_batch_sec": round(batch_sec, 2),
-        "queries": len(QUERIES),
-        "queries_per_sec": round(len(QUERIES) / batch_sec, 3),
+        "serial_batch_sec": round(serial_sec, 2),
+        "serial_qps": round(len(QUERIES) / serial_sec, 3),
+        "concurrent_batch_sec": round(conc_sec, 2),
+        "concurrent_qps": round(n_conc / conc_sec, 3),
     }))
     spark.stop()
 
