@@ -32,6 +32,13 @@ from prosearch_spark.index.build import InvertedIndex
 from prosearch_spark.query.engine import SearchEngine
 
 
+# WAND seed bound: the doubling loop collects at most this many block
+# RANGES to the driver (~16 B each). A conjunction so sparse that a
+# 64k-block seed still holds < k matches falls back to the range-pruned
+# exact engine, which needs no driver-side collect at all.
+SEED_BLOCK_CAP = 1 << 16
+
+
 class BlockSearchEngine:
     def __init__(self, spark: SparkSession, artifact: IndexArtifact):
         self.spark = spark
@@ -202,6 +209,14 @@ class BlockSearchEngine:
                 if len(seed_rows) >= k or covers_all:
                     break
                 B *= 4
+                if min(B, n_rarest) > SEED_BLOCK_CAP:
+                    # seeding would collect unbounded metadata to the
+                    # driver — hand off to the exact range-pruned path
+                    return self.topk(q, k, round_to), {
+                        "blocks_total": n_blocks,
+                        "blocks_decoded": n_blocks,
+                        "seed_capped": True,
+                    }
             if covers_all:
                 # the seed spanned every rarest block -> every
                 # conjunctive match was scored exactly; done.

@@ -184,3 +184,20 @@ def test_wand_fewer_than_k_results(spark, big_artifact):
     blk = BlockSearchEngine(spark, art)
     got, _ = blk.topk_wand("nonexistentterm", 10)
     assert got.count() == 0
+
+def test_wand_seed_cap_falls_back_exact(spark, big_artifact, monkeypatch):
+    """When the seed doubling would exceed the driver-side range cap,
+    WAND hands off to the exact range-pruned engine instead of
+    collecting unbounded block metadata."""
+    import prosearch_spark.query.block_engine as be
+
+    docs, art = big_artifact
+    blk = BlockSearchEngine(spark, art)
+    # a conjunction with < k matches forces the doubling loop; a tiny
+    # cap forces the fallback before covers_all
+    monkeypatch.setattr(be, "SEED_BLOCK_CAP", 1)
+    got, stats = blk.topk_wand("spark shuffle", 50)
+    assert stats.get("seed_capped") or stats["blocks_total"] > 0
+    exp = blk.topk("spark shuffle", 50).collect()
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(r["doc_id"], r["score"]) for r in exp]
