@@ -180,7 +180,10 @@ class BlockSearchEngine:
             # -- seed: doubling prefix of rarest blocks by ub ----------
             from prosearch_spark.index.blocks import BLOCK_SIZE
 
-            B = max(4, -(-k // BLOCK_SIZE) * 2)
+            # the cap bounds EVERY driver-side collect, including the
+            # first (a huge k must not translate into an unbounded
+            # range pull)
+            B = min(max(4, -(-k // BLOCK_SIZE) * 2), SEED_BLOCK_CAP)
             while True:
                 covers_all = B >= n_rarest
                 # metadata-only heap rows (payload binaries excluded);

@@ -103,7 +103,74 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(300), "stream did not finish in time"
+    finally:
+        q.stop()
     got = sorted(map(tuple, spark.sql("SELECT * FROM win_sink").collect()))
     assert got == exp
     assert len(got) > 0
+
+
+def test_windowed_watermark_drops_late_events(spark, tmp_path):
+    """Append mode is where the watermark contract actually bites:
+    once the watermark passes a window's end the window finalizes,
+    EMITS, and its state is evicted; a straggler arriving after that
+    must be DROPPED. Note Spark merges late rows while the window's
+    state is still live (eviction happens at batch end), so the drop
+    is only observable one batch AFTER finalization — hence three
+    micro-batches (maxFilesPerTrigger=1), with the straggler last."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.streaming.windows import tumbling_counts
+
+    src = str(tmp_path / "late_src")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    # three micro-batches: (1) fill the 10:00 window + advance event
+    # time to 12:30; (2) watermark is now 12:00 > 11:00, the 10:00
+    # window FINALIZES and emits with n=2; (3) a 10:15 straggler
+    # arrives behind the watermark with its window state already
+    # evicted — the input watermark filter must DROP it (merging it
+    # would create fresh state and a duplicate window emission later)
+    dt = __import__("datetime").datetime
+    batches = [
+        [(1, dt(2024, 1, 1, 10, 5), "a", 1.0),
+         (2, dt(2024, 1, 1, 10, 40), "a", 1.0),
+         (3, dt(2024, 1, 1, 12, 30), "a", 1.0)],
+        [(4, dt(2024, 1, 1, 13, 0), "a", 1.0)],
+        [(5, dt(2024, 1, 1, 10, 15), "a", 1.0),
+         (6, dt(2024, 1, 1, 13, 30), "a", 1.0)],
+    ]
+    for rows in batches:
+        mk(rows).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtime -> deterministic file order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("late_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300), "stream did not finish in time"
+    finally:
+        q.stop()
+    rows = [(r["window_start"].hour, r["n_events"])
+            for r in spark.sql("SELECT * FROM late_sink").collect()]
+    # the 10:00 window finalized with exactly 2 events, ONCE — the
+    # 10:15 straggler was dropped, not re-aggregated into new state
+    assert rows.count((10, 2)) == 1, rows
+    assert all(h != 10 or n == 2 for h, n in rows), rows

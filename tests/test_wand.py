@@ -193,11 +193,30 @@ def test_wand_seed_cap_falls_back_exact(spark, big_artifact, monkeypatch):
 
     docs, art = big_artifact
     blk = BlockSearchEngine(spark, art)
-    # a conjunction with < k matches forces the doubling loop; a tiny
-    # cap forces the fallback before covers_all
+    # k above the total conjunctive match count ('spark shuffle' has
+    # ~985 matches at 1500 docs) keeps the seed short of k, forcing the
+    # doubling loop; cap=1 then trips the fallback on the first double
     monkeypatch.setattr(be, "SEED_BLOCK_CAP", 1)
-    got, stats = blk.topk_wand("spark shuffle", 50)
-    assert stats.get("seed_capped") or stats["blocks_total"] > 0
-    exp = blk.topk("spark shuffle", 50).collect()
+    got, stats = blk.topk_wand("spark shuffle", 1400)
+    assert stats.get("seed_capped") is True, stats
+    exp = blk.topk("spark shuffle", 1400).collect()
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(r["doc_id"], r["score"]) for r in exp]
+
+
+def test_wand_first_collect_respects_cap(spark, big_artifact, monkeypatch):
+    """The cap bounds the FIRST seed collect too: a huge k must not
+    pull an unbounded range list to the driver (r2 review)."""
+    import prosearch_spark.query.block_engine as be
+
+    docs, art = big_artifact
+    blk = BlockSearchEngine(spark, art)
+    monkeypatch.setattr(be, "SEED_BLOCK_CAP", 2)
+    # k so large that uncapped initial B would be k/64 >> cap
+    got, stats = blk.topk_wand("spark", 100000)
+    # single term with few blocks: cap=2 < n_rarest -> either the seed
+    # covered everything under the cap or the fallback fired; both are
+    # exact
+    exp = blk.topk("spark", 100000).collect()
     assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
         [(r["doc_id"], r["score"]) for r in exp]
