@@ -60,6 +60,21 @@ def _engine(spark: SparkSession, sf_dir: str) -> tuple[SearchEngine, DataFrame]:
     return SearchEngine(spark, build_index(docs, text_col="text")), docs
 
 
+# per-process artifact memo: several entries commit an identical
+# artifact before querying it; building it once per (variant, sf_dir)
+# cuts the driver's gate wall time substantially without touching
+# what each entry verifies (the artifact bytes are identical either
+# way — save_index is deterministic for a given input)
+_ART_MEMO: dict = {}
+
+
+def _memo_artifact(name: str, sf_dir: str, build):
+    key = (name, sf_dir)
+    if key not in _ART_MEMO:
+        _ART_MEMO[key] = build()
+    return _ART_MEMO[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full /search flow (Q1-Q6 + S5/J3) on sf0.001 —
     BM25 conjunction top-10 for a 2-term query, hits joined back to
@@ -265,9 +280,9 @@ def q_bm25_topk_blocks(spark, sf_dir):
     from prosearch_spark.index.artifact import save_index
     from prosearch_spark.query.block_engine import BlockSearchEngine
 
-    docs = _docs(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="prosearch_blocks_")
-    art = save_index(spark, docs, path, text_col="text")
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_blocks_"), text_col="text"))
     return BlockSearchEngine(spark, art).topk(Q_AND2, 10, round_to=ROUND)
 
 
@@ -292,9 +307,9 @@ def q_bm25_topk_wand(spark, sf_dir):
     from prosearch_spark.index.artifact import save_index
     from prosearch_spark.query.block_engine import BlockSearchEngine
 
-    docs = _docs(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="prosearch_wand_")
-    art = save_index(spark, docs, path, text_col="text")
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_wand_"), text_col="text"))
     out, _stats = BlockSearchEngine(spark, art).topk_wand(
         Q_SINGLE, 10, round_to=ROUND
     )
@@ -310,9 +325,9 @@ def q_bm25_topk_wand_and2(spark, sf_dir):
     from prosearch_spark.index.artifact import save_index
     from prosearch_spark.query.block_engine import BlockSearchEngine
 
-    docs = _docs(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="prosearch_wand2_")
-    art = save_index(spark, docs, path, text_col="text")
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_wand2_"), text_col="text"))
     out, _stats = BlockSearchEngine(spark, art).topk_wand(
         Q_AND2, 10, round_to=ROUND
     )
@@ -454,10 +469,10 @@ def q_phrase_topk_blocks(spark, sf_dir):
     from prosearch_spark.index.artifact import save_index
     from prosearch_spark.query.block_engine import BlockSearchEngine
 
-    docs = _docs(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="prosearch_pos_")
-    art = save_index(spark, docs, path, text_col="text",
-                     with_positions=True)
+    art = _memo_artifact("positional", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_pos_"), text_col="text",
+        with_positions=True))
     return BlockSearchEngine(spark, art).phrase_topk("join hash", 10,
                                                      round_to=ROUND)
 
