@@ -598,13 +598,16 @@ def q_bpe_token_count(spark, sf_dir):
 
 
 def q_knn_join_lsh(spark, sf_dir):
-    """The 100 TB semantic near-dup path, oracle-gated: LSH-bucketed
-    k-NN self-join (equi-join on hyperplane signature, exact cosine
-    re-rank inside buckets) — NO BroadcastNestedLoopJoin anywhere in
-    the plan (pinned by tests/test_plans.py). q_embedding_near_dup
-    below is its exact-recall ground truth at gate scale."""
+    """The 100 TB semantic near-dup path, oracle-gated: BANDED
+    LSH-bucketed k-NN self-join (4 independent 6-bit signature tables;
+    a pair is a candidate when ANY table agrees; exact cosine re-rank
+    inside buckets) — NO BroadcastNestedLoopJoin anywhere in the plan
+    (pinned by tests/test_plans.py). q_embedding_near_dup below is its
+    exact-recall ground truth at gate scale; bench.py measures the
+    operating recall."""
     emb = _emb(spark, sf_dir)
-    return sim.knn_join(emb, emb, k=3, n_planes=6, seed=42, dim=64)
+    return sim.knn_join(emb, emb, k=3, n_planes=6, seed=42, dim=64,
+                        n_tables=4)
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -1013,7 +1016,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "knn_join_lsh": osql.knn_join_lsh_sql(k=3, n_planes=6, seed=42,
-                                              dim=64, round_to=ROUND),
+                                              dim=64, round_to=ROUND,
+                                              n_tables=4),
         "multimodal_features": """
             WITH base AS (
                 SELECT doc_id AS asset_id,

@@ -140,6 +140,55 @@ def main() -> None:
     sim.cosine_topk(emb, qvec, 10).collect()
     queries["knn_cosine"] = round(time.perf_counter() - t0, 4)
 
+    # -- LSH near-dup recall vs exact ground truth (measure, don't
+    # guess: the bucketed scale path's quality, not just its speed).
+    # Ground truth restricted to a 1000-vector slice so the exact
+    # all-pairs side stays bounded at any sf.
+    from prosearch_spark.ops.similarity import (
+        _banded_sigs,
+        _dot,
+        _hyperplanes,
+        _norm,
+    )
+
+    R_PLANES, L_TABLES = 5, 10  # banded config under measurement
+    sl = emb.filter(F.col("vec_id") < 1000)
+    planes = _hyperplanes(64, R_PLANES * L_TABLES, 42)
+    sigd = sl.select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("va"),
+        F.explode(_banded_sigs(F.col("embedding"), planes,
+                               R_PLANES, L_TABLES)).alias("ts"),
+    ).select("i", "va", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    other = sigd.select(F.col("i").alias("j"), F.col("va").alias("vb"),
+                        "t", "sig")
+
+    def _pairs(joined):
+        return (
+            joined.withColumn(
+                "cos",
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            )
+            .filter(F.col("cos") >= 0.45)
+            .select("i", "j")
+        )
+
+    t0 = time.perf_counter()
+    lsh_pairs = _pairs(
+        sigd.join(other, ["t", "sig"]).filter(F.col("i") < F.col("j"))
+        .dropDuplicates(["i", "j"])
+    ).cache()
+    n_lsh = lsh_pairs.count()
+    queries["knn_lsh_pairs"] = round(time.perf_counter() - t0, 4)
+    a = sl.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = sl.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    exact_pairs = _pairs(a.join(b, F.col("i") < F.col("j"))).cache()
+    n_exact = exact_pairs.count()
+    n_hit = lsh_pairs.join(exact_pairs, ["i", "j"], "left_semi").count()
+    lsh_recall = round(n_hit / n_exact, 4) if n_exact else None
+    lsh_pairs.unpersist()
+    exact_pairs.unpersist()
+
     total = time.perf_counter() - t_total0
     out = {
         "metric": "index_build_plus_bm25_topk",
@@ -161,6 +210,9 @@ def main() -> None:
         "zipf_wand_and2_pruned_pct": round(
             100.0 * (1 - zst2["blocks_decoded"] / max(zst2["blocks_total"], 1)), 1
         ),
+        "lsh_neardup_recall": lsh_recall,
+        "lsh_neardup_pairs": n_lsh,
+        "exact_neardup_pairs": n_exact,
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -163,19 +163,56 @@ class IVFIndex:
         return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)
 
 
+def _banded_sigs(vec: Column | str, planes: list[list[float]],
+                 planes_per_table: int, n_tables: int):
+    """array<struct<t:int, sig:string>> — one sign-signature per LSH
+    table; table t hashes with the plane slice [t*r, (t+1)*r)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    entries = []
+    for t in range(n_tables):
+        sl = planes[t * planes_per_table:(t + 1) * planes_per_table]
+        entries.append(F.struct(
+            F.lit(t).alias("t"), lsh_signature_col(v, sl).alias("sig")
+        ))
+    return F.array(*entries)
+
+
 def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_planes: int = 6, seed: int = 42, dim: int = 64) -> DataFrame:
-    """Approximate k-NN join: equi-join on LSH bucket, exact cosine
-    inside, per-left top-k via window. (l_id, r_id, cosine, rank)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+             n_planes: int = 6, seed: int = 42, dim: int = 64,
+             n_tables: int = 1) -> DataFrame:
+    """Approximate k-NN join: equi-join on LSH buckets, exact cosine
+    inside, per-left top-k via window. (l_id, r_id, cosine, rank).
+
+    ``n_tables`` > 1 enables BANDED (multi-table) LSH: each side gets
+    one ``n_planes``-bit signature per table (independent hyperplane
+    slices), a pair is a candidate when ANY table's signatures match,
+    and duplicates collapse before the exact re-rank. The recall lever:
+    with per-plane agreement probability p = 1 - angle/pi, recall =
+    1 - (1 - p^r)^L — raise L for recall, raise r to keep random pairs
+    out (random-pair candidate rate = L * 2^-r). bench.py measures the
+    operating recall against the exact ground truth.
+    """
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+
+    def sigs(c):
+        return _banded_sigs(c, planes, n_planes, n_tables)
+
     l = left.select(
         F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_vec")
-    ).withColumn("sig", lsh_signature_col(F.col("l_vec"), planes))
+    ).withColumn("ts", F.explode(sigs(F.col("l_vec")))).select(
+        "l_id", "l_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+    )
     r = right.select(
         F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_vec")
-    ).withColumn("sig", lsh_signature_col(F.col("r_vec"), planes))
-    pairs = l.join(r, "sig").filter(F.col("l_id") != F.col("r_id"))
+    ).withColumn("ts", F.explode(sigs(F.col("r_vec")))).select(
+        "r_id", "r_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+    )
+    pairs = (
+        l.join(r, ["t", "sig"]).filter(F.col("l_id") != F.col("r_id"))
+        .select("l_id", "l_vec", "r_id", "r_vec")
+        .dropDuplicates(["l_id", "r_id"])  # any-table semantics
+    )
     scored = pairs.withColumn(
         "cosine",
         F.round(_dot(F.col("l_vec"), F.col("r_vec"))

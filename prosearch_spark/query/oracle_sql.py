@@ -614,9 +614,12 @@ FROM hits h JOIN snip s USING (doc_id)
 
 
 def knn_join_lsh_sql(k: int = 3, n_planes: int = 6, seed: int = 42,
-                     dim: int = 64, round_to: int = 6) -> str:
+                     dim: int = 64, round_to: int = 6,
+                     n_tables: int = 1) -> str:
     """DuckDB twin of ops/similarity.knn_join — the LSH-BUCKETED k-NN
-    join (the 100 TB near-dup path, NOT the all-pairs formulation).
+    join (the 100 TB near-dup path, NOT the all-pairs formulation),
+    including banded multi-table candidates (a pair qualifies when ANY
+    table's signatures agree).
 
     The hyperplanes are md5-deterministic (ops/similarity._hyperplanes),
     so the oracle recomputes bucket membership exactly: the plane
@@ -628,20 +631,28 @@ def knn_join_lsh_sql(k: int = 3, n_planes: int = 6, seed: int = 42,
     """
     from prosearch_spark.ops.similarity import _hyperplanes
 
-    planes = _hyperplanes(dim, n_planes, seed)
-    bits = ",\n               ".join(
-        "CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(c) for c in p)
-        + "]) > 0 THEN '1' ELSE '0' END"
-        for p in planes
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+
+    def bits(sl):
+        return ",\n               ".join(
+            "CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(c) for c in p)
+            + "]) > 0 THEN '1' ELSE '0' END"
+            for p in sl
+        )
+
+    sig_cols = ",\n           ".join(
+        f"concat({bits(planes[t * n_planes:(t + 1) * n_planes])}) AS sig{t}"
+        for t in range(n_tables)
     )
+    any_table = " OR ".join(f"a.sig{t} = b.sig{t}" for t in range(n_tables))
     return f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 sig AS (
     SELECT vec_id, v,
-           concat({bits}) AS sig
+           {sig_cols}
     FROM e
 ),
 pairs AS (
@@ -649,7 +660,8 @@ pairs AS (
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))), {round_to}) AS cosine
-    FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+    FROM sig a JOIN sig b
+      ON a.vec_id <> b.vec_id AND ({any_table})
 )
 SELECT l_id, r_id, cosine, rank FROM (
     SELECT l_id, r_id, cosine,
