@@ -590,6 +590,24 @@ def q_bm25_topk_lenient_junk(spark, sf_dir):
                       round_to=ROUND)
 
 
+def q_bm25_topk_mixed_blocks(spark, sf_dir):
+    """The mixed term+phrase query against a COMMITTED positional
+    artifact (bucket/term-pruned decode, manifest stats, no corpus
+    re-tokenize) — same oracle as the logical mixed path: the physical
+    layout must not change results."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("positional", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_posm_"), text_col="text",
+        with_positions=True))
+    return BlockSearchEngine(spark, art).mixed_topk(Q_MIXED_PHRASE, 10,
+                                                    round_to=ROUND)
+
+
 def q_bpe_token_count(spark, sf_dir):
     """BPE-style pre-token counting (training-data corpus costing)."""
     return _docs(spark, sf_dir).select(
@@ -721,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_repeat": q_phrase_topk_repeat,
         "phrase_topk_blocks": q_phrase_topk_blocks,
         "bm25_topk_mixed_phrase": q_bm25_topk_mixed_phrase,
+        "bm25_topk_mixed_blocks": q_bm25_topk_mixed_blocks,
         "bm25_topk_lenient_junk": q_bm25_topk_lenient_junk,
         "bm25_topk_quantized": q_bm25_topk_quantized,
         "bm25_topk_fastfield": q_bm25_topk_fastfield,
@@ -866,6 +885,8 @@ def oracle_sql() -> dict[str, str]:
             10, ROUND,
         ),
         "bm25_topk_mixed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
+                                                      ROUND),
+        "bm25_topk_mixed_blocks": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
                                                       ROUND),
         "bm25_topk_lenient_junk": osql.mixed_topk_sql(Q_LENIENT_JUNK, 10,
                                                       ROUND),

@@ -329,6 +329,84 @@ class BlockSearchEngine:
     def match_scan(self, q: str) -> DataFrame:
         return self._engine(q).match_scan(q)
 
+    def mixed_topk(self, q: str, k: int = 10,
+                   round_to: int | None = None) -> DataFrame:
+        """Lenient mixed term+phrase query over a COMMITTED positional
+        artifact — the serving path at scale: bucket/term pruning
+        fetches only the clause terms' (positional) postings, nothing
+        re-tokenizes the corpus, and collection stats come from the
+        manifest. Scoring algebra is shared with query/mixed (term BM25
+        + phrase BM25, conjunction, clause scores summed)."""
+        from functools import reduce
+
+        from prosearch_spark.analyzer import parse_query_lenient
+        from prosearch_spark.index.positions import (
+            phrase_matches,
+            phrase_scores,
+        )
+        from prosearch_spark.query.bm25 import SCORE_EXPR
+        from prosearch_spark.query.engine import (
+            TOPK_SCHEMA,
+            materialize_topk,
+            rank_topk,
+        )
+
+        clauses = parse_query_lenient(q)
+        if not clauses:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        term_clauses = [c for kind, c in clauses if kind == "term"]
+        phrase_clauses = [c for kind, c in clauses if kind == "phrase"]
+        all_terms = sorted(
+            {t for t, _ in term_clauses}
+            | {t for terms in phrase_clauses for t in terms}
+        )
+        postings = self.artifact.postings(all_terms)
+        if phrase_clauses and "positions" not in postings.columns:
+            raise ValueError("artifact was not built with_positions=True")
+        stats = self.artifact.stats()
+        persisted: list[DataFrame] = []
+        if phrase_clauses:
+            # the n-way phrase joins re-read the pruned decode once per
+            # clause side otherwise
+            postings = postings.persist()
+            persisted.append(postings)
+        try:
+            parts: list[DataFrame] = []
+            if term_clauses:
+                qdf = self.spark.createDataFrame(
+                    term_clauses, "term string, boost double"
+                )
+                ts = self.artifact.term_stats(
+                    sorted({t for t, _ in term_clauses})
+                )
+                parts.append(
+                    postings.select("term", "doc_id", "tf", "dl")
+                    .join(F.broadcast(qdf), "term")
+                    .join(F.broadcast(ts), "term")
+                    .crossJoin(F.broadcast(stats))
+                    .withColumn("s", F.expr(SCORE_EXPR))
+                    .select("doc_id", "s")
+                )
+            for terms in phrase_clauses:
+                m = phrase_matches(postings, terms).persist()
+                persisted.append(m)
+                pdf = m.count()
+                if pdf == 0:
+                    return self.spark.createDataFrame([], TOPK_SCHEMA)
+                parts.append(phrase_scores(m, pdf, stats))
+            scored = reduce(lambda a, b: a.unionByName(b), parts)
+            d = (
+                scored.groupBy("doc_id")
+                .agg(F.sum("s").alias("score"),
+                     F.count("*").alias("nmatch"))
+                .filter(F.col("nmatch") == len(clauses))
+                .drop("nmatch")
+            )
+            return materialize_topk(self.spark, rank_topk(d, k, round_to))
+        finally:
+            for df in persisted:
+                df.unpersist()
+
     def phrase_topk(self, phrase: str, k: int = 10,
                     round_to: int | None = None) -> DataFrame:
         """Exact-phrase BM25 over a positional artifact
