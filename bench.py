@@ -182,12 +182,11 @@ def main() -> None:
     queries["knn_lsh_pairs"] = round(time.perf_counter() - t0, 4)
     a = sl.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
     b = sl.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
-    exact_pairs = _pairs(a.join(b, F.col("i") < F.col("j"))).cache()
-    n_exact = exact_pairs.count()
-    n_hit = lsh_pairs.join(exact_pairs, ["i", "j"], "left_semi").count()
-    lsh_recall = round(n_hit / n_exact, 4) if n_exact else None
+    n_exact = _pairs(a.join(b, F.col("i") < F.col("j"))).count()
+    # lsh_pairs applies the SAME cosine filter to a candidate subset,
+    # so it is a subset of the exact pairs by construction
+    lsh_recall = round(n_lsh / n_exact, 4) if n_exact else None
     lsh_pairs.unpersist()
-    exact_pairs.unpersist()
 
     total = time.perf_counter() - t_total0
     out = {

@@ -18,7 +18,7 @@ Two tiers, per the scale ladder:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -211,8 +211,11 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
     pairs = (
         l.join(r, ["t", "sig"]).filter(F.col("l_id") != F.col("r_id"))
         .select("l_id", "l_vec", "r_id", "r_vec")
-        .dropDuplicates(["l_id", "r_id"])  # any-table semantics
     )
+    if n_tables > 1:
+        # any-table semantics: collapse pairs that collided in several
+        # tables (a no-op shuffle the single-table plan must not pay)
+        pairs = pairs.dropDuplicates(["l_id", "r_id"])
     scored = pairs.withColumn(
         "cosine",
         F.round(_dot(F.col("l_vec"), F.col("r_vec"))

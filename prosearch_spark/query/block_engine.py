@@ -337,19 +337,9 @@ class BlockSearchEngine:
         re-tokenizes the corpus, and collection stats come from the
         manifest. Scoring algebra is shared with query/mixed (term BM25
         + phrase BM25, conjunction, clause scores summed)."""
-        from functools import reduce
-
         from prosearch_spark.analyzer import parse_query_lenient
-        from prosearch_spark.index.positions import (
-            phrase_matches,
-            phrase_scores,
-        )
-        from prosearch_spark.query.bm25 import SCORE_EXPR
-        from prosearch_spark.query.engine import (
-            TOPK_SCHEMA,
-            materialize_topk,
-            rank_topk,
-        )
+        from prosearch_spark.query.engine import TOPK_SCHEMA
+        from prosearch_spark.query.mixed import mixed_topk as _mixed
 
         clauses = parse_query_lenient(q)
         if not clauses:
@@ -363,49 +353,20 @@ class BlockSearchEngine:
         postings = self.artifact.postings(all_terms)
         if phrase_clauses and "positions" not in postings.columns:
             raise ValueError("artifact was not built with_positions=True")
-        stats = self.artifact.stats()
-        persisted: list[DataFrame] = []
-        if phrase_clauses:
-            # the n-way phrase joins re-read the pruned decode once per
-            # clause side otherwise
-            postings = postings.persist()
-            persisted.append(postings)
+        # persist the pruned decode: term scoring and each phrase's
+        # n-way join re-read it otherwise. The result is materialized
+        # before return, so unpersisting after is safe.
+        postings = postings.persist()
         try:
-            parts: list[DataFrame] = []
-            if term_clauses:
-                qdf = self.spark.createDataFrame(
-                    term_clauses, "term string, boost double"
-                )
-                ts = self.artifact.term_stats(
+            return _mixed(
+                self.spark, None, q, k, round_to,
+                pp=postings, stats=self.artifact.stats(),
+                term_stats=self.artifact.term_stats(
                     sorted({t for t, _ in term_clauses})
-                )
-                parts.append(
-                    postings.select("term", "doc_id", "tf", "dl")
-                    .join(F.broadcast(qdf), "term")
-                    .join(F.broadcast(ts), "term")
-                    .crossJoin(F.broadcast(stats))
-                    .withColumn("s", F.expr(SCORE_EXPR))
-                    .select("doc_id", "s")
-                )
-            for terms in phrase_clauses:
-                m = phrase_matches(postings, terms).persist()
-                persisted.append(m)
-                pdf = m.count()
-                if pdf == 0:
-                    return self.spark.createDataFrame([], TOPK_SCHEMA)
-                parts.append(phrase_scores(m, pdf, stats))
-            scored = reduce(lambda a, b: a.unionByName(b), parts)
-            d = (
-                scored.groupBy("doc_id")
-                .agg(F.sum("s").alias("score"),
-                     F.count("*").alias("nmatch"))
-                .filter(F.col("nmatch") == len(clauses))
-                .drop("nmatch")
+                ) if term_clauses else None,
             )
-            return materialize_topk(self.spark, rank_topk(d, k, round_to))
         finally:
-            for df in persisted:
-                df.unpersist()
+            postings.unpersist()
 
     def phrase_topk(self, phrase: str, k: int = 10,
                     round_to: int | None = None) -> DataFrame:

@@ -52,11 +52,13 @@ def build_positional(spark: SparkSession, docs: DataFrame,
     return pp, stats
 
 
-def mixed_topk(spark: SparkSession, docs: DataFrame, q: str, k: int = 10,
+def mixed_topk(spark: SparkSession, docs: DataFrame | None, q: str,
+               k: int = 10,
                round_to: int | None = None, text_col: str = "text",
                id_col: str = "doc_id",
                pp: DataFrame | None = None,
-               stats: DataFrame | None = None) -> DataFrame:
+               stats: DataFrame | None = None,
+               term_stats: DataFrame | None = None) -> DataFrame:
     """BM25 top-k for a lenient query with optional quoted phrases.
 
     score(d) = sum over term clauses of boost * bm25(term, d)
@@ -65,8 +67,12 @@ def mixed_topk(spark: SparkSession, docs: DataFrame, q: str, k: int = 10,
     match EVERY clause (conjunction by default).
 
     Pass a prebuilt ``(pp, stats)`` from :func:`build_positional` to
-    amortize the corpus tokenize across queries (the serving path);
-    otherwise they are built and persisted for this one call.
+    amortize the corpus tokenize across queries (the serving path) —
+    ``docs`` may then be None; otherwise they are built and persisted
+    for this one call. ``term_stats`` (term, df) overrides the
+    pp-derived document frequencies — the committed-artifact caller
+    passes its manifest-era stats so the block path keeps the
+    reference's df-drift-until-merge semantics under tombstones.
     """
     clauses = parse_query_lenient(q)
     if not clauses:
@@ -88,7 +94,7 @@ def mixed_topk(spark: SparkSession, docs: DataFrame, q: str, k: int = 10,
             qdf = spark.createDataFrame(term_clauses,
                                         "term string, boost double")
             terms = sorted({t for t, _ in term_clauses})
-            ts = (
+            ts = term_stats if term_stats is not None else (
                 pp.filter(F.col("term").isin(terms))
                 .groupBy("term").agg(F.count("*").alias("df"))
             )

@@ -305,3 +305,47 @@ def test_dot_segment_sql_matches_spark(spark):
     for c in cases:
         sql = "SELECT " + remove_dot_segments_sql("'" + c + "'")
         assert con.execute(sql).fetchone()[0] == got[c], c
+
+
+def test_knn_join_banded_finds_planted_twins(spark):
+    """Banded LSH (any-table candidates) must recover planted
+    near-duplicate pairs a single table misses, and returned cosines
+    must equal the exact values (the re-rank inside buckets is exact)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.ops.similarity import knn_join
+
+    # 40 vectors = 20 planted twin pairs: (2m, 2m+1) differ by a tiny
+    # perturbation, everything else is hash-random
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 16), j -> cast("
+            "pmod(xxhash64(id div 2, j), 100) / 50.0 - 1.0"
+            " + (id % 2) * 0.01 as float))"
+        ).alias("embedding"),
+    )
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def twin_recall(n_tables):
+        out = knn_join(emb, emb, k=1, n_planes=6, dim=16,
+                       n_tables=n_tables)
+        top1 = {r["l_id"]: (r["r_id"], r["cosine"]) for r in out.collect()}
+        hits = 0
+        for l, (rr, cos) in top1.items():
+            # exact cosine recomputed in python must match the engine
+            va, vb = vecs[l], vecs[rr]
+            dot = sum(float(x) * float(y) for x, y in zip(va, vb))
+            na = math.sqrt(sum(float(x) ** 2 for x in va))
+            nb = math.sqrt(sum(float(x) ** 2 for x in vb))
+            assert abs(cos - round(dot / (na * nb), 6)) < 2e-6, (l, rr)
+            if rr == l ^ 1:
+                hits += 1
+        return hits / 20.0
+
+    banded = twin_recall(8)
+    single = twin_recall(1)
+    assert banded >= 0.9, banded
+    assert banded >= single

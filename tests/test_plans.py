@@ -134,6 +134,14 @@ def test_knn_join_is_bucketed_not_nested_loop(spark):
     plan = _plan(knn_join(emb, emb, k=2, n_planes=4, dim=8))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # single-table configs must not pay the any-table dedup shuffle
+    assert "dropDuplicates" not in plan and "deduplicate" not in plan.lower()
+
+    # the BANDED shape the gate entry actually serves (n_tables > 1):
+    # exploded (table, sig) keys must still equi-join
+    plan_b = _plan(knn_join(emb, emb, k=2, n_planes=4, dim=8, n_tables=3))
+    assert "BroadcastNestedLoopJoin" not in plan_b
+    assert "CartesianProduct" not in plan_b
 
 
 def test_fastfield_predicate_pushed_to_parquet(spark, corpus, tmp_path):
