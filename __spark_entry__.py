@@ -400,6 +400,18 @@ def q_url_ops(spark, sf_dir):
     )
 
 
+def q_html_escape(spark, sf_dir):
+    """T9: SERP HTML escaping over a synthesized special-char string
+    (the corpus text has no specials, so the fixture injects all five)."""
+    from prosearch_spark.functions import text as tx
+
+    d = _docs(spark, sf_dir).withColumn(
+        "raw",
+        F.expr("concat('<b>\"', source, '\" & ', doc_id, '''s</b>')"),
+    )
+    return d.select("doc_id", tx.html_escape("raw").alias("escaped"))
+
+
 def q_title_fallback_len(spark, sf_dir):
     """T10/T11: title fallback to url + indexed content length."""
     from prosearch_spark.functions import text as tx
@@ -731,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_posting_summary": q_salted_posting_summary,
         "url_ops": q_url_ops,
         "title_fallback_len": q_title_fallback_len,
+        "html_escape": q_html_escape,
         "bpe_token_count": q_bpe_token_count,
         "embedding_near_dup": q_embedding_near_dup,
         "search_fetch": q_search_fetch,
@@ -858,6 +871,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    coalesce(nullif(trim(title), ''), url) AS title,
                    (length(text) + length(coalesce(title, '')))::BIGINT AS content_length
+            FROM d
+        """,
+        "html_escape": """
+            WITH d AS (
+                SELECT doc_id,
+                       concat('<b>"', source, '" & ', doc_id, '''s</b>') AS raw
+                FROM documents
+            )
+            SELECT doc_id,
+                   replace(replace(replace(replace(replace(raw,
+                       '&', '&amp;'),
+                       '<', '&lt;'),
+                       '>', '&gt;'),
+                       '"', '&quot;'),
+                       '''', '&#39;') AS escaped
             FROM d
         """,
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),

@@ -146,6 +146,17 @@ def content_length(title: Column | str, body: Column | str) -> Column:
     return (F.length(_c(body)) + F.length(_c(title))).cast("long")
 
 
+def html_escape(col: Column | str) -> Column:
+    """T9 (SERP rendering, SearchPage.java analog): escape the five
+    HTML-special characters. ``&`` first, or already-escaped entities
+    would double-escape."""
+    c = _c(col)
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;"), ("'", "&#39;")]:
+        c = F.replace(c, F.lit(raw), F.lit(ent))
+    return c
+
+
 def has_start_url_format(url: Column | str) -> Column:
     """P7 (Manager.java:189-207): path in {null, '', '/'}, no query,
     no fragment — the 'is this a site root' predicate."""
