@@ -140,3 +140,44 @@ def test_oracle_self_consistency(contents, q):
     for (d1, s1), (d2, s2) in zip(res, res[1:]):
         if s1 == s2:
             assert d1 < d2
+
+
+@given(st.text(max_size=60))
+def test_parse_query_lenient_never_raises(q):
+    """LENIENT means lenient: any user string parses to a well-formed
+    clause list (serve.rs:407-409 drops bad clauses, never errors)."""
+    from prosearch_spark.analyzer import parse_query_lenient
+
+    clauses = parse_query_lenient(q)
+    for kind, payload in clauses:
+        if kind == "term":
+            term, boost = payload
+            assert term and term == term.lower() and '"' not in term
+            assert boost in (1.0, 2.5)
+        else:
+            assert kind == "phrase"
+            assert len(payload) >= 2
+            assert all(t and t == t.lower() for t in payload)
+
+
+@given(st.lists(
+    st.sampled_from(["a", "b", "c1", ".", "..", ".a", "..b", "...", "x.y"]),
+    min_size=0, max_size=9,
+))
+def test_dot_segment_rewrite_matches_rfc_random(segs):
+    """The bounded regex rewrite equals pure RFC 3986 5.2.4 on random
+    dot-heavy paths (deeper than the exhaustive depth-4 sweep)."""
+    import re
+
+    from prosearch_spark.functions.text import (
+        _DOT_RULES,
+        DOT_PASSES,
+        remove_dot_segments_py,
+    )
+
+    path = "/" + "/".join(segs) if segs else "/"
+    out = path
+    for _ in range(DOT_PASSES):
+        for pat, rep in _DOT_RULES:
+            out = re.sub(pat, rep, out)
+    assert out == remove_dot_segments_py(path), path
