@@ -243,6 +243,15 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_lang_id(spark, sf_dir):
+    """Marker-stopword language identification (training-data op): the
+    oracle recomputes per-language marker counts and the deterministic
+    en>de>es>fr tie priority in SQL."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", ts.fingerprint(F.col("text")).alias("fingerprint")
@@ -763,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitespace_collapse": q_whitespace_collapse,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "lang_id": q_lang_id,
         # crawl-state relational ops (P3, A1-A3, W2, J5, SURVEY §2.2/2.7/2.8)
         "per_host_limit": q_per_host_limit,
         "stats_rollup": q_stats_rollup,
@@ -966,6 +976,24 @@ def oracle_sql() -> dict[str, str]:
                    round((length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
                          * 1.0 / greatest(length(d.text), 1), {ROUND}) AS punct_ratio
             FROM documents d LEFT JOIN per_tok p USING (doc_id)
+        """,
+        "lang_id": f"""
+            WITH {_TOKS},
+            cnt AS (
+                SELECT doc_id,
+                       sum(CASE WHEN term IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS c_en,
+                       sum(CASE WHEN term IN ('der','die','und','das','ist') THEN 1 ELSE 0 END) AS c_de,
+                       sum(CASE WHEN term IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS c_fr,
+                       sum(CASE WHEN term IN ('el','la','los','y','de') THEN 1 ELSE 0 END) AS c_es
+                FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN coalesce(c_en,0) > 0 AND c_en = greatest(c_en,c_de,c_fr,c_es) THEN 'en'
+                        WHEN coalesce(c_de,0) > 0 AND c_de = greatest(c_en,c_de,c_fr,c_es) THEN 'de'
+                        WHEN coalesce(c_es,0) > 0 AND c_es = greatest(c_en,c_de,c_fr,c_es) THEN 'es'
+                        WHEN coalesce(c_fr,0) > 0 AND c_fr = greatest(c_en,c_de,c_fr,c_es) THEN 'fr'
+                        ELSE 'und' END AS lang_guess
+            FROM documents d LEFT JOIN cnt USING (doc_id)
         """,
         "text_fingerprint": f"""
             WITH {_TOKS}
