@@ -380,6 +380,12 @@ _URL_EXPR = (
 # BIGINT doc_id in both dialects)
 _URL_SQL = _URL_EXPR
 
+from prosearch_spark.functions.text import html_escape_sql as _hesc
+
+# T9 escape chain generated from the shared entity table (one source
+# of truth with the engine and the snippet renderer)
+_HTML_ESC_SQL = _hesc("raw")
+
 # dot-segment removal over the path-only slice of u4 (the oracle's
 # step-4 output), precomputed because f-string expressions cannot
 # contain backslashes
@@ -416,7 +422,8 @@ def q_html_escape(spark, sf_dir):
 
     d = _docs(spark, sf_dir).withColumn(
         "raw",
-        F.expr("concat('<b>\"', source, '\" & ', doc_id, '''s</b>')"),
+        F.expr("concat('<b>\"', coalesce(source, ''), '\" & ', doc_id,"
+               " '''s</b>')"),
     )
     return d.select("doc_id", tx.html_escape("raw").alias("escaped"))
 
@@ -883,19 +890,14 @@ def oracle_sql() -> dict[str, str]:
                    (length(text) + length(coalesce(title, '')))::BIGINT AS content_length
             FROM d
         """,
-        "html_escape": """
+        "html_escape": f"""
             WITH d AS (
                 SELECT doc_id,
-                       concat('<b>"', source, '" & ', doc_id, '''s</b>') AS raw
+                       concat('<b>"', coalesce(source, ''), '" & ', doc_id,
+                              '''s</b>') AS raw
                 FROM documents
             )
-            SELECT doc_id,
-                   replace(replace(replace(replace(replace(raw,
-                       '&', '&amp;'),
-                       '<', '&lt;'),
-                       '>', '&gt;'),
-                       '"', '&quot;'),
-                       '''', '&#39;') AS escaped
+            SELECT doc_id, {_HTML_ESC_SQL} AS escaped
             FROM d
         """,
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),

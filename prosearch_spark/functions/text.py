@@ -146,15 +146,38 @@ def content_length(title: Column | str, body: Column | str) -> Column:
     return (F.length(_c(body)) + F.length(_c(title))).cast("long")
 
 
+# T9 entity table — ONE source of truth for the Spark expression, the
+# DuckDB SQL emitter, and the Python twin the snippet renderer uses.
+# ``&`` first, or already-escaped entities would double-escape.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+    ('"', "&quot;"), ("'", "&#39;"),
+]
+
+
 def html_escape(col: Column | str) -> Column:
     """T9 (SERP rendering, SearchPage.java analog): escape the five
-    HTML-special characters. ``&`` first, or already-escaped entities
-    would double-escape."""
+    HTML-special characters."""
     c = _c(col)
-    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
-                     ('"', "&quot;"), ("'", "&#39;")]:
+    for raw, ent in HTML_ENTITIES:
         c = F.replace(c, F.lit(raw), F.lit(ent))
     return c
+
+
+def html_escape_py(s: str) -> str:
+    """Python twin (used by the snippet renderer and tests)."""
+    for raw, ent in HTML_ENTITIES:
+        s = s.replace(raw, ent)
+    return s
+
+
+def html_escape_sql(expr: str) -> str:
+    """DuckDB twin generated from the same entity table."""
+    out = expr
+    for raw, ent in HTML_ENTITIES:
+        out = (f"replace({out}, '{raw.replace(chr(39), chr(39) * 2)}', "
+               f"'{ent.replace(chr(39), chr(39) * 2)}')")
+    return out
 
 
 def has_start_url_format(url: Column | str) -> Column:

@@ -551,9 +551,14 @@ def snippet_sql(q: str, k: int = 5, round_to: int = 6,
     in <b>..</b>. The no-hit case falls out naturally: every frame sums
     to 0, the earliest frame wins, and no token highlights.
     """
+    from prosearch_spark.functions.text import html_escape_sql
+
     terms = sorted({t for t, _ in analyze_query(q)})
     inlist = ", ".join(_sql_str(t) for t in terms)
     cte, _ = _scored_docs_cte_qualified(q)
+    # tokens are HTML-escaped at render (T9) — generated from the same
+    # entity table the engine uses
+    esc_raw = html_escape_sql("t.raw")
     return f"""
 WITH {cte},
 rounded AS (
@@ -601,8 +606,8 @@ best AS (
 snip AS (
     SELECT b.doc_id,
            coalesce(string_agg(
-               CASE WHEN t.hit = 1 THEN '<b>' || t.raw || '</b>'
-                    ELSE t.raw END, ' ' ORDER BY t.i), '') AS snip
+               CASE WHEN t.hit = 1 THEN '<b>' || {esc_raw} || '</b>'
+                    ELSE {esc_raw} END, ' ' ORDER BY t.i), '') AS snip
     FROM best b
     LEFT JOIN tok t ON t.doc_id = b.doc_id
                    AND t.i BETWEEN b.s AND b.s + {window} - 1

@@ -22,7 +22,12 @@ WINDOW_TOKENS = 20
 
 def make_snippet_py(text: str, terms: set[str],
                     window: int = WINDOW_TOKENS) -> str:
-    """Pure-Python snippet: max-hit window + <b> highlights."""
+    """Pure-Python snippet: max-hit window + <b> highlights. Document
+    tokens are HTML-ESCAPED before the markup wraps them (T9,
+    SearchPage.java render-time escaping — raw document text must never
+    inject markup into the SERP)."""
+    from prosearch_spark.functions.text import html_escape_py as esc
+
     if not text:
         return ""
     raw = text.split()
@@ -30,7 +35,7 @@ def make_snippet_py(text: str, terms: set[str],
     hits = [1 if t in terms else 0 for t in low]
     if not any(hits):
         frag = raw[:window]
-        return " ".join(frag)
+        return " ".join(esc(t) for t in frag)
     best_s, best_n = 0, -1
     run = sum(hits[:window])
     best_s, best_n = 0, run
@@ -41,7 +46,7 @@ def make_snippet_py(text: str, terms: set[str],
             best_s, best_n = s, run
     frag = raw[best_s:best_s + window]
     out = [
-        f"<b>{tok}</b>" if low[best_s + i] in terms else tok
+        f"<b>{esc(tok)}</b>" if low[best_s + i] in terms else esc(tok)
         for i, tok in enumerate(frag)
     ]
     return " ".join(out)

@@ -120,3 +120,20 @@ def test_with_snippet_udf(spark):
     )
     out = with_snippet(df, "spark", "content").collect()[0]["snip"]
     assert "<b>spark</b>" in out
+
+
+def test_snippet_escapes_document_html():
+    """T9 at the place it matters: raw document text must never inject
+    markup into the SERP snippet — only the highlight's own <b> tags
+    may appear (r2 review XSS finding)."""
+    from prosearch_spark.query.snippet import make_snippet_py
+
+    text = "safe <script>alert(1)</script> needle & \"quoted\" end"
+    out = make_snippet_py(text, {"needle"})
+    assert "<script>" not in out
+    assert "&lt;script&gt;alert(1)&lt;/script&gt;" in out
+    assert "<b>needle</b>" in out
+    assert "&amp;" in out and "&quot;quoted&quot;" in out
+    # no-hit branch escapes too
+    out2 = make_snippet_py("<img src=x> plain", {"zzz"})
+    assert "<img" not in out2 and "&lt;img" in out2
