@@ -21,20 +21,23 @@ def _c(col: Column | str) -> Column:
 # point yields exactly the RFC result. _SEG matches any path segment
 # EXCEPT '.' and '..' (a literal dot-dir consumed as the popped
 # segment was the round-2 review's fuzz-confirmed bug): it must start
-# with a non-dot, or be '.x...', or be '..x...'. Real paths are well
-# under 12 chained dot-segments deep; both engines apply the identical
-# pass count with identical replace-ALL semantics, so engine == oracle
-# by construction, and pytest fuzzes the result against a pure RFC
-# 5.2.4 Python twin.
-DOT_PASSES = 12
+# with a non-dot, or be '.x...', or be '..x...'. A leading RUN of /../
+# collapses in one rule application (adversarial mass-'..' prefixes
+# don't consume passes); the residual bound is nesting depth of real
+# seg/.. pairs — DOT_PASSES covers ~16 nested pops (33+ segments of
+# pure climb shenanigans beyond that stay partially reduced, but
+# IDENTICALLY on both engines: the identical pass count and replace-ALL
+# semantics make engine == oracle by construction, and pytest fuzzes
+# the fully-reduced regime against a pure RFC 5.2.4 Python twin).
+DOT_PASSES = 16
 _SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
 _DOT_RULES = [
     (r"/\./", "/"),               # /a/./b -> /a/b
     (r"/\.$", "/"),               # /a/.   -> /a/
     (rf"/{_SEG}/\.\./", "/"),     # /a/../ -> /   (a != '.', '..')
     (rf"/{_SEG}/\.\.$", "/"),     # /a/..  -> /
-    (r"^/\.\./", "/"),            # leading /../ -> /
-    (r"^/\.\.$", "/"),            # bare /..     -> /
+    (r"^(?:/\.\.)+/", "/"),       # leading /../../... run -> /
+    (r"^(?:/\.\.)+$", "/"),       # bare /../.. run       -> /
 ]
 
 

@@ -32,10 +32,11 @@ from prosearch_spark.index.build import InvertedIndex
 from prosearch_spark.query.engine import SearchEngine
 
 
-# WAND seed bound: the doubling loop collects at most this many block
-# RANGES to the driver (~16 B each). A conjunction so sparse that a
-# 64k-block seed still holds < k matches falls back to the range-pruned
-# exact engine, which needs no driver-side collect at all.
+# WAND seed bound: the grow-4x retry loop collects at most this many
+# block RANGES to the driver (~16 B each), including on the FIRST
+# iteration. A conjunction so sparse that a 64k-block seed still holds
+# < k matches falls back to the range-pruned exact engine, which needs
+# no driver-side collect at all.
 SEED_BLOCK_CAP = 1 << 16
 
 
@@ -123,7 +124,7 @@ class BlockSearchEngine:
                  ranges: any doc inside a seed range then has ALL its
                  postings present, so its exact conjunctive score is
                  computable. theta = the k-th exact seed score; if the
-                 seed matched < k docs, double B and retry (when B
+                 seed matched < k docs, grow B 4x and retry (when B
                  reaches every rarest block the seed result is already
                  the exact answer and no second pass runs).
           prune: for each rarest block r, every conjunctive match in
@@ -205,13 +206,28 @@ class BlockSearchEngine:
                     "left_semi",
                 )
                 n_seed = seed_blocks.count()
-                seed_top = self._engine_on_blocks(seed_blocks, terms).topk(
-                    q, k, round_to=None
-                )
-                seed_rows = seed_top.collect()
-                if len(seed_rows) >= k or covers_all:
+                # when the seed spans every rarest block the seed
+                # result IS final — score it under the caller's
+                # rounding directly (theta is only needed when a
+                # second pass will prune); one decode+score, returned
+                # as the already-collected local rows
+                rt = round_to if covers_all else None
+                seed_rows = self._engine_on_blocks(seed_blocks, terms) \
+                    .topk(q, k, round_to=rt).collect()
+                if covers_all:
+                    from prosearch_spark.query.engine import TOPK_SCHEMA
+
+                    out = (self.spark.createDataFrame(seed_rows,
+                                                      TOPK_SCHEMA)
+                           if seed_rows else
+                           self.spark.createDataFrame([], TOPK_SCHEMA))
+                    return out, {"blocks_total": n_blocks,
+                                 "blocks_decoded": n_seed,
+                                 "blocks_seed": n_seed, "blocks_final": 0}
+                if len(seed_rows) >= k:
                     break
-                B *= 4
+                B *= 4  # grow 4x per retry (NOT 2x: fewer rounds, each
+                # bounded by SEED_BLOCK_CAP below)
                 if min(B, n_rarest) > SEED_BLOCK_CAP:
                     # seeding would collect unbounded metadata to the
                     # driver — hand off to the exact range-pruned path
@@ -220,17 +236,6 @@ class BlockSearchEngine:
                         "blocks_decoded": n_blocks,
                         "seed_capped": True,
                     }
-            if covers_all:
-                # the seed spanned every rarest block -> every
-                # conjunctive match was scored exactly; done.
-                out = seed_top
-                if round_to is not None:
-                    out = self._engine_on_blocks(seed_blocks, terms).topk(
-                        q, k, round_to=round_to
-                    )
-                return out, {"blocks_total": n_blocks,
-                             "blocks_decoded": n_seed,
-                             "blocks_seed": n_seed, "blocks_final": 0}
             theta = min(r["score"] for r in seed_rows)
             eps = 10 ** (-round_to) if round_to is not None else 0.0
 

@@ -269,6 +269,11 @@ def test_dot_segment_removal_matches_rfc(spark):
         # consumed as the popped segment / overlapping /./ runs):
         "/a/b/../../..", "/a/././../x", "/a/a/../../..",
         "/a/../..", "/a/./../..", "/.../../x", "/a/.../../x",
+        # adversarial leading '..' runs deeper than the pass count
+        # (collapse in ONE rule application) and nested pop chains up
+        # to the documented 16-pass bound
+        "/" + "../" * 13 + "x", "/" + "../" * 40 + "x",
+        "/" + "a/" * 14 + "../" * 14 + "x",
     ]
     # exhaustive sweep: every path of depth <= 4 over a dot-heavy
     # segment alphabet, with and without a trailing slash

@@ -131,17 +131,23 @@ def test_knn_join_is_bucketed_not_nested_loop(spark):
         F.expr("transform(sequence(1, 8), "
                "i -> cast(pmod(id * i, 7) - 3 as float))").alias("embedding"),
     )
+    import re
+
     plan = _plan(knn_join(emb, emb, k=2, n_planes=4, dim=8))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # single-table configs must not pay the any-table dedup shuffle
-    assert "dropDuplicates" not in plan and "deduplicate" not in plan.lower()
+    # single-table configs must not pay the any-table dedup shuffle:
+    # dropDuplicates lowers to a Hash/SortAggregate keyed on (l_id, ...)
+    dedup_agg = r"(Hash|Sort)Aggregate\(keys?=\[l_id"
+    assert not re.search(dedup_agg, plan), plan[:600]
 
     # the BANDED shape the gate entry actually serves (n_tables > 1):
-    # exploded (table, sig) keys must still equi-join
+    # exploded (table, sig) keys must still equi-join, and the
+    # any-table dedup aggregate must be present
     plan_b = _plan(knn_join(emb, emb, k=2, n_planes=4, dim=8, n_tables=3))
     assert "BroadcastNestedLoopJoin" not in plan_b
     assert "CartesianProduct" not in plan_b
+    assert re.search(dedup_agg, plan_b), plan_b[:600]
 
 
 def test_fastfield_predicate_pushed_to_parquet(spark, corpus, tmp_path):
