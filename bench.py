@@ -112,13 +112,17 @@ def main() -> None:
     t0 = time.perf_counter()
     save_index(spark, zdocs, zpath, text_col="content")
     queries["zipf_build_20k"] = round(time.perf_counter() - t0, 4)
+    # min_prune_blocks=0 forces the full seed/bounds ladder: these two
+    # rows MEASURE pruning (at true scale n_blocks >> the cost cutoff,
+    # so the ladder runs anyway); q_wand_single above keeps the default
+    # cutoff and measures the r02-regression fix (short-circuit).
     zblk = BlockSearchEngine(spark, IndexArtifact.load(spark, zpath))
     t0 = time.perf_counter()
-    zout1, zst1 = zblk.topk_wand("z3_1", 10)
+    zout1, zst1 = zblk.topk_wand("z3_1", 10, min_prune_blocks=0)
     zout1.collect()
     queries["q_wand_zipf_single"] = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
-    zout2, zst2 = zblk.topk_wand("z3_1 z3_2", 10)
+    zout2, zst2 = zblk.topk_wand("z3_1 z3_2", 10, min_prune_blocks=0)
     zout2.collect()
     queries["q_wand_zipf_and2"] = round(time.perf_counter() - t0, 4)
 
@@ -180,13 +184,35 @@ def main() -> None:
     ).cache()
     n_lsh = lsh_pairs.count()
     queries["knn_lsh_pairs"] = round(time.perf_counter() - t0, 4)
+
+    # multi-probe variant (round 3): left side also probes the
+    # lowest-|margin| flipped signature per table — the recall lever
+    # past the more-tables plateau, at ~2x left signature volume only
+    sigp = sl.select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("va"),
+        F.explode(_banded_sigs(F.col("embedding"), planes,
+                               R_PLANES, L_TABLES, probes=2)).alias("ts"),
+    ).select("i", "va", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    t0 = time.perf_counter()
+    probe_pairs = _pairs(
+        sigp.join(other, ["t", "sig"]).filter(F.col("i") != F.col("j"))
+        .withColumn("lo", F.least("i", "j"))
+        .withColumn("hi", F.greatest("i", "j"))
+        .drop("i", "j")
+        .withColumnRenamed("lo", "i").withColumnRenamed("hi", "j")
+        .dropDuplicates(["i", "j"])
+    ).cache()
+    n_probe_pairs = probe_pairs.count()
+    queries["knn_lsh_probe_pairs"] = round(time.perf_counter() - t0, 4)
     a = sl.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
     b = sl.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
     n_exact = _pairs(a.join(b, F.col("i") < F.col("j"))).count()
     # lsh_pairs applies the SAME cosine filter to a candidate subset,
     # so it is a subset of the exact pairs by construction
     lsh_recall = round(n_lsh / n_exact, 4) if n_exact else None
+    probe_recall = round(n_probe_pairs / n_exact, 4) if n_exact else None
     lsh_pairs.unpersist()
+    probe_pairs.unpersist()
 
     total = time.perf_counter() - t_total0
     out = {
@@ -211,6 +237,8 @@ def main() -> None:
         ),
         "lsh_neardup_recall": lsh_recall,
         "lsh_neardup_pairs": n_lsh,
+        "lsh_probe2_recall": probe_recall,
+        "lsh_probe2_pairs": n_probe_pairs,
         "exact_neardup_pairs": n_exact,
         "cpus": cpus,
     }

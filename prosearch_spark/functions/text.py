@@ -42,6 +42,14 @@ _DOT_RULES = [
 
 
 def _remove_dot_segments_col(path: Column) -> Column:
+    """PRECONDITION: ``path`` is authority-rooted (starts with '/') or
+    empty. Every _DOT_RULES pattern anchors on a leading '/', so an
+    UNROOTED relative path (e.g. 'a/../b') is silently left unreduced
+    while remove_dot_segments_py fully reduces it per RFC 3986 §5.2.4.
+    url_normalize only ever feeds the post-authority path slice, which
+    satisfies this; a new caller with relative paths must root them
+    first (tests/test_properties.py pins the twin agreement on the
+    rooted domain)."""
     p = path
     for _ in range(DOT_PASSES):
         for pat, rep in _DOT_RULES:
@@ -51,7 +59,9 @@ def _remove_dot_segments_col(path: Column) -> Column:
 
 def remove_dot_segments_sql(expr: str) -> str:
     """DuckDB twin of :func:`_remove_dot_segments_col` — the same rules
-    in the same order with the 'g' (replace-all) flag."""
+    in the same order with the 'g' (replace-all) flag. Same
+    PRECONDITION: ``expr`` must evaluate to a '/'-rooted (or empty)
+    path; unrooted leading segments are not reduced."""
     p = expr
     for _ in range(DOT_PASSES):
         for pat, rep in _DOT_RULES:

@@ -499,6 +499,14 @@ def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
         ).postings
         cols = ["term", "doc_id", "tf", "dl"]
     record_basic = bool(artifact.manifest.get("record_basic", False))
+    if record_basic and "positions" in old.columns:
+        # mirror save_index's guard: tf delimits the position stream in
+        # the block layout, so tf=1 over multi-position postings would
+        # corrupt decoding. Unreachable via save_index (which refuses
+        # the combination), but an artifact hand-built or corrupted
+        # into both flags must fail loudly here, not at decode time.
+        raise ValueError("record_basic and positional postings are "
+                         "mutually exclusive")
     if record_basic:
         # the artifact stores record:"basic" postings (tf=1) — re-apply
         # the same tf semantics to the incoming docs or the artifact
@@ -528,6 +536,15 @@ def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
         old_doc_stats = artifact.doc_stats().join(
             F.broadcast(upsert_ids), "doc_id", "left_anti"
         )
+        # pin each fast-field column to the PREVIOUS generation's
+        # doc_stats type: a compatible-but-different source type (INT
+        # where the store holds BIGINT) must not fail the union or
+        # silently retype the column across generations
+        old_types = {f.name: f.dataType for f in old_doc_stats.schema.fields}
+        for name in ff:
+            new_doc_stats = new_doc_stats.withColumn(
+                name, F.col(name).cast(old_types[name])
+            )
         deletes = artifact.deletes()
         if deletes is not None:
             old_doc_stats = old_doc_stats.join(F.broadcast(deletes),

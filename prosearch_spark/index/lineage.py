@@ -68,7 +68,21 @@ class ResumableIndexBuild:
                  text_col: str = "text", id_col: str = "doc_id",
                  analyzer: str = "white_lower", lang_col: str = "lang",
                  n_splits: int = 8, run_id: str = "run0",
-                 n_buckets: int = 16):
+                 n_buckets: int = 16, with_positions: bool = False,
+                 record_basic: bool = False,
+                 fast_fields: dict[str, str] | None = None):
+        """``with_positions`` / ``record_basic`` / ``fast_fields``
+        mirror save_index: the production artifact shapes (positional
+        body, record:basic title, typed fast fields) are crash-
+        resumable with the same per-split lineage + sha256-XOR
+        accounting as the flat build (r2 verdict item 6)."""
+        if with_positions and record_basic:
+            # same guard as save_index: tf delimits the position stream
+            raise ValueError("record_basic and with_positions are "
+                             "mutually exclusive")
+        if with_positions and analyzer != "white_lower":
+            raise ValueError("positional indexing implemented for the "
+                             "white_lower analyzer")
         self.spark = spark
         self.docs = docs
         self.path = path
@@ -79,6 +93,9 @@ class ResumableIndexBuild:
         self.n_splits = n_splits
         self.run_id = run_id
         self.n_buckets = n_buckets
+        self.with_positions = with_positions
+        self.record_basic = record_basic
+        self.fast_fields = dict(fast_fields or {})
         os.makedirs(os.path.join(path, "lineage"), exist_ok=True)
 
     # -- lineage ---------------------------------------------------------------
@@ -119,11 +136,17 @@ class ResumableIndexBuild:
         """
         t0 = time.perf_counter()
         sd = self._split_docs(split)
-        tf = term_frequencies(sd, self.text_col, self.id_col, self.analyzer,
-                              self.lang_col)
-        partial = tf.withColumn(
-            "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
-        )
+        if self.with_positions:
+            from prosearch_spark.index.positions import positional_postings
+
+            partial = positional_postings(sd, text_col=self.text_col,
+                                          id_col=self.id_col)
+        else:
+            tf = term_frequencies(sd, self.text_col, self.id_col,
+                                  self.analyzer, self.lang_col)
+            partial = tf.withColumn(
+                "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+            )
         out = os.path.join(self.path, "partials", f"split={split}")
         partial.write.mode("overwrite").parquet(out)
 
@@ -188,18 +211,29 @@ class ResumableIndexBuild:
             return artifact, self._write_metrics(artifact, extra_wall=0.0)
         t0 = time.perf_counter()
         partials = self.spark.read.parquet(os.path.join(self.path, "partials"))
-        postings = partials.select("term", "doc_id", "tf", "dl")
+        cols = ["term", "doc_id", "tf", "dl"] + (
+            ["positions"] if self.with_positions else []
+        )
+        postings = partials.select(*cols)
+        if self.record_basic:
+            # record:"basic" (meta.json:12): same tf semantics as
+            # save_index, applied at finalize so split partials keep
+            # true tf (dl accounting needs it anyway)
+            postings = postings.withColumn("tf", F.lit(1).cast("long"))
         term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
         # one n_docs definition across ALL commit paths (save_index/
         # merge/upsert/finalize): doc_stats covers every corpus doc,
         # zero-token docs at dl=0 — otherwise the same corpus would get
         # different n_docs/avgdl (hence different BM25 scores) depending
         # on which build path committed it.
+        ff = self.fast_fields
         doc_stats = self.docs.select(
-            F.col(self.id_col).alias("doc_id")
-        ).join(postings.select("doc_id", "dl").distinct(), "doc_id", "left"
+            F.col(self.id_col).alias("doc_id"),
+            *[F.col(src).alias(name) for name, src in ff.items()],
+        ).join(partials.select("doc_id", "dl").distinct(), "doc_id", "left"
                ).select("doc_id",
-                        F.coalesce("dl", F.lit(0)).cast("long").alias("dl"))
+                        F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+                        *ff.keys())
         agg = doc_stats.agg(
             F.count("*").alias("n"), F.sum("dl").alias("total")
         ).collect()[0]
@@ -210,6 +244,8 @@ class ResumableIndexBuild:
             postings, term_stats, doc_stats,
             n_docs=n_docs, avgdl=avgdl,
             n_buckets=self.n_buckets, analyzer=self.analyzer,
+            record_basic=self.record_basic,
+            fast_fields=self.fast_fields or None,
         )
         return artifact, self._write_metrics(
             artifact, extra_wall=time.perf_counter() - t0

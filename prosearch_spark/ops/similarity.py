@@ -163,24 +163,111 @@ class IVFIndex:
         return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)
 
 
+def _round_half_up(x: float, nd: int = 6) -> float:
+    """Half-up rounding matching SQL ROUND (Python's round() is
+    banker's): the driver-side probe selection must order by the same
+    rounded values the SQL oracle computes."""
+    import math
+
+    scale = 10 ** nd
+    return math.floor(x * scale + 0.5) / scale
+
+
+def ivf_sampled_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                     n_centroids: int = 8, n_probe: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_to: int = 6) -> DataFrame:
+    """Deterministic IVF ANN — the oracle-gated twin of :class:`IVFIndex`.
+
+    Coarse quantizer = SAMPLED MEMBER VECTORS (the ``n_centroids``
+    smallest ids in ``emb``) instead of KMeans: a standard IVF baseline
+    (FAISS supports random-sample coarse quantizers) whose every step
+    is a deterministic relational expression, so DuckDB can recompute
+    assignment, probe choice, and re-rank from the raw table — no
+    data-dependent literals in the oracle.
+
+    - assignment: bucket(v) = argmin_i round(l2sq(v, c_i), 6), ties to
+      the lowest centroid index; l2sq expands to
+      ``dot(v,v) - 2*dot(v,c) + dot(c,c)`` so both engines fold the
+      same dot products in the same order.
+    - probe: the ``n_probe`` centroids nearest the query by the same
+      rounded metric (computed driver-side; half-up rounding matches
+      SQL ROUND).
+    - re-rank: exact cosine top-k inside the probed buckets.
+
+    At 100 TB the bucket column is the partition key: assignment is a
+    pure projection over centroid literals (no join — plan-pinned: no
+    BroadcastNestedLoopJoin), and a query reads only its n_probe
+    partitions before one TakeOrderedAndProject.
+    """
+    cent_rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r[1]] for r in cent_rows]
+
+    def l2sq_col(v, c: list[float]):
+        cl = F.array(*[F.lit(x) for x in c])
+        return _dot(v, v) - F.lit(2.0) * _dot(v, cl) + _dot(cl, cl)
+
+    d_arr = F.array(*[
+        F.round(l2sq_col(F.col(vec_col), c), round_to) for c in cents
+    ])
+    assigned = emb.withColumn(
+        "bucket", F.array_position(d_arr, F.array_min(d_arr))
+    )
+    qd = []
+    for i, c in enumerate(cents):
+        dvv = sum(x * x for x in query_vec)
+        dvc = sum(x * y for x, y in zip(query_vec, c))
+        dcc = sum(x * x for x in c)
+        qd.append((_round_half_up(dvv - 2.0 * dvc + dcc, round_to), i + 1))
+    probes = [b for _, b in sorted(qd)[:n_probe]]
+    cand = assigned.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col, round_to)
+
+
 def _banded_sigs(vec: Column | str, planes: list[list[float]],
-                 planes_per_table: int, n_tables: int):
+                 planes_per_table: int, n_tables: int, probes: int = 1):
     """array<struct<t:int, sig:string>> — one sign-signature per LSH
-    table; table t hashes with the plane slice [t*r, (t+1)*r)."""
+    table; table t hashes with the plane slice [t*r, (t+1)*r).
+
+    ``probes > 1`` adds, per table, the signatures with the
+    (probes-1) LOWEST-|margin| bits flipped — multi-probe: the bits
+    most likely to disagree across a true near-pair are the ones whose
+    hyperplane the vector sits closest to. Probing one side of a join
+    suffices (a flipped-left signature meets the right's base
+    signature), so candidate volume grows by ~probes on the probing
+    side only, not quadratically."""
     v = F.col(vec) if isinstance(vec, str) else vec
     entries = []
     for t in range(n_tables):
         sl = planes[t * planes_per_table:(t + 1) * planes_per_table]
-        entries.append(F.struct(
-            F.lit(t).alias("t"), lsh_signature_col(v, sl).alias("sig")
-        ))
+        dots = [_dot(v, F.array(*[F.lit(c) for c in p])) for p in sl]
+        bits = [F.when(d > 0, F.lit("1")).otherwise(F.lit("0"))
+                for d in dots]
+        base = F.concat(*bits)
+        entries.append(F.struct(F.lit(t).alias("t"), base.alias("sig")))
+        if probes > 1:
+            absd = F.array(*[F.abs(d) for d in dots])
+            sorted_abs = F.array_sort(absd)
+            for j in range(1, probes):
+                pos = F.array_position(absd, F.element_at(sorted_abs, j))
+                flipped = F.when(
+                    F.substring(base, pos.cast("int"), 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1"))
+                entries.append(F.struct(
+                    F.lit(t).alias("t"),
+                    F.overlay(base, flipped, pos.cast("int"),
+                              F.lit(1)).alias("sig"),
+                ))
     return F.array(*entries)
 
 
 def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 6, seed: int = 42, dim: int = 64,
-             n_tables: int = 1) -> DataFrame:
+             n_tables: int = 1, probes: int = 1) -> DataFrame:
     """Approximate k-NN join: equi-join on LSH buckets, exact cosine
     inside, per-left top-k via window. (l_id, r_id, cosine, rank).
 
@@ -192,29 +279,37 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
     1 - (1 - p^r)^L — raise L for recall, raise r to keep random pairs
     out (random-pair candidate rate = L * 2^-r). bench.py measures the
     operating recall against the exact ground truth.
+
+    ``probes`` > 1 adds multi-probe on the LEFT side: per table, also
+    emit the signatures with the (probes-1) lowest-|margin| bits
+    flipped. Effective recall ~ 1 - (1 - p^(r-1))^L for probes=2 at
+    ~probes× the left signature volume — the cheap way past the
+    more-tables plateau (bench.py §2ab measures it).
     """
     planes = _hyperplanes(dim, n_planes * n_tables, seed)
 
-    def sigs(c):
-        return _banded_sigs(c, planes, n_planes, n_tables)
-
     l = left.select(
         F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_vec")
-    ).withColumn("ts", F.explode(sigs(F.col("l_vec")))).select(
+    ).withColumn("ts", F.explode(_banded_sigs(
+        F.col("l_vec"), planes, n_planes, n_tables, probes=probes
+    ))).select(
         "l_id", "l_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
     )
     r = right.select(
         F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_vec")
-    ).withColumn("ts", F.explode(sigs(F.col("r_vec")))).select(
+    ).withColumn("ts", F.explode(_banded_sigs(
+        F.col("r_vec"), planes, n_planes, n_tables
+    ))).select(
         "r_id", "r_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
     )
     pairs = (
         l.join(r, ["t", "sig"]).filter(F.col("l_id") != F.col("r_id"))
         .select("l_id", "l_vec", "r_id", "r_vec")
     )
-    if n_tables > 1:
-        # any-table semantics: collapse pairs that collided in several
-        # tables (a no-op shuffle the single-table plan must not pay)
+    if n_tables > 1 or probes > 1:
+        # any-table/any-probe semantics: collapse pairs that collided
+        # in several tables or probes (a no-op shuffle the single-table
+        # plan must not pay)
         pairs = pairs.dropDuplicates(["l_id", "r_id"])
     scored = pairs.withColumn(
         "cosine",

@@ -39,6 +39,15 @@ from prosearch_spark.query.engine import SearchEngine
 # no driver-side collect at all.
 SEED_BLOCK_CAP = 1 << 16
 
+# Cost-based WAND cutoff: the seed/bounds machinery pays ~6 extra
+# driver-scheduled jobs; decoding a block costs ~128 posting rows. When
+# fewer than this many blocks exist (or could be pruned), one exact
+# decode+score is cheaper than any pruning pass — the short-circuit
+# that fixed the r02 no-skew regression (q_wand_single 3.82 s -> topk
+# level). Tests and benches that MEASURE pruning pass 0 to force the
+# full ladder regardless of corpus size.
+WAND_MIN_PRUNE_BLOCKS = 256
+
 
 class BlockSearchEngine:
     def __init__(self, spark: SparkSession, artifact: IndexArtifact):
@@ -107,7 +116,9 @@ class BlockSearchEngine:
         ))
 
     def topk_wand(self, q: str, k: int = 10,
-                  round_to: int | None = None) -> tuple[DataFrame, dict]:
+                  round_to: int | None = None,
+                  min_prune_blocks: int | None = None
+                  ) -> tuple[DataFrame, dict]:
         """Block-Max WAND top-k — EXACT results with score-based block
         pruning, for single terms AND conjunctions (the relational form
         of the reference's BooleanQuery zipper over block-max skip data,
@@ -143,8 +154,19 @@ class BlockSearchEngine:
         in r's range, and each of those scores <= bound(r) < theta-eps
         while >= k seed docs score >= theta. Under round-before-rank,
         eps = one full rounding step guarantees round(pruned) <
-        round(theta). Returns (result, stats) with blocks_total /
-        blocks_decoded (seed + final) — the pruning evidence.
+        round(theta); with ``round_to=None`` a small RELATIVE eps
+        (1e-9 * |theta|) guards the prune against last-ulp divergence
+        between the seed plan's theta and the final plan's raw sums —
+        raw-score mode is exact up to that guard, not bit-for-bit.
+        Returns (result, stats) with blocks_total / blocks_decoded
+        (seed + final) — the pruning evidence.
+
+        ``min_prune_blocks`` (default WAND_MIN_PRUNE_BLOCKS) is the
+        cost cutoff: with fewer candidate blocks than this, the pruning
+        machinery costs more than decoding everything, so the query
+        short-circuits to one exact decode+score (stats carry
+        ``short_circuit``); likewise the bounds pass is skipped when it
+        cannot save at least this many decodes (``bounds_skipped``).
         """
         from prosearch_spark.index.blocks import block_upper_bound_expr
 
@@ -169,11 +191,27 @@ class BlockSearchEngine:
             .join(F.broadcast(self.artifact.stats()))
             .withColumn("ub", F.expr(block_upper_bound_expr()))
         ).persist()
+        if min_prune_blocks is None:
+            min_prune_blocks = WAND_MIN_PRUNE_BLOCKS
         try:
             n_blocks = meta.count()
             if n_blocks == 0:
                 return self.topk(q, k, round_to), {"blocks_total": 0,
                                                    "blocks_decoded": 0}
+            if n_blocks < min_prune_blocks:
+                # cost cutoff: decoding everything beats ~6 extra
+                # scheduled jobs of seed/bounds passes. Materialized so
+                # the finally-unpersist can't force a recompute.
+                from prosearch_spark.query.engine import materialize_topk
+
+                out = materialize_topk(
+                    self.spark,
+                    self._engine_on_blocks(meta, terms).topk(q, k, round_to),
+                )
+                return out, {"blocks_total": n_blocks,
+                             "blocks_decoded": n_blocks,
+                             "blocks_seed": 0, "blocks_final": n_blocks,
+                             "short_circuit": True}
             rarest = min(terms, key=lambda t: (dfs[t], t))
             rmeta = meta.filter(F.col("term") == rarest)
             n_rarest = rmeta.count()
@@ -237,7 +275,24 @@ class BlockSearchEngine:
                         "seed_capped": True,
                     }
             theta = min(r["score"] for r in seed_rows)
-            eps = 10 ** (-round_to) if round_to is not None else 0.0
+            # round_to: one FULL rounding step (CLAUDE.md invariant);
+            # raw mode: relative guard against last-ulp plan divergence
+            eps = (10 ** (-round_to) if round_to is not None
+                   else 1e-9 * abs(theta))
+
+            # bounds-pass cost cutoff: it can save at most the blocks
+            # the seed did not decode — if that is under the pruning
+            # threshold, decode them outright (one job instead of the
+            # range-join + aggregate + anti-join ladder)
+            if n_blocks - n_seed < min_prune_blocks:
+                out = self._engine_on_blocks(meta, terms).topk(
+                    q, k, round_to=round_to
+                )
+                return out, {"blocks_total": n_blocks,
+                             "blocks_decoded": n_blocks,
+                             "blocks_seed": n_seed,
+                             "blocks_final": n_blocks - n_seed,
+                             "bounds_skipped": True}
 
             # -- bound per rarest block (broadcast metadata range join)
             r_ranges = rmeta.select(
@@ -335,43 +390,182 @@ class BlockSearchEngine:
         return self._engine(q).match_scan(q)
 
     def mixed_topk(self, q: str, k: int = 10,
-                   round_to: int | None = None) -> DataFrame:
+                   round_to: int | None = None,
+                   return_stats: bool = False
+                   ) -> DataFrame | tuple[DataFrame, dict]:
         """Lenient mixed term+phrase query over a COMMITTED positional
         artifact — the serving path at scale: bucket/term pruning
         fetches only the clause terms' (positional) postings, nothing
         re-tokenizes the corpus, and collection stats come from the
         manifest. Scoring algebra is shared with query/mixed (term BM25
-        + phrase BM25, conjunction, clause scores summed)."""
+        + phrase BM25, conjunction, clause scores summed).
+
+        PRUNING before decode (the zipper's skip applied to the mixed
+        grammar, reference: lenient parse serve.rs:407-409 feeding the
+        BooleanQuery zipper serve.rs:413-419):
+
+        - a query that parses to TERM clauses only IS a conjunction —
+          it routes through the score-based Block-Max WAND ladder
+          (clause terms are analyzer output, so re-joining them
+          reconstructs the identical clause set and boosts);
+        - a PHRASE's terms only decode blocks overlapping the block
+          ranges of the phrase's rarest term — a doc containing the
+          phrase contains every phrase term, so its postings all sit in
+          overlapping blocks; phrase df stays EXACT because every doc
+          that could contain the phrase survives;
+        - TERM-clause blocks only decode where they overlap the FIRST
+          PHRASE'S MATCH doc ranges (every final match matches every
+          phrase). Match doc ids are collected capped at
+          SEED_BLOCK_CAP and merged into intervals, exactly like the
+          WAND seed's metadata pull; a phrase matching more docs than
+          the cap falls back to the rarest clause term's block ranges.
+          Sound either way: a dropped row's doc cannot pass the
+          clause-count conjunction filter.
+
+        ``return_stats=True`` additionally returns
+        {blocks_total, blocks_decoded} — the pruning evidence (costs
+        two extra metadata count jobs; the serving path skips them).
+        """
         from prosearch_spark.analyzer import parse_query_lenient
         from prosearch_spark.query.engine import TOPK_SCHEMA
         from prosearch_spark.query.mixed import mixed_topk as _mixed
 
+        def _ret(df: DataFrame, stats: dict):
+            return (df, stats) if return_stats else df
+
         clauses = parse_query_lenient(q)
         if not clauses:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return _ret(self.spark.createDataFrame([], TOPK_SCHEMA),
+                        {"blocks_total": 0, "blocks_decoded": 0})
         term_clauses = [c for kind, c in clauses if kind == "term"]
         phrase_clauses = [c for kind, c in clauses if kind == "phrase"]
         all_terms = sorted(
             {t for t, _ in term_clauses}
             | {t for terms in phrase_clauses for t in terms}
         )
-        postings = self.artifact.postings(all_terms)
-        if phrase_clauses and "positions" not in postings.columns:
+        blocks = self.artifact.blocks(all_terms)
+        if phrase_clauses and "positions" not in blocks.columns:
             raise ValueError("artifact was not built with_positions=True")
-        # persist the pruned decode: term scoring and each phrase's
-        # n-way join re-read it otherwise. The result is materialized
-        # before return, so unpersisting after is safe.
-        postings = postings.persist()
-        try:
-            return _mixed(
-                self.spark, None, q, k, round_to,
-                pp=postings, stats=self.artifact.stats(),
-                term_stats=self.artifact.term_stats(
-                    sorted({t for t, _ in term_clauses})
-                ) if term_clauses else None,
+        dfs = {r["term"]: int(r["df"])
+               for r in self.artifact.term_stats(all_terms).collect()}
+        if any(t not in dfs for t in all_terms):
+            # a clause term with zero postings -> conjunction is empty
+            return _ret(self.spark.createDataFrame([], TOPK_SCHEMA),
+                        {"blocks_total": 0, "blocks_decoded": 0})
+
+        def _ranges_of(term: str) -> DataFrame:
+            return blocks.filter(F.col("term") == term).select(
+                F.col("first_doc").alias("rf"),
+                F.col("last_doc").alias("rl"),
             )
+
+        def _overlap_semi(side: DataFrame, ranges: DataFrame) -> DataFrame:
+            return side.join(
+                F.broadcast(ranges),
+                (F.col("first_doc") <= F.col("rl"))
+                & (F.col("last_doc") >= F.col("rf")),
+                "left_semi",
+            )
+
+        tc_terms = sorted({t for t, _ in term_clauses})
+        if not phrase_clauses:
+            # pure conjunction: the score-based ladder applies as-is
+            out, wstats = self.topk_wand(
+                " ".join(t for t, _ in term_clauses), k, round_to
+            )
+            return _ret(out, wstats)
+
+        def _decode(needed: DataFrame) -> DataFrame:
+            p = decode_blocks(needed)
+            deletes = self.artifact.deletes()
+            if deletes is not None:
+                p = p.join(F.broadcast(deletes), "doc_id", "left_anti")
+            return p
+
+        # -- phrase coverage (exact phrase df preserved) ------------------
+        pieces: list[DataFrame] = []
+        for terms_p in phrase_clauses:
+            tp = sorted(set(terms_p))
+            side = blocks.filter(F.col("term").isin(tp))
+            if len(tp) > 1:
+                rarest_p = min(tp, key=lambda t: (dfs[t], t))
+                side = _overlap_semi(side, _ranges_of(rarest_p))
+            pieces.append(side)
+        ph_needed = pieces[0]
+        for p in pieces[1:]:
+            ph_needed = ph_needed.unionByName(p)
+        # (term, first_doc) is the unique block key (per-term ranges
+        # are disjoint by the range-partitioned writer)
+        ph_needed = ph_needed.dropDuplicates(["term", "first_doc"])
+        pp = _decode(ph_needed).persist()
+        persisted = [pp]
+        try:
+            pp_terms = None
+            tc_needed = None
+            if tc_terms:
+                from prosearch_spark.index.positions import phrase_matches
+
+                tblocks = blocks.filter(F.col("term").isin(tc_terms))
+                m0 = phrase_matches(pp, list(phrase_clauses[0]))
+                ids = [
+                    r["doc_id"]
+                    for r in m0.select("doc_id").orderBy("doc_id")
+                    .limit(SEED_BLOCK_CAP + 1).collect()
+                ]
+                if not ids:
+                    # first phrase matches nothing -> conjunction dead
+                    return _ret(
+                        self.spark.createDataFrame([], TOPK_SCHEMA),
+                        {"blocks_total": blocks.count()
+                         if return_stats else 0,
+                         "blocks_decoded": 0},
+                    )
+                if len(ids) <= SEED_BLOCK_CAP:
+                    # merge match ids into intervals (gap tolerance =
+                    # one block span: finer ranges cannot skip more)
+                    from prosearch_spark.index.blocks import BLOCK_SIZE
+
+                    ranges: list[tuple[int, int]] = []
+                    lo = prev = ids[0]
+                    for d in ids[1:]:
+                        if d - prev > BLOCK_SIZE:
+                            ranges.append((lo, prev))
+                            lo = d
+                        prev = d
+                    ranges.append((lo, prev))
+                    ranges_df = self.spark.createDataFrame(
+                        ranges, "rf long, rl long"
+                    )
+                    tc_needed = tblocks.join(
+                        F.broadcast(ranges_df),
+                        (F.col("first_doc") <= F.col("rl"))
+                        & (F.col("last_doc") >= F.col("rf")),
+                        "left_semi",
+                    )
+                else:
+                    # phrase too common to collect: rarest clause
+                    # term's block ranges still bound the candidates
+                    g_rarest = min(all_terms, key=lambda t: (dfs[t], t))
+                    tc_needed = _overlap_semi(tblocks, _ranges_of(g_rarest))
+                pp_terms = _decode(tc_needed).persist()
+                persisted.append(pp_terms)
+            stats = {}
+            if return_stats:
+                needed = (ph_needed if tc_needed is None else
+                          ph_needed.unionByName(tc_needed)
+                          .dropDuplicates(["term", "first_doc"]))
+                stats = {"blocks_total": blocks.count(),
+                         "blocks_decoded": needed.count()}
+            return _ret(_mixed(
+                self.spark, None, q, k, round_to,
+                pp=pp, stats=self.artifact.stats(),
+                term_stats=self.artifact.term_stats(tc_terms)
+                if term_clauses else None,
+                pp_terms=pp_terms,
+            ), stats)
         finally:
-            postings.unpersist()
+            for df in persisted:
+                df.unpersist()
 
     def phrase_topk(self, phrase: str, k: int = 10,
                     round_to: int | None = None) -> DataFrame:

@@ -130,3 +130,253 @@ class FieldedBlockSearchEngine:
 
     def count(self, q: str) -> DataFrame:
         return self._engine(q).count(q)
+
+    def match_scan(self, q: str) -> DataFrame:
+        return self._engine(q).match_scan(q)
+
+    # -- fielded Block-Max WAND ------------------------------------------------
+
+    def _engine_on_blocks(self, blocks: DataFrame,
+                          terms: list[str]) -> FieldedSearchEngine:
+        """Decode field-tagged block rows (per-field tombstones applied)
+        and wrap a FieldedSearchEngine over them with the artifacts'
+        manifest-era per-field stats — scoring is byte-identical to the
+        unpruned fielded path regardless of which blocks were pruned."""
+        from prosearch_spark.index.blocks import decode_blocks
+
+        postings = term_stats = stats = None
+        for field, art in sorted(self.artifacts.items()):
+            fb = blocks.filter(F.col("field") == field).select(
+                "term", "first_doc", "last_doc", "n", "max_tf", "min_dl",
+                "docs", "tfs", "dls",
+            )
+            p = decode_blocks(fb)
+            deletes = art.deletes()
+            if deletes is not None:
+                p = p.join(F.broadcast(deletes), "doc_id", "left_anti")
+            p = p.select(F.lit(field).alias("field"), "term", "doc_id",
+                         "tf", "dl")
+            t = art.term_stats(terms).select(
+                F.lit(field).alias("field"), "term", "df"
+            )
+            s = art.stats().select(F.lit(field).alias("field"), "n_docs",
+                                   "avgdl")
+            postings = p if postings is None else postings.unionByName(p)
+            term_stats = t if term_stats is None else term_stats.unionByName(t)
+            stats = s if stats is None else stats.unionByName(s)
+        idx = InvertedIndex(postings=postings, term_stats=term_stats,
+                            stats=stats)
+        return FieldedSearchEngine(self.spark, idx, self.field_boosts)
+
+    def topk_wand(self, q: str, k: int = 10, round_to: int | None = None,
+                  min_prune_blocks: int | None = None
+                  ) -> tuple[DataFrame, dict]:
+        """Block-Max WAND over PER-FIELD artifacts — exact results with
+        score-bound block pruning for the reference's production query
+        shape: multi-field OR with boosts title 1.5 / body 1.0
+        (serve.rs:336-351) served from block-max skip data
+        (serve.rs:413-419 BooleanQuery over Tantivy segments).
+
+        Same rarest-term zipper as BlockSearchEngine.topk_wand, with
+        two fielded twists:
+
+        - the driver term is rarest by TOTAL df across fields, and its
+          candidate doc ranges are the union of its block ranges over
+          every field (a match contains the driver term in >= 1 field);
+        - a range's score bound sums, per term, the FIELD-SUM of max
+          block upper bounds (a doc can match a term in both fields and
+          collect both contributions), each block bound pre-multiplied
+          by its field boost. ``title`` is record:"basic" (tf==1 at
+          commit), so its stored max_tf==1 gives the tight title bound
+          for free. A range where some term overlaps NO field's blocks
+          cannot host a conjunctive match and dies outright.
+
+        Soundness mirrors the flat engine: any doc passing the
+        conjunction matched the driver clause, so it lies inside a
+        driver range, and every posting of a doc inside a kept range is
+        decoded (one block per (field, term) contains it) — partially
+        decoded outside docs can never pass the clause-count filter.
+        Returns (result, stats with blocks_total/blocks_decoded).
+
+        KNOWN LIMIT of the range algebra: a field where the driver
+        term is SPARSE (e.g. scattered background mentions in titles)
+        yields blocks spanning huge docid ranges; such a range overlaps
+        everything, its bound collects the global maxima, and pruning
+        degenerates to a full decode (still exact). Pruning pays off
+        when the query terms are dense in each field (narrow spans)
+        with skewed tf — the shape tests/test_fielded_and_snippet.py
+        pins; the cost cutoff short-circuits the degenerate case.
+        """
+        from prosearch_spark.index.blocks import (
+            BLOCK_SIZE,
+            block_upper_bound_expr,
+        )
+        from prosearch_spark.query.block_engine import (
+            SEED_BLOCK_CAP,
+            WAND_MIN_PRUNE_BLOCKS,
+        )
+        from prosearch_spark.query.engine import (
+            TOPK_SCHEMA,
+            materialize_topk,
+        )
+
+        if min_prune_blocks is None:
+            min_prune_blocks = WAND_MIN_PRUNE_BLOCKS
+        clauses = analyze_query(q)
+        terms = sorted({t for t, _ in clauses})
+        weights = {t: 0.0 for t in terms}
+        for t, b in clauses:
+            weights[t] += b
+
+        metas = []
+        dfs_total = {t: 0 for t in terms}
+        for field, art in sorted(self.artifacts.items()):
+            boost = float(self.field_boosts.get(field, 1.0))
+            ts = art.term_stats(terms)
+            for r in ts.collect():
+                dfs_total[r["term"]] += int(r["df"])
+            m = (
+                art.blocks(terms)
+                .join(F.broadcast(ts), "term")
+                .join(F.broadcast(art.stats()))
+                .withColumn("wub",
+                            F.lit(boost) * F.expr(block_upper_bound_expr()))
+                .select(F.lit(field).alias("field"), "term", "first_doc",
+                        "last_doc", "n", "max_tf", "min_dl", "docs", "tfs",
+                        "dls", "wub")
+            )
+            metas.append(m)
+        if any(dfs_total[t] == 0 for t in terms):
+            # a clause with zero postings in EVERY field: conjunction
+            # is empty by the same rule as the flat engine
+            return (self.spark.createDataFrame([], TOPK_SCHEMA),
+                    {"blocks_total": 0, "blocks_decoded": 0})
+        meta = metas[0]
+        for m in metas[1:]:
+            meta = meta.unionByName(m)
+        meta = meta.persist()
+        try:
+            n_blocks = meta.count()
+            if n_blocks == 0:
+                return (self.spark.createDataFrame([], TOPK_SCHEMA),
+                        {"blocks_total": 0, "blocks_decoded": 0})
+            if n_blocks < min_prune_blocks:
+                out = materialize_topk(
+                    self.spark,
+                    self._engine_on_blocks(meta, terms).topk(q, k, round_to),
+                )
+                return out, {"blocks_total": n_blocks,
+                             "blocks_decoded": n_blocks,
+                             "blocks_seed": 0, "blocks_final": n_blocks,
+                             "short_circuit": True}
+            driver = min(terms, key=lambda t: (dfs_total[t], t))
+            rmeta = meta.filter(F.col("term") == driver)
+            n_rarest = rmeta.count()
+
+            B = min(max(4, -(-k // BLOCK_SIZE) * 2), SEED_BLOCK_CAP)
+            while True:
+                covers_all = B >= n_rarest
+                ranges = [
+                    (r["first_doc"], r["last_doc"])
+                    for r in rmeta.select("wub", "first_doc", "last_doc",
+                                          "field")
+                    .orderBy(F.desc("wub"), F.asc("first_doc"),
+                             F.asc("field"))
+                    .limit(B).collect()
+                ]
+                ranges_df = self.spark.createDataFrame(
+                    ranges, "rf long, rl long"
+                )
+                seed_blocks = meta.join(
+                    F.broadcast(ranges_df),
+                    (F.col("first_doc") <= F.col("rl"))
+                    & (F.col("last_doc") >= F.col("rf")),
+                    "left_semi",
+                )
+                n_seed = seed_blocks.count()
+                rt = round_to if covers_all else None
+                seed_rows = self._engine_on_blocks(seed_blocks, terms) \
+                    .topk(q, k, round_to=rt).collect()
+                if covers_all:
+                    out = (self.spark.createDataFrame(seed_rows, TOPK_SCHEMA)
+                           if seed_rows else
+                           self.spark.createDataFrame([], TOPK_SCHEMA))
+                    return out, {"blocks_total": n_blocks,
+                                 "blocks_decoded": n_seed,
+                                 "blocks_seed": n_seed, "blocks_final": 0}
+                if len(seed_rows) >= k:
+                    break
+                B *= 4
+                if min(B, n_rarest) > SEED_BLOCK_CAP:
+                    return self.topk(q, k, round_to), {
+                        "blocks_total": n_blocks,
+                        "blocks_decoded": n_blocks,
+                        "seed_capped": True,
+                    }
+            theta = min(r["score"] for r in seed_rows)
+            eps = (10 ** (-round_to) if round_to is not None
+                   else 1e-9 * abs(theta))
+            if n_blocks - n_seed < min_prune_blocks:
+                out = self._engine_on_blocks(meta, terms).topk(
+                    q, k, round_to=round_to
+                )
+                return out, {"blocks_total": n_blocks,
+                             "blocks_decoded": n_blocks,
+                             "blocks_seed": n_seed,
+                             "blocks_final": n_blocks - n_seed,
+                             "bounds_skipped": True}
+
+            # bound per driver range: sum_t w_t * sum_f max_f(wub)
+            r_ranges = rmeta.select(
+                F.col("first_doc").alias("rf"),
+                F.col("last_doc").alias("rl"),
+            ).dropDuplicates()
+            w_expr = None
+            for t in terms:
+                e = (F.when(F.col("term") == t, F.lit(weights[t]))
+                     if w_expr is None
+                     else w_expr.when(F.col("term") == t, F.lit(weights[t])))
+                w_expr = e
+            contrib = (
+                meta.select("field", "term", "first_doc", "last_doc", "wub")
+                .join(
+                    F.broadcast(r_ranges),
+                    (F.col("first_doc") <= F.col("rl"))
+                    & (F.col("last_doc") >= F.col("rf")),
+                )
+                .groupBy("rf", "rl", "term", "field")
+                .agg(F.max("wub").alias("mx"))
+                .groupBy("rf", "rl", "term")
+                .agg(F.sum("mx").alias("fsum"))
+            )
+            bounds = (
+                contrib.withColumn("w", w_expr)
+                .groupBy("rf", "rl")
+                .agg(F.sum(F.col("w") * F.col("fsum")).alias("bound"),
+                     F.countDistinct("term").alias("nterms"))
+                # a range missing ANY clause term (in every field)
+                # cannot host a conjunctive match
+                .filter(F.col("nterms") == len(terms))
+            )
+            surviving = bounds.filter(
+                F.col("bound") >= F.lit(theta - eps)
+            ).select("rf", "rl")
+            survivors = meta.join(
+                F.broadcast(surviving),
+                (F.col("first_doc") <= F.col("rl"))
+                & (F.col("last_doc") >= F.col("rf")),
+                "left_semi",
+            )
+            new_blocks = survivors.join(
+                seed_blocks.select("field", "term", "first_doc"),
+                ["field", "term", "first_doc"], "left_anti",
+            )
+            n_new = new_blocks.count()
+            out = self._engine_on_blocks(
+                seed_blocks.unionByName(new_blocks), terms
+            ).topk(q, k, round_to=round_to)
+            return out, {"blocks_total": n_blocks,
+                         "blocks_decoded": n_seed + n_new,
+                         "blocks_seed": n_seed, "blocks_final": n_new}
+        finally:
+            meta.unpersist()

@@ -58,7 +58,8 @@ def mixed_topk(spark: SparkSession, docs: DataFrame | None, q: str,
                id_col: str = "doc_id",
                pp: DataFrame | None = None,
                stats: DataFrame | None = None,
-               term_stats: DataFrame | None = None) -> DataFrame:
+               term_stats: DataFrame | None = None,
+               pp_terms: DataFrame | None = None) -> DataFrame:
     """BM25 top-k for a lenient query with optional quoted phrases.
 
     score(d) = sum over term clauses of boost * bm25(term, d)
@@ -73,6 +74,11 @@ def mixed_topk(spark: SparkSession, docs: DataFrame | None, q: str,
     pp-derived document frequencies — the committed-artifact caller
     passes its manifest-era stats so the block path keeps the
     reference's df-drift-until-merge semantics under tombstones.
+    ``pp_terms`` optionally narrows the postings used for TERM-clause
+    scoring only (phrase matching always reads ``pp``) — the block
+    engine passes a decode pruned to the phrase-match doc ranges,
+    which is sound because a dropped row's doc cannot match every
+    clause. Defaults to ``pp``.
     """
     clauses = parse_query_lenient(q)
     if not clauses:
@@ -98,8 +104,12 @@ def mixed_topk(spark: SparkSession, docs: DataFrame | None, q: str,
                 pp.filter(F.col("term").isin(terms))
                 .groupBy("term").agg(F.count("*").alias("df"))
             )
+            if pp_terms is not None and term_stats is None:
+                # a pruned term decode cannot supply global df
+                raise ValueError("pp_terms requires explicit term_stats")
+            tp_src = pp_terms if pp_terms is not None else pp
             scored_parts.append(
-                pp.select("term", "doc_id", "tf", "dl")
+                tp_src.select("term", "doc_id", "tf", "dl")
                 .join(F.broadcast(qdf), "term")
                 .join(F.broadcast(ts), "term")
                 .crossJoin(F.broadcast(stats))

@@ -620,7 +620,7 @@ FROM hits h JOIN snip s USING (doc_id)
 
 def knn_join_lsh_sql(k: int = 3, n_planes: int = 6, seed: int = 42,
                      dim: int = 64, round_to: int = 6,
-                     n_tables: int = 1) -> str:
+                     n_tables: int = 1, probes: int = 1) -> str:
     """DuckDB twin of ops/similarity.knn_join — the LSH-BUCKETED k-NN
     join (the 100 TB near-dup path, NOT the all-pairs formulation),
     including banded multi-table candidates (a pair qualifies when ANY
@@ -633,24 +633,64 @@ def knn_join_lsh_sql(k: int = 3, n_planes: int = 6, seed: int = 42,
     The sign test uses the RAW dot product — sign flips would need a
     margin within float-error of 0, far rarer than a rounded-grid
     boundary crossing.
+
+    ``probes=2`` mirrors knn_join's multi-probe: per table, the LEFT
+    side also matches with its lowest-|margin| bit flipped (first
+    index on ties, same as array_position-of-min). The argmin compares
+    raw |margins| on both engines — identical fold order makes a
+    cross-engine flip as unlikely as a sign flip.
     """
     from prosearch_spark.ops.similarity import _hyperplanes
 
+    if probes > 2:
+        raise NotImplementedError("oracle SQL emits one flipped probe "
+                                  "(probes=2); Spark supports more")
     planes = _hyperplanes(dim, n_planes * n_tables, seed)
 
+    def dot(p):
+        return ("list_dot_product(v, ["
+                + ", ".join(repr(c) for c in p) + "])")
+
+    def bit(p):
+        return f"CASE WHEN {dot(p)} > 0 THEN '1' ELSE '0' END"
+
+    def inv_bit(p):
+        return f"CASE WHEN {dot(p)} > 0 THEN '0' ELSE '1' END"
+
     def bits(sl):
-        return ",\n               ".join(
-            "CASE WHEN list_dot_product(v, ["
-            + ", ".join(repr(c) for c in p)
-            + "]) > 0 THEN '1' ELSE '0' END"
-            for p in sl
-        )
+        return ",\n               ".join(bit(p) for p in sl)
+
+    def probe_sig(sl):
+        # flip the FIRST index achieving the minimum |margin| (the
+        # array_position-of-min tie rule)
+        absd = [f"abs({dot(p)})" for p in sl]
+        least = "least(" + ", ".join(absd) + ")"
+        parts = []
+        for i, p in enumerate(sl):
+            is_flip = " AND ".join(
+                [f"{absd[i]} = {least}"]
+                + [f"{absd[q]} <> {least}" for q in range(i)]
+            )
+            parts.append(f"CASE WHEN {is_flip} THEN {inv_bit(p)}"
+                         f" ELSE {bit(p)} END")
+        return ",\n               ".join(parts)
 
     sig_cols = ",\n           ".join(
         f"concat({bits(planes[t * n_planes:(t + 1) * n_planes])}) AS sig{t}"
         for t in range(n_tables)
     )
-    any_table = " OR ".join(f"a.sig{t} = b.sig{t}" for t in range(n_tables))
+    if probes > 1:
+        sig_cols += ",\n           " + ",\n           ".join(
+            f"concat({probe_sig(planes[t * n_planes:(t + 1) * n_planes])})"
+            f" AS psig{t}"
+            for t in range(n_tables)
+        )
+    match_terms = []
+    for t in range(n_tables):
+        match_terms.append(f"a.sig{t} = b.sig{t}")
+        if probes > 1:
+            match_terms.append(f"a.psig{t} = b.sig{t}")
+    any_table = " OR ".join(match_terms)
     return f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -687,3 +727,63 @@ def stats_agg_sql(q: str, value_col: str) -> str:
         f"       round(avg(d.{value_col}), 6) AS avg\n"
         "FROM documents d JOIN docs_scored m USING (doc_id)"
     )
+
+
+def knn_ivf_sql(k: int = 10, n_centroids: int = 8, n_probe: int = 2,
+                round_to: int = 6) -> str:
+    """DuckDB twin of ops/similarity.ivf_sampled_topk over the
+    embeddings table: query = vec 0, index = every other vector,
+    coarse centroids = the n_centroids smallest non-query ids
+    (sampled-member quantizer — fully derivable from the raw table, so
+    the oracle needs NO data-dependent literals). Assignment, probe
+    choice, and the cosine re-rank all round to ``round_to`` before
+    ordering, ties to the lowest centroid index / vec_id — the same
+    convention both engines share everywhere else."""
+    l2 = ("round(list_dot_product({a}, {a})"
+          " - 2.0 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}), {r})")
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id <> 0
+),
+q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+    WHERE vec_id = 0
+),
+cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id ASC)::INT AS cidx, v AS cv
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT {n_centroids})
+),
+assigned AS (
+    SELECT e.vec_id, e.v, c.cidx,
+           {l2.format(a='e.v', b='c.cv', r=round_to)} AS d
+    FROM e CROSS JOIN cent c
+),
+bucketed AS (
+    SELECT vec_id, v, cidx AS bucket FROM (
+        SELECT vec_id, v, cidx,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cidx ASC) AS rn
+        FROM assigned
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT cidx FROM (
+        SELECT c.cidx, {l2.format(a='q.qv', b='c.cv', r=round_to)} AS d
+        FROM cent c CROSS JOIN q
+    ) ORDER BY d ASC, cidx ASC LIMIT {n_probe}
+),
+scored AS (
+    SELECT b.vec_id,
+           round(list_dot_product(b.v, q.qv)
+                 / (sqrt(list_dot_product(b.v, b.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))),
+                 {round_to}) AS cosine
+    FROM bucketed b JOIN probe p ON b.bucket = p.cidx
+    CROSS JOIN q
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INT AS rank,
+       vec_id, cosine
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""

@@ -137,3 +137,108 @@ def test_snippet_escapes_document_html():
     # no-hit branch escapes too
     out2 = make_snippet_py("<img src=x> plain", {"zzz"})
     assert "<img" not in out2 and "&lt;img" in out2
+
+
+# -- fielded Block-Max WAND -----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fielded_arts(spark, titled, tmp_path_factory):
+    from prosearch_spark.index.artifact import (
+        load_fielded_index,
+        save_fielded_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("fwand"))
+    save_fielded_index(spark, titled, path,
+                       {"title": "title", "body": "content"})
+    return load_fielded_index(spark, path)
+
+
+@pytest.mark.parametrize("q,k", [("spark", 10), ("spark shuffle", 5),
+                                 ("return the", 10), ("python", 10),
+                                 ("spark spark", 5), ("nonexistent", 10)])
+def test_fielded_wand_exact(spark, fielded_arts, titled, q, k):
+    """Fielded WAND (full ladder forced) matches the unpruned fielded
+    block engine exactly under round-before-rank."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    blk = FieldedBlockSearchEngine(spark, fielded_arts)
+    exp = [(r["doc_id"], r["score"])
+           for r in blk.topk(q, k, round_to=6).collect()]
+    got_df, stats = blk.topk_wand(q, k, round_to=6, min_prune_blocks=0)
+    got = [(r["doc_id"], r["score"]) for r in got_df.collect()]
+    assert got == exp, (q, stats)
+    assert stats["blocks_total"] >= stats["blocks_decoded"]
+
+
+def test_fielded_wand_short_circuit_default(spark, fielded_arts):
+    """Small corpus + default cost cutoff: one exact decode, no ladder."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    blk = FieldedBlockSearchEngine(spark, fielded_arts)
+    got, stats = blk.topk_wand("spark shuffle", 5, round_to=6)
+    assert stats.get("short_circuit") is True, stats
+    exp = [(r["doc_id"], r["score"])
+           for r in blk.topk("spark shuffle", 5, round_to=6).collect()]
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == exp
+
+
+def test_fielded_wand_exact_on_zipf(spark, tmp_path):
+    """Long-tail corpus through the fielded ladder stays exact. (No
+    pruning assert here: z-terms appear in scattered background TITLES,
+    whose sparse posting blocks span the whole docid space, so every
+    driver range overlaps them — the documented wide-span limit of the
+    range algebra. Pruning evidence lives in the dense-field skew test
+    below.)"""
+    from prosearch_spark.corpus import zipf_corpus
+    from prosearch_spark.index.artifact import (
+        load_fielded_index,
+        save_fielded_index,
+    )
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    docs = zipf_corpus(spark, n_docs=6000, n_topics=8, region=512)
+    docs = docs.withColumn(
+        "title", F.concat_ws(" ", F.slice(F.split("content", " "), 1, 4))
+    )
+    path = str(tmp_path / "fzipf")
+    save_fielded_index(spark, docs, path,
+                       {"title": "title", "body": "content"})
+    blk = FieldedBlockSearchEngine(spark, load_fielded_index(spark, path))
+    got, stats = blk.topk_wand("z3_1", 10, round_to=6, min_prune_blocks=0)
+    exp = [(r["doc_id"], r["score"])
+           for r in blk.topk("z3_1", 10, round_to=6).collect()]
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == exp
+    assert stats["blocks_total"] >= stats["blocks_decoded"] > 0
+
+
+def test_fielded_wand_prunes_on_dense_skew(spark, tmp_path):
+    """Fielded pruning in the shape it exists for: both fields dense in
+    the query terms (narrow block spans), tf heavily skewed — light
+    ranges' summed field bounds fall below the seed theta and are
+    dropped before decode, exactly like the flat skew test."""
+    from prosearch_spark.index.artifact import (
+        load_fielded_index,
+        save_fielded_index,
+    )
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    rows = []
+    for i in range(2000):
+        tf = 40 if i % 500 == 0 else 1  # 4 heavy docs
+        body = ["needle"] * tf + ["filler", f"x{i}"]
+        rows.append((i, " ".join(body)))
+    docs = spark.createDataFrame(rows, "doc_id long, content string") \
+        .withColumn("lang", F.lit("md")) \
+        .withColumn("title",
+                    F.concat_ws(" ", F.slice(F.split("content", " "), 1, 4)))
+    path = str(tmp_path / "fskew")
+    save_fielded_index(spark, docs, path,
+                       {"title": "title", "body": "content"})
+    blk = FieldedBlockSearchEngine(spark, load_fielded_index(spark, path))
+    got, stats = blk.topk_wand("needle", 4, round_to=6, min_prune_blocks=0)
+    exp = [(r["doc_id"], r["score"])
+           for r in blk.topk("needle", 4, round_to=6).collect()]
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == exp
+    assert [r["doc_id"] for r in got.collect()] == [0, 500, 1000, 1500]
+    assert stats["blocks_decoded"] < stats["blocks_total"] / 2, stats

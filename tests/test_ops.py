@@ -354,3 +354,62 @@ def test_knn_join_banded_finds_planted_twins(spark):
     single = twin_recall(1)
     assert banded >= 0.9, banded
     assert banded >= single
+
+
+def test_ivf_sampled_topk(spark):
+    """Deterministic sampled-centroid IVF (the oracle-gated variant):
+    probing every bucket == brute force; the plan is a pure projection
+    over centroid literals — no BroadcastNestedLoopJoin anywhere."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # interleaved ids (i*4+c): the id-ordered sample then covers every
+    # cluster — the realistic shape (crawl ids don't sort by topic; at
+    # scale you'd sample uniformly anyway)
+    for c in range(4):
+        center = rng.rand(16) * 10
+        for i in range(30):
+            v = center + rng.rand(16) * 0.5
+            rows.append((i * 4 + c, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, q, 10).collect()]
+    all_probe = sim.ivf_sampled_topk(emb, q, 10, n_centroids=8, n_probe=8)
+    assert [r["vec_id"] for r in all_probe.collect()] == exact
+    some = sim.ivf_sampled_topk(emb, q, 10, n_centroids=8, n_probe=2)
+    got = [r["vec_id"] for r in some.collect()]
+    assert len(set(got) & set(exact)) >= 5  # clustered data, own bucket
+    plan = some._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_multiprobe_improves_recall(spark):
+    """probes=2 must find a superset of the base banded join's true
+    near-pairs (flipping the lowest-|margin| bit only ADDS candidate
+    buckets) and lift recall on random data."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(150)]
+    # plant 20 tight near-duplicate pairs
+    for i in range(20):
+        base = np.array(rows[i][1])
+        v = base + rng.randn(16) * 0.12
+        rows.append((1000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def found(probes):
+        out = sim.knn_join(emb, emb, k=3, n_planes=6, dim=16,
+                           n_tables=2, probes=probes)
+        return {(r["l_id"], r["r_id"]) for r in out.collect()
+                if r["cosine"] >= 0.9}
+
+    base, probed = found(1), found(2)
+    planted = {(i, 1000 + i) for i in range(20)}
+    assert len(probed & planted) >= len(base & planted)
+    assert len(probed) >= len(base)
+    # sanity: multiprobe actually adds candidates on this data
+    assert len(probed & planted) >= 15, (len(base & planted),
+                                         len(probed & planted))

@@ -138,3 +138,51 @@ def test_phrase_brute_force_parity(spark, corpus):
         if n:
             exp[row["doc_id"]] = n
     assert got == exp
+
+
+def test_mixed_blocks_prunes_and_stays_exact(spark, tmp_path):
+    """Mixed term+phrase over a positional Zipf artifact: term-clause
+    blocks outside the rarest clause term's ranges and phrase-term
+    blocks outside the phrase's rarest term's ranges are skipped before
+    decode — result identical to the logical mixed engine, phrase df
+    included (round_to=6 per the cross-plan comparison contract)."""
+    from prosearch_spark.corpus import zipf_corpus
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+    from prosearch_spark.query.mixed import mixed_topk
+
+    docs = zipf_corpus(spark, n_docs=6000, n_topics=8, region=512).cache()
+    art = save_index(spark, docs, str(tmp_path / "mixzipf"),
+                     text_col="content", with_positions=True)
+    blk = BlockSearchEngine(spark, art)
+    q = 'z3_1 "z3_2 z3_3"'
+    got, stats = blk.mixed_topk(q, 10, round_to=6, return_stats=True)
+    exp = mixed_topk(spark, docs, q, 10, round_to=6, text_col="content")
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(r["doc_id"], r["score"]) for r in exp.collect()]
+    assert stats["blocks_decoded"] < stats["blocks_total"], stats
+    docs.unpersist()
+
+
+def test_mixed_blocks_term_only_delegates_to_wand(spark, tmp_path):
+    """A lenient query that parses to term clauses only IS a
+    conjunction: the block mixed engine routes it through the
+    score-based WAND ladder (stats carry the ladder's keys) and the
+    result matches the unpruned AND path exactly."""
+    from prosearch_spark.corpus import zipf_corpus
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = zipf_corpus(spark, n_docs=6000, n_topics=8, region=512)
+    art = save_index(spark, docs, str(tmp_path / "mixzipf2"),
+                     text_col="content", with_positions=True)
+    blk = BlockSearchEngine(spark, art)
+    got, stats = blk.mixed_topk("z3_1 z3_2", 10, round_to=6,
+                                return_stats=True)
+    # WAND-ladder stats contract (short-circuit or full ladder)
+    assert "blocks_total" in stats and stats["blocks_total"] > 0
+    assert ("short_circuit" in stats or "blocks_seed" in stats
+            or "seed_capped" in stats), stats
+    exp = blk.topk("z3_1 z3_2", 10, round_to=6)
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(r["doc_id"], r["score"]) for r in exp.collect()]

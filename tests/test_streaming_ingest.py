@@ -147,9 +147,23 @@ def test_windowed_watermark_drops_late_events(spark, tmp_path):
         [(5, dt(2024, 1, 1, 10, 15), "a", 1.0),
          (6, dt(2024, 1, 1, 13, 30), "a", 1.0)],
     ]
-    for rows in batches:
-        mk(rows).coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(1.1)  # distinct mtime -> deterministic file order
+    # deterministic micro-batch order without clock dependence: each
+    # batch lands as one explicitly-named file (lexicographic tiebreak)
+    # with an explicitly SET, strictly increasing mtime — no sleep, no
+    # coarse-mtime or clock-skew flakiness (r2 ADVICE)
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    _os.makedirs(src, exist_ok=True)
+    base_t = _time.time() - 60
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"late_stage_{i}")
+        mk(rows).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        dst = _os.path.join(src, f"batch-{i:04d}.parquet")
+        _shutil.copy(part, dst)
+        _os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
 
     stream = (
         spark.readStream.schema(schema)

@@ -28,7 +28,7 @@ def test_wand_exact_vs_flat(spark, big_artifact, q, k):
     flat = SearchEngine(spark, build_index(docs, text_col="content"))
     blk = BlockSearchEngine(spark, art)
     exp = [(r["doc_id"], r["score"]) for r in flat.topk(q, k).collect()]
-    got_df, stats = blk.topk_wand(q, k)
+    got_df, stats = blk.topk_wand(q, k, min_prune_blocks=0)
     got = [(r["doc_id"], r["score"]) for r in got_df.collect()]
     assert got == exp, q
     assert stats["blocks_total"] >= stats["blocks_decoded"]
@@ -48,7 +48,7 @@ def test_wand_actually_prunes(spark, tmp_path):
     art = save_index(spark, docs, str(tmp_path / "skew"), text_col="content")
     blk = BlockSearchEngine(spark, art)
 
-    got, stats = blk.topk_wand("needle", 3)
+    got, stats = blk.topk_wand("needle", 3, min_prune_blocks=0)
     assert [r["doc_id"] for r in got.collect()] == [0, 400, 800]
     assert stats["blocks_total"] >= 9  # 1200 postings / 128
     assert stats["blocks_decoded"] < stats["blocks_total"] / 2, stats
@@ -59,11 +59,11 @@ def test_wand_with_deletes_stays_exact(spark, big_artifact, tmp_path):
     path = str(tmp_path / "gen0")
     art = save_index(spark, docs, path, text_col="content")
     blk = BlockSearchEngine(spark, art)
-    top_before, _ = blk.topk_wand("spark", 5)
+    top_before, _ = blk.topk_wand("spark", 5, min_prune_blocks=0)
     victim = top_before.collect()[0]["doc_id"]
     art.delete_docs(spark.createDataFrame([(victim,)], "doc_id long"))
 
-    got, _ = blk.topk_wand("spark", 5)
+    got, _ = blk.topk_wand("spark", 5, min_prune_blocks=0)
     got_ids = [r["doc_id"] for r in got.collect()]
     assert victim not in got_ids
     # unpruned block path agrees
@@ -79,7 +79,7 @@ def test_wand_duplicated_term_exact(spark, big_artifact):
     docs, art = big_artifact
     blk = BlockSearchEngine(spark, art)
     flat = SearchEngine(spark, build_index(docs, text_col="content"))
-    got, stats = blk.topk_wand("spark spark", 5)
+    got, stats = blk.topk_wand("spark spark", 5, min_prune_blocks=0)
     assert stats["blocks_total"] > 0
     exp = flat.topk("spark spark", 5).collect()
     assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
@@ -111,7 +111,7 @@ def test_wand_multi_term_exact(spark, big_artifact, q, k):
     # multi-clause scores sum per clause; partial-agg order makes the
     # raw sum differ in the last ulp between plans, so compare under
     # the same round-before-rank contract the oracle gate uses
-    got, stats = blk.topk_wand(q, k, round_to=6)
+    got, stats = blk.topk_wand(q, k, round_to=6, min_prune_blocks=0)
     assert stats["blocks_total"] >= stats["blocks_final"]
     exp = flat.topk(q, k, round_to=6).collect()
     assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
@@ -135,7 +135,7 @@ def test_wand_multi_term_prunes_on_skew(spark, tmp_path):
     art = save_index(spark, docs, str(tmp_path / "skew2"),
                      text_col="content")
     blk = BlockSearchEngine(spark, art)
-    got, stats = blk.topk_wand("needle haystack", 4)
+    got, stats = blk.topk_wand("needle haystack", 4, min_prune_blocks=0)
     assert [r["doc_id"] for r in got.collect()] == [0, 500, 1000, 1500]
     assert stats["blocks_decoded"] < stats["blocks_total"], stats
     # exactness against the unpruned path
@@ -155,7 +155,7 @@ def test_wand_prunes_on_zipf_vocabulary(spark, tmp_path):
     art = save_index(spark, docs, str(tmp_path / "zipf"),
                      text_col="content")
     blk = BlockSearchEngine(spark, art)
-    got, stats = blk.topk_wand("z3_1", 10, round_to=6)
+    got, stats = blk.topk_wand("z3_1", 10, round_to=6, min_prune_blocks=0)
     # exact vs the unpruned engine
     exp = blk.topk("z3_1", 10, round_to=6).collect()
     assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
@@ -197,7 +197,7 @@ def test_wand_seed_cap_falls_back_exact(spark, big_artifact, monkeypatch):
     # ~985 matches at 1500 docs) keeps the seed short of k, forcing the
     # doubling loop; cap=1 then trips the fallback on the first double
     monkeypatch.setattr(be, "SEED_BLOCK_CAP", 1)
-    got, stats = blk.topk_wand("spark shuffle", 1400)
+    got, stats = blk.topk_wand("spark shuffle", 1400, min_prune_blocks=0)
     assert stats.get("seed_capped") is True, stats
     exp = blk.topk("spark shuffle", 1400).collect()
     assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
@@ -213,10 +213,47 @@ def test_wand_first_collect_respects_cap(spark, big_artifact, monkeypatch):
     blk = BlockSearchEngine(spark, art)
     monkeypatch.setattr(be, "SEED_BLOCK_CAP", 2)
     # k so large that uncapped initial B would be k/64 >> cap
-    got, stats = blk.topk_wand("spark", 100000)
+    got, stats = blk.topk_wand("spark", 100000, min_prune_blocks=0)
     # single term with few blocks: cap=2 < n_rarest -> either the seed
     # covered everything under the cap or the fallback fired; both are
     # exact
     exp = blk.topk("spark", 100000).collect()
     assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
         [(r["doc_id"], r["score"]) for r in exp]
+
+
+def test_wand_short_circuit_small_corpus(spark, big_artifact):
+    """Default cost cutoff: a corpus with fewer blocks than
+    WAND_MIN_PRUNE_BLOCKS skips the seed/bounds ladder entirely (the
+    r02 q_wand_single regression fix) and stays exact."""
+    docs, art = big_artifact
+    from prosearch_spark.index.build import build_index
+
+    blk = BlockSearchEngine(spark, art)
+    flat = SearchEngine(spark, build_index(docs, text_col="content"))
+    got, stats = blk.topk_wand("spark shuffle", 5, round_to=6)
+    assert stats.get("short_circuit") is True, stats
+    assert stats["blocks_decoded"] == stats["blocks_total"]
+    exp = flat.topk("spark shuffle", 5, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(r["doc_id"], r["score"]) for r in exp]
+
+
+def test_wand_bounds_skip_when_savings_small(spark, tmp_path):
+    """With the ladder forced on (min_prune_blocks small but nonzero),
+    a seed that already covers most blocks skips the bounds pass and
+    decodes the remainder outright — still exact."""
+    rows = []
+    for i in range(1200):
+        tf = 40 if i % 400 == 0 else 1
+        rows.append((i, " ".join(["needle"] * tf + ["filler", f"x{i}"])))
+    docs = spark.createDataFrame(rows, "doc_id long, content string") \
+        .withColumn("lang", __import__("pyspark.sql.functions",
+                                       fromlist=["lit"]).lit("md"))
+    art = save_index(spark, docs, str(tmp_path / "skewbs"),
+                     text_col="content")
+    blk = BlockSearchEngine(spark, art)
+    got, stats = blk.topk_wand("needle", 3, min_prune_blocks=8)
+    # ~10 blocks total, seed of 4: remainder < 8 -> bounds skipped
+    assert stats.get("bounds_skipped") is True, stats
+    assert [r["doc_id"] for r in got.collect()] == [0, 400, 800]
