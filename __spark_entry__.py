@@ -571,6 +571,32 @@ def q_bm25_topk_fastfield(spark, sf_dir):
     )
 
 
+def q_bm25_topk_fastfield_wand(spark, sf_dir):
+    """Filtered Block-Max WAND (round 3): the fast-field predicate of
+    bm25_topk_fastfield applied UNDER the score-pruning ladder
+    (min_prune_blocks=0 forces it at gate scale) — theta from filtered
+    seed scores, bounds stay sound because they upper-bound the
+    unfiltered score. Same oracle as the unpruned filtered path."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "crawl_date",
+        F.expr("date_add(DATE'2020-01-01', cast(doc_id % 365 as int))"),
+    )
+    art = _memo_artifact("fastfield", sf_dir, lambda: save_index(
+        spark, docs, tempfile.mkdtemp(prefix="prosearch_ffw_"),
+        text_col="text",
+        fast_fields={"n_chars": "n_chars", "crawl_date": "crawl_date"}))
+    out, _stats = BlockSearchEngine(spark, art).topk_wand(
+        Q_SINGLE, 10, round_to=ROUND, min_prune_blocks=0,
+        predicate="n_chars < 350 AND crawl_date >= DATE'2020-03-01'",
+    )
+    return out
+
+
 def q_bm25_topk_facet(spark, sf_dir):
     """Facet-typed fast field (new.rs:83-95 type system: Facet =
     hierarchical path segments, mapped to array<string> per SURVEY
@@ -754,6 +780,32 @@ def q_knn_join_lsh_probe(spark, sf_dir):
                         n_tables=4, probes=2)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT (round 3): connected components over
+    the MinHash near-pair graph — the step after pair-finding in a real
+    dedup pipeline (keep one doc per transitive cluster, not per pair).
+    Min-label propagation in Spark; the oracle recomputes the identical
+    components with a recursive CTE over the same SQL-derived pairs."""
+    pairs = dd.minhash_dedup_pairs(
+        _docs(spark, sf_dir), content_col="text", n=3,
+        num_hashes=16, bands=4, threshold=0.5,
+    )
+    return dd.dup_clusters(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-rule hard quality filter (round 3): keep/reject verdict +
+    first-failing-rule reason, thresholds compared on 6dp-rounded
+    ratios so both engines sit on the same grid."""
+    qf = ts.quality_filter(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", qf["keep"].alias("keep"),
+        qf["reject_reason"].alias("reject_reason"),
+    )
+
+
 def q_minhash_near_pairs(spark, sf_dir):
     """Full MinHash pipeline: shingle -> md5 signatures -> LSH bands ->
     exact Jaccard verify. Oracle recomputes every stage in SQL."""
@@ -797,6 +849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fielded_wand": q_bm25_topk_fielded_wand,
         "knn_ivf": q_knn_ivf,
         "knn_join_lsh_probe": q_knn_join_lsh_probe,
+        "dedup_clusters": q_dedup_clusters,
+        "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
+        "quality_filter": q_quality_filter,
         # dedup ladder (P5/W6 + training-data ops) — outside the window
         # in r02
         "dedup_exact": q_dedup_exact,
@@ -835,8 +890,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fetch": q_search_fetch,
         "search_snippet": q_search_snippet,
         # scalar text transforms (T1-T12, SURVEY §2.3)
-        "content_sha256": q_content_sha256,
-        "whitespace_collapse": q_whitespace_collapse,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "lang_id": q_lang_id,
@@ -851,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oldest_first_dequeue": q_oldest_first_dequeue,
         "event_window_counts": q_event_window_counts,
         # ---- stable tail: twice driver-green, untouched this round ----
+        "content_sha256": q_content_sha256,
+        "whitespace_collapse": q_whitespace_collapse,
         "bm25_topk_single": _topk(Q_SINGLE),
         "bm25_topk_and2": _topk(Q_AND2),
         "bm25_topk_rare": _topk(Q_RARE),
@@ -972,6 +1027,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),
         "bm25_topk_quantized": osql.quantized_topk_sql(Q_AND2, 10, ROUND),
+        "bm25_topk_fastfield_wand": osql.topk_filtered_sql(
+            Q_SINGLE,
+            "d.n_chars < 350 AND "
+            "(DATE '2020-01-01' + (d.doc_id % 365)::INT) >= DATE '2020-03-01'",
+            10, ROUND,
+        ),
         "bm25_topk_fastfield": osql.topk_filtered_sql(
             Q_SINGLE,
             "d.n_chars < 350 AND "
@@ -1182,6 +1243,88 @@ def oracle_sql() -> dict[str, str]:
                    round((('0x' || substr(sha, i::INT * 2 + 1, 2))::INT)
                          / 255.0, 4) AS v
             FROM base, range(16) t(i)
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            mh AS (
+                SELECT doc_id, i AS pos,
+                       min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::UBIGINT::BIGINT) AS v
+                FROM sh, range(16) t(i)
+                GROUP BY doc_id, i
+            ),
+            sig AS (SELECT doc_id, list(v ORDER BY pos) AS sig FROM mh GROUP BY doc_id),
+            banded AS (
+                SELECT doc_id, b AS band,
+                       array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+                FROM sig, range(4) t(b)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_id2
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT c.doc_id, c.doc_id2, count(*) AS inter
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.doc_id
+                JOIN sh y ON y.doc_id = c.doc_id2 AND y.shingle = x.shingle
+                GROUP BY c.doc_id, c.doc_id2
+            ),
+            pairs AS (
+                SELECT i.doc_id, i.doc_id2
+                FROM inter i
+                JOIN sz sa ON i.doc_id = sa.doc_id
+                JOIN sz sb ON i.doc_id2 = sb.doc_id
+                WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+            ),
+            edges AS (
+                SELECT doc_id AS a, doc_id2 AS b FROM pairs
+                UNION
+                SELECT doc_id2 AS a, doc_id AS b FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+            )
+            SELECT node AS doc_id, min(r)::BIGINT AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "quality_filter": f"""
+            WITH {_TOKS},
+            per_tok AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS n_tokens,
+                       sum(CASE WHEN term IN ('the','a') THEN 1 ELSE 0 END) AS n_stop,
+                       sum(length(term))::BIGINT AS tok_chars
+                FROM toks GROUP BY doc_id
+            ),
+            r AS (
+                SELECT d.doc_id,
+                       coalesce(p.n_tokens, 0) AS n_tokens,
+                       round(coalesce(p.n_stop, 0) * 1.0
+                             / greatest(coalesce(p.n_tokens, 0), 1), 6) AS stop_r,
+                       round((length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                             * 1.0 / greatest(length(d.text), 1), 6) AS punct_r,
+                       round(coalesce(p.tok_chars, 0) * 1.0
+                             / greatest(coalesce(p.n_tokens, 0), 1), 6) AS avg_l
+                FROM documents d LEFT JOIN per_tok p USING (doc_id)
+            ),
+            v AS (
+                SELECT doc_id,
+                       CASE WHEN n_tokens < 5 THEN 'too_few_tokens'
+                            WHEN stop_r > 0.6 THEN 'stopword_heavy'
+                            WHEN punct_r > 0.2 THEN 'punct_heavy'
+                            WHEN avg_l < 2.0 OR avg_l > 12.0
+                                 THEN 'token_len_out_of_range'
+                            ELSE NULL END AS reject_reason
+                FROM r
+            )
+            SELECT doc_id, reject_reason IS NULL AS keep, reject_reason
+            FROM v
         """,
         "minhash_signatures": f"""
             WITH {_SHINGLES_CTE}

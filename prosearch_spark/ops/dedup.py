@@ -265,3 +265,72 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id", "doc_id2", "hamming")
     )
+
+
+# -- near-dup cluster assignment ----------------------------------------------
+
+def dup_clusters(pairs: DataFrame, left: str = "doc_id",
+                 right: str = "doc_id2", max_iter: int = 20) -> DataFrame:
+    """(node, cluster_id): connected components over a near-dup pair
+    list — the step AFTER pair-finding in a real dedup pipeline (keep
+    one doc per cluster, not per pair: pairwise keeps can disagree on
+    transitive chains a~b~c).
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(graph diameter) rounds. Near-dup components are duplicate groups
+    (tiny diameter), so 2-4 shuffle rounds in practice; ``max_iter``
+    bounds adversarial chains, and the loop exits early on a converged
+    round (one count per round — driver-bounded, no collect of nodes).
+    At 100 TB this is the standard alternating-star CC shape: each
+    round is ONE shuffle keyed by node id; labels are longs.
+    """
+    edges = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col("node").alias("b"),
+                                  F.col("label").alias("blabel")),
+                    "b",
+                )
+                .groupBy("a").agg(F.min("blabel").alias("nmin"))
+                .select(F.col("a").alias("node"), "nmin")
+            )
+            new_labels = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nmin"), F.col("label")),
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # materialize the final labels into their cache BEFORE edges
+        # unpersist: the returned frame then reads the cache instead of
+        # replaying the whole iteration chain (at 100 TB you would
+        # write labels to storage here — the lineage is k joins deep)
+        labels.count()
+        return labels.select("node", F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()

@@ -131,3 +131,37 @@ def text_stats(docs: DataFrame, content_col: str = "content",
         lang_id(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# Gopher-style hard rule thresholds for quality_filter (compared on
+# ratios ROUNDED to 6dp so the engine/oracle comparison is a grid
+# compare, never a last-ulp coin flip at a threshold boundary).
+QF_MIN_TOKENS = 5
+QF_MAX_STOPWORD_RATIO = 0.6
+QF_MAX_PUNCT_RATIO = 0.2
+QF_MIN_AVG_TOKEN_LEN = 2.0
+QF_MAX_AVG_TOKEN_LEN = 12.0
+
+
+def quality_filter(col: Column | str) -> Column:
+    """Training-data hard filter (Gopher-rule shape): struct<keep:
+    boolean, reject_reason: string>. The FIRST failing rule names the
+    reason (fixed priority: too_few_tokens, stopword_heavy,
+    punct_heavy, token_len_out_of_range); reason is NULL when kept.
+    Pure column expressions — one corpus scan filters 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    stop_r = F.round(stopword_ratio(c), 6)
+    punct_r = F.round(punct_ratio(c), 6)
+    avg_l = F.round(avg_token_len(c), 6)
+    reason = (
+        F.when(n_tok < QF_MIN_TOKENS, F.lit("too_few_tokens"))
+        .when(stop_r > QF_MAX_STOPWORD_RATIO, F.lit("stopword_heavy"))
+        .when(punct_r > QF_MAX_PUNCT_RATIO, F.lit("punct_heavy"))
+        .when((avg_l < QF_MIN_AVG_TOKEN_LEN)
+              | (avg_l > QF_MAX_AVG_TOKEN_LEN),
+              F.lit("token_len_out_of_range"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return F.struct(reason.isNull().alias("keep"),
+                    reason.alias("reject_reason"))

@@ -96,11 +96,13 @@ class BlockSearchEngine:
     def topk(self, q: str, k: int = 10, round_to: int | None = None) -> DataFrame:
         return self._engine(q).topk(q, k, round_to)
 
-    def _engine_on_blocks(self, blocks: DataFrame, terms: list[str]
-                          ) -> SearchEngine:
+    def _engine_on_blocks(self, blocks: DataFrame, terms: list[str],
+                          predicate: str | None = None) -> SearchEngine:
         """Decode the given block rows (tombstones applied) and wrap a
         SearchEngine — final scoring is byte-identical to the flat
-        engine/oracle regardless of which blocks were pruned."""
+        engine/oracle regardless of which blocks were pruned.
+        ``predicate`` restricts matches to qualifying fast-field docs
+        (semi-join, like topk_filtered); BM25 stats stay corpus-global."""
         postings = decode_blocks(blocks.select(
             "term", "first_doc", "last_doc", "n", "max_tf", "min_dl",
             "docs", "tfs", "dls",
@@ -109,6 +111,11 @@ class BlockSearchEngine:
         if deletes is not None:
             postings = postings.join(F.broadcast(deletes), "doc_id",
                                      "left_anti")
+        if predicate is not None:
+            qualifying = self.artifact.doc_stats().filter(
+                F.expr(predicate)
+            ).select("doc_id")
+            postings = postings.join(qualifying, "doc_id", "left_semi")
         return SearchEngine(self.spark, InvertedIndex(
             postings=postings,
             term_stats=self.artifact.term_stats(terms),
@@ -117,7 +124,8 @@ class BlockSearchEngine:
 
     def topk_wand(self, q: str, k: int = 10,
                   round_to: int | None = None,
-                  min_prune_blocks: int | None = None
+                  min_prune_blocks: int | None = None,
+                  predicate: str | None = None
                   ) -> tuple[DataFrame, dict]:
         """Block-Max WAND top-k — EXACT results with score-based block
         pruning, for single terms AND conjunctions (the relational form
@@ -167,6 +175,13 @@ class BlockSearchEngine:
         short-circuits to one exact decode+score (stats carry
         ``short_circuit``); likewise the bounds pass is skipped when it
         cannot save at least this many decodes (``bounds_skipped``).
+
+        ``predicate`` adds the fast-field filter (topk_filtered
+        semantics — the Tantivy filtered-search shape) UNDER the same
+        pruning: theta comes from the k-th FILTERED seed score, and
+        every block bound upper-bounds the unfiltered score, hence also
+        any filtered doc's score — filtering only tightens theta, so
+        pruning stays sound and results match topk_filtered exactly.
         """
         from prosearch_spark.index.blocks import block_upper_bound_expr
 
@@ -176,6 +191,12 @@ class BlockSearchEngine:
         for t, b in clauses:
             weights[t] += b
 
+        def exact():
+            # the unpruned engine with the same filter semantics
+            if predicate is not None:
+                return self.topk_filtered(q, predicate, k, round_to)
+            return self.topk(q, k, round_to)
+
         # ONE term-stats job serves the zero-posting check, the rarest
         # pick, and _pruned_blocks' range pruning
         ts = self.artifact.term_stats(terms)
@@ -183,8 +204,7 @@ class BlockSearchEngine:
         if len(terms) > 1 and len(dfs) < len(terms):
             # a clause with zero postings -> conjunction is empty;
             # route through the plain engine for the empty result shape
-            return self.topk(q, k, round_to), {"blocks_total": 0,
-                                               "blocks_decoded": 0}
+            return exact(), {"blocks_total": 0, "blocks_decoded": 0}
         blocks = self._pruned_blocks(terms, dfs)
         meta = (
             blocks.join(F.broadcast(ts), "term")
@@ -196,8 +216,7 @@ class BlockSearchEngine:
         try:
             n_blocks = meta.count()
             if n_blocks == 0:
-                return self.topk(q, k, round_to), {"blocks_total": 0,
-                                                   "blocks_decoded": 0}
+                return exact(), {"blocks_total": 0, "blocks_decoded": 0}
             if n_blocks < min_prune_blocks:
                 # cost cutoff: decoding everything beats ~6 extra
                 # scheduled jobs of seed/bounds passes. Materialized so
@@ -206,7 +225,8 @@ class BlockSearchEngine:
 
                 out = materialize_topk(
                     self.spark,
-                    self._engine_on_blocks(meta, terms).topk(q, k, round_to),
+                    self._engine_on_blocks(meta, terms, predicate)
+                    .topk(q, k, round_to),
                 )
                 return out, {"blocks_total": n_blocks,
                              "blocks_decoded": n_blocks,
@@ -250,7 +270,8 @@ class BlockSearchEngine:
                 # second pass will prune); one decode+score, returned
                 # as the already-collected local rows
                 rt = round_to if covers_all else None
-                seed_rows = self._engine_on_blocks(seed_blocks, terms) \
+                seed_rows = self._engine_on_blocks(seed_blocks, terms,
+                                                   predicate) \
                     .topk(q, k, round_to=rt).collect()
                 if covers_all:
                     from prosearch_spark.query.engine import TOPK_SCHEMA
@@ -269,7 +290,7 @@ class BlockSearchEngine:
                 if min(B, n_rarest) > SEED_BLOCK_CAP:
                     # seeding would collect unbounded metadata to the
                     # driver — hand off to the exact range-pruned path
-                    return self.topk(q, k, round_to), {
+                    return exact(), {
                         "blocks_total": n_blocks,
                         "blocks_decoded": n_blocks,
                         "seed_capped": True,
@@ -285,7 +306,7 @@ class BlockSearchEngine:
             # threshold, decode them outright (one job instead of the
             # range-join + aggregate + anti-join ladder)
             if n_blocks - n_seed < min_prune_blocks:
-                out = self._engine_on_blocks(meta, terms).topk(
+                out = self._engine_on_blocks(meta, terms, predicate).topk(
                     q, k, round_to=round_to
                 )
                 return out, {"blocks_total": n_blocks,
@@ -355,7 +376,7 @@ class BlockSearchEngine:
             )
             n_new = new_blocks.count()
             out = self._engine_on_blocks(
-                seed_blocks.unionByName(new_blocks), terms
+                seed_blocks.unionByName(new_blocks), terms, predicate
             ).topk(q, k, round_to=round_to)
             return out, {"blocks_total": n_blocks,
                          "blocks_decoded": n_seed + n_new,

@@ -413,3 +413,46 @@ def test_knn_join_multiprobe_improves_recall(spark):
     # sanity: multiprobe actually adds candidates on this data
     assert len(probed & planted) >= 15, (len(base & planted),
                                          len(probed & planted))
+
+
+def test_dup_clusters_transitive(spark):
+    """Connected components over pairs: transitive chains collapse to
+    one cluster labeled by the minimum member id."""
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (9, 30)],  # {1,5,9,30} and {20,21}
+        "doc_id long, doc_id2 long",
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in dd.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 30: 1, 20: 20, 21: 20}
+
+
+def test_dup_clusters_matches_pair_groups_on_corpus(dup_docs):
+    """Clusters over the MinHash pair graph agree with the exact dup
+    groups on the fixture corpus (docs 0/1/4 identical)."""
+    pairs = dd.minhash_dedup_pairs(dup_docs, num_hashes=16, bands=8,
+                                   threshold=0.5)
+    got = {r["node"]: r["cluster_id"]
+           for r in dd.dup_clusters(pairs).collect()}
+    assert got[0] == got[1] == got[4] == 0
+
+
+def test_quality_filter_reasons(spark):
+    rows = [
+        (0, "a solid sentence with plenty of ordinary tokens inside"),
+        (1, "too short"),                       # < 5 tokens
+        (2, "the a the a the a the a the a"),   # stopword_heavy
+        (3, "good!!! my ??? own ***txt*** !!!???"),  # punct_heavy
+        (4, "supercalifragilistic extraordinarily incomprehensibilities "
+            "pneumonoultramicroscopic otorhinolaryngological"),  # avg len
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["qf"]["keep"], r["qf"]["reject_reason"])
+           for r in df.select("doc_id",
+                              ts.quality_filter("text").alias("qf"))
+           .collect()}
+    assert out[0] == (True, None)
+    assert out[1] == (False, "too_few_tokens")
+    assert out[2] == (False, "stopword_heavy")
+    assert out[3] == (False, "punct_heavy")
+    assert out[4] == (False, "token_len_out_of_range")

@@ -257,3 +257,56 @@ def test_wand_bounds_skip_when_savings_small(spark, tmp_path):
     # ~10 blocks total, seed of 4: remainder < 8 -> bounds skipped
     assert stats.get("bounds_skipped") is True, stats
     assert [r["doc_id"] for r in got.collect()] == [0, 400, 800]
+
+
+def test_wand_filtered_matches_topk_filtered(spark, tmp_path):
+    """Filtered WAND (fast-field predicate under the pruning ladder)
+    must equal topk_filtered exactly — theta from filtered seed scores
+    stays sound because block bounds upper-bound the unfiltered score."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(1200):
+        tf = 40 if i % 400 == 0 else 1
+        rows.append((i, " ".join(["needle"] * tf + ["filler", f"x{i}"])))
+    docs = spark.createDataFrame(rows, "doc_id long, content string") \
+        .withColumn("lang", F.lit("md")) \
+        .withColumn("parity", F.expr("cast(doc_id % 2 as int)"))
+    art = save_index(spark, docs, str(tmp_path / "fwand"),
+                     text_col="content", fast_fields={"parity": "parity"})
+    blk = BlockSearchEngine(spark, art)
+    pred = "parity = 0"
+    got, stats = blk.topk_wand("needle", 3, round_to=6,
+                               min_prune_blocks=0, predicate=pred)
+    exp = blk.topk_filtered("needle", pred, 3, round_to=6)
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(r["doc_id"], r["score"]) for r in exp.collect()]
+    # the filter keeps even ids only; heavy docs 0/400/800 all qualify
+    assert [r["doc_id"] for r in got.collect()] == [0, 400, 800]
+    assert stats["blocks_decoded"] < stats["blocks_total"], stats
+
+
+def test_wand_filtered_excludes_heavy_docs(spark, tmp_path):
+    """When the predicate excludes the heavy docs, theta drops and the
+    result re-ranks among qualifying docs only — still exact vs the
+    unpruned filtered engine."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(1200):
+        tf = 40 if i % 400 == 0 else 1
+        rows.append((i, " ".join(["needle"] * tf + ["filler", f"x{i}"])))
+    docs = spark.createDataFrame(rows, "doc_id long, content string") \
+        .withColumn("lang", F.lit("md")) \
+        .withColumn("parity", F.expr("cast(doc_id % 2 as int)"))
+    art = save_index(spark, docs, str(tmp_path / "fwand2"),
+                     text_col="content", fast_fields={"parity": "parity"})
+    blk = BlockSearchEngine(spark, art)
+    pred = "parity = 1"  # heavy docs (0,400,800) are all even -> excluded
+    got, _ = blk.topk_wand("needle", 5, round_to=6,
+                           min_prune_blocks=0, predicate=pred)
+    exp = blk.topk_filtered("needle", pred, 5, round_to=6)
+    got_rows = got.collect()
+    assert all(r["doc_id"] % 2 == 1 for r in got_rows)
+    assert [(r["doc_id"], r["score"]) for r in got_rows] == \
+        [(r["doc_id"], r["score"]) for r in exp.collect()]
