@@ -464,6 +464,30 @@ def _fielded_arts(spark, sf_dir):
     return _memo_artifact("fielded", sf_dir, build)
 
 
+def q_segmented_search(spark, sf_dir):
+    """Multi-segment index stack (round 3): three commits seal three
+    immutable segments (Tantivy commit/segment model, index.rs:191;
+    LogMergePolicy in index/segments.py); the query view unions
+    bucket/term-pruned per-segment postings with df summed and N /
+    total-dl combined from exact integer pointer entries — scores
+    hash-match the ordinary single-index oracle over the same corpus."""
+    import tempfile
+
+    from prosearch_spark.index.segments import SegmentedIndex
+
+    def build():
+        root = tempfile.mkdtemp(prefix="prosearch_segs_")
+        si = SegmentedIndex(spark, root, merge_factor=8)
+        docs = _docs(spark, sf_dir)
+        for i in range(3):
+            si.commit(docs.filter(F.col("doc_id") % 3 == i),
+                      text_col="text")
+        return si
+
+    si = _memo_artifact("segmented", sf_dir, build)
+    return si.topk(Q_AND2, 10, round_to=ROUND)
+
+
 def q_bm25_topk_fielded_blocks(spark, sf_dir):
     """Per-field committed artifacts (title record:basic) queried
     through the fielded block engine — same oracle as the logical
@@ -851,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh_probe": q_knn_join_lsh_probe,
         "dedup_clusters": q_dedup_clusters,
         "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
+        "segmented_search": q_segmented_search,
         "quality_filter": q_quality_filter,
         # dedup ladder (P5/W6 + training-data ops) — outside the window
         # in r02
@@ -897,7 +922,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         # crawl-state relational ops (P3, A1-A3, W2, J5, SURVEY
         # §2.2/2.7/2.8)
-        "per_host_limit": q_per_host_limit,
         "stats_rollup": q_stats_rollup,
         "distinct_hosts": q_distinct_hosts,
         "stats_zero_fill": q_stats_zero_fill,
@@ -906,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- stable tail: twice driver-green, untouched this round ----
         "content_sha256": q_content_sha256,
         "whitespace_collapse": q_whitespace_collapse,
+        "per_host_limit": q_per_host_limit,
         "bm25_topk_single": _topk(Q_SINGLE),
         "bm25_topk_and2": _topk(Q_AND2),
         "bm25_topk_rare": _topk(Q_RARE),
@@ -1027,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),
         "bm25_topk_quantized": osql.quantized_topk_sql(Q_AND2, 10, ROUND),
+        "segmented_search": osql.topk_sql(Q_AND2, 10, ROUND),
         "bm25_topk_fastfield_wand": osql.topk_filtered_sql(
             Q_SINGLE,
             "d.n_chars < 350 AND "

@@ -1,0 +1,238 @@
+"""Multi-segment index: a stack of committed artifacts + merge policy.
+
+The reference's index is a SET of immutable segments: every commit
+seals a new segment, searches run over all alive segments, and a merge
+policy compacts them in the background (Tantivy index.rs:191 commit →
+new segment; merge.rs:18-31 segment merge; the pinned tantivy library
+ships LogMergePolicy — segments bucketed by log(size), merged when a
+bucket holds >= merge_factor of them). Round 1-2 modeled one artifact
+per generation; this module adds the real segment stack:
+
+    <root>/SEGMENTS.json           atomic pointer: [{name, n_docs,
+                                   total_dl}] + gen (total_dl is the
+                                   exact integer token sum, so the
+                                   union view's avgdl is the SAME
+                                   float division a single-artifact
+                                   build performs — scores bit-match)
+    <root>/segments/seg-<n>/       one IndexArtifact each (immutable)
+
+Commit = save_index into a fresh seg dir, then atomically rewrite
+SEGMENTS.json (rename). A crash before the pointer publish leaves the
+previous view whole — the same atomic-publish rule as the single
+artifact's manifest. On a real deployment the pointer is an Iceberg
+snapshot; segment dirs are data files.
+
+Query semantics: postings are the UNION over alive segments
+(bucket/term-pruned per segment); df sums per term; N and total doc
+length sum from the manifests, so avgdl and every BM25 score are
+IDENTICAL to a single-artifact build over the same corpus — the gate
+entry hashes against the ordinary flat oracle.
+
+Scale: each segment is its own partitioned parquet tree, so a term's
+lookup fans out to (n_segments x its bucket) directories — exactly why
+the merge policy exists. Merging decodes only the merged segments and
+rewrites them as one artifact (merge.rs:18-31); the pointer swap keeps
+readers consistent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prosearch_spark.index.artifact import (
+    IndexArtifact,
+    _write_artifact,
+    save_index,
+)
+from prosearch_spark.index.build import InvertedIndex
+
+POINTER = "SEGMENTS.json"
+
+
+class SegmentedIndex:
+    """A stack of immutable committed segments under one root."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 merge_factor: int = 8):
+        self.spark = spark
+        self.root = root
+        self.merge_factor = merge_factor
+        os.makedirs(os.path.join(root, "segments"), exist_ok=True)
+        if not os.path.exists(os.path.join(root, POINTER)):
+            self._publish([], gen=0)
+
+    # -- pointer ---------------------------------------------------------------
+
+    def _pointer(self) -> dict:
+        with open(os.path.join(self.root, POINTER)) as f:
+            return json.load(f)
+
+    def _publish(self, segs: list[str], gen: int) -> None:
+        tmp = os.path.join(self.root, POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"segments": segs, "gen": gen}, f)
+        os.replace(tmp, os.path.join(self.root, POINTER))
+
+    def segments(self) -> list[IndexArtifact]:
+        p = self._pointer()
+        return [
+            IndexArtifact.load(self.spark,
+                               os.path.join(self.root, "segments",
+                                            e["name"]))
+            for e in p["segments"]
+        ]
+
+    # -- commit ----------------------------------------------------------------
+
+    def commit(self, docs: DataFrame, **save_kwargs) -> IndexArtifact:
+        """Seal ``docs`` as a new immutable segment and publish it.
+
+        The segment is fully written BEFORE the pointer swap; a crash
+        mid-commit leaves an orphan dir (GC fodder) and the old view.
+        """
+        p = self._pointer()
+        gen = p["gen"] + 1
+        name = f"seg-{gen:06d}"
+        art = save_index(self.spark, docs,
+                         os.path.join(self.root, "segments", name),
+                         **save_kwargs)
+        agg = art.doc_stats().agg(F.sum("dl").alias("t")).collect()[0]
+        entry = {"name": name, "n_docs": art.manifest["n_docs"],
+                 "total_dl": int(agg["t"] or 0)}
+        self._publish(p["segments"] + [entry], gen)
+        return art
+
+    # -- query view ------------------------------------------------------------
+
+    def as_index(self, terms: list[str] | None = None) -> InvertedIndex:
+        """The union view: per-segment pruned postings unioned, df
+        summed per term, N / total-dl summed from the manifests —
+        BM25-identical to a single-artifact build of the same corpus."""
+        segs = self.segments()
+        if not segs:
+            raise ValueError("no committed segments")
+        postings = reduce(
+            lambda a, b: a.unionByName(b),
+            [s.postings(terms) for s in segs],
+        )
+        term_stats = (
+            reduce(lambda a, b: a.unionByName(b),
+                   [s.term_stats(terms) for s in segs])
+            .groupBy("term").agg(F.sum("df").alias("df"))
+        )
+        p = self._pointer()
+        n_docs = sum(e["n_docs"] for e in p["segments"])
+        total_dl = sum(e["total_dl"] for e in p["segments"])
+        # exact integer sums -> the identical float division the
+        # single-artifact save performs
+        avgdl = total_dl / n_docs if n_docs else 0.0
+        stats = self.spark.createDataFrame(
+            [(n_docs, float(avgdl))], "n_docs long, avgdl double"
+        )
+        return InvertedIndex(postings=postings, term_stats=term_stats,
+                             stats=stats)
+
+    def topk(self, q: str, k: int = 10,
+             round_to: int | None = None) -> DataFrame:
+        from prosearch_spark.analyzer import analyze_query
+        from prosearch_spark.query.engine import SearchEngine
+
+        terms = sorted({t for t, _ in analyze_query(q)})
+        eng = SearchEngine(self.spark, self.as_index(terms))
+        return eng.topk(q, k, round_to)
+
+    # -- merge policy ----------------------------------------------------------
+
+    def _sizes(self) -> list[tuple[str, int]]:
+        return [(e["name"], int(e["n_docs"]))
+                for e in self._pointer()["segments"]]
+
+    def merge_candidates(self) -> list[str]:
+        """LogMergePolicy: bucket alive segments by floor(log2(n_docs))
+        (zero-doc segments share the lowest bucket) and return the
+        oldest ``merge_factor`` names of the first bucket holding at
+        least merge_factor segments — else []."""
+        import math
+
+        buckets: dict[int, list[str]] = {}
+        for name, n in self._sizes():
+            b = int(math.log2(n)) if n > 0 else 0
+            buckets.setdefault(b, []).append(name)
+        for b in sorted(buckets):
+            if len(buckets[b]) >= self.merge_factor:
+                return sorted(buckets[b])[: self.merge_factor]
+        return []
+
+    def merge_once(self) -> bool:
+        """Apply one round of the merge policy: rewrite the candidate
+        segments as a single new segment and swap the pointer. Old dirs
+        stay on disk (readers holding the previous pointer keep a
+        consistent view) — GC is a separate sweep. Returns True when a
+        merge happened."""
+        cand = self.merge_candidates()
+        if not cand:
+            return False
+        p = self._pointer()
+        gen = p["gen"] + 1
+        name = f"seg-{gen:06d}"
+        cand_set = set(cand)
+        arts = [
+            IndexArtifact.load(self.spark,
+                               os.path.join(self.root, "segments", d))
+            for d in cand
+        ]
+        postings = reduce(lambda a, b: a.unionByName(b),
+                          [a.postings(None) for a in arts]).persist()
+        try:
+            term_stats = postings.groupBy("term").agg(
+                F.count("*").alias("df")
+            )
+
+            # doc_stats minus each segment's tombstones (merge applies
+            # deletes physically, like artifact.merge); n_docs/avgdl
+            # recomputed from the surviving rows — the ONE definition
+            def alive_stats(a: IndexArtifact) -> DataFrame:
+                ds = a.doc_stats()
+                d = a.deletes()
+                if d is not None:
+                    ds = ds.join(F.broadcast(d), "doc_id", "left_anti")
+                return ds
+
+            doc_stats = reduce(lambda a, b: a.unionByName(b),
+                               [alive_stats(a) for a in arts])
+            agg = doc_stats.agg(
+                F.count("*").alias("n"), F.sum("dl").alias("total")
+            ).collect()[0]
+            n_docs = int(agg["n"] or 0)
+            avgdl = (agg["total"] or 0) / n_docs if n_docs else 0.0
+            _write_artifact(
+                self.spark, os.path.join(self.root, "segments", name),
+                postings, term_stats, doc_stats,
+                n_docs=n_docs, avgdl=avgdl,
+                n_buckets=arts[0].n_buckets,
+                analyzer=arts[0].manifest["analyzer"],
+                record_basic=arts[0].manifest.get("record_basic", False),
+                fast_fields=arts[0].manifest.get("fast_fields") or None,
+            )
+        finally:
+            postings.unpersist()
+        survivors = [e for e in p["segments"]
+                     if e["name"] not in cand_set] + [
+            {"name": name, "n_docs": n_docs,
+             "total_dl": int(agg["total"] or 0)}
+        ]
+        self._publish(survivors, gen)
+        return True
+
+    def compact(self, max_rounds: int = 8) -> int:
+        """Run the merge policy to a fixpoint (bounded); returns rounds
+        applied — the background-merge loop a deployment would run."""
+        n = 0
+        while n < max_rounds and self.merge_once():
+            n += 1
+        return n

@@ -1,0 +1,106 @@
+"""Multi-segment stack: commit/search/merge-policy semantics
+(reference: Tantivy commits seal segments, index.rs:191; merges
+compact them, merge.rs:18-31; LogMergePolicy in the pinned library)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from prosearch_spark.index.artifact import save_index
+from prosearch_spark.index.segments import SegmentedIndex
+from prosearch_spark.query.engine import SearchEngine
+from prosearch_spark.index.build import build_index
+
+
+@pytest.fixture(scope="module")
+def stacked(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("segroot"))
+    si = SegmentedIndex(spark, root, merge_factor=3)
+    for i in range(3):
+        si.commit(corpus.filter(F.col("doc_id") % 3 == i),
+                  text_col="content")
+    return si
+
+
+def test_segmented_scores_match_single_build(spark, corpus, stacked):
+    """Union view == one flat index over the same corpus, scores
+    included (exact integer pointer totals make avgdl the identical
+    float division)."""
+    flat = SearchEngine(spark, build_index(corpus, text_col="content"))
+    for q in ["spark", "spark shuffle", "the python"]:
+        a = [(r["doc_id"], r["score"])
+             for r in stacked.topk(q, 10, round_to=6).collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in flat.topk(q, 10, round_to=6).collect()]
+        assert a == b, q
+
+
+def test_merge_policy_compacts_equal_buckets(spark, corpus, stacked):
+    """Three same-bucket segments + merge_factor=3 -> one merge round
+    collapses them; results unchanged; old segment dirs stay on disk
+    for readers of the previous pointer."""
+    before = [(r["doc_id"], r["score"])
+              for r in stacked.topk("spark shuffle", 10,
+                                    round_to=6).collect()]
+    old_names = [e["name"] for e in stacked._pointer()["segments"]]
+    assert stacked.merge_candidates() == sorted(old_names)[:3]
+    assert stacked.merge_once() is True
+    now = stacked._pointer()["segments"]
+    assert len(now) == 1 and now[0]["name"] not in old_names
+    for d in old_names:  # consistent old view preserved
+        assert os.path.isdir(os.path.join(stacked.root, "segments", d))
+    after = [(r["doc_id"], r["score"])
+             for r in stacked.topk("spark shuffle", 10,
+                                   round_to=6).collect()]
+    assert after == before
+    assert stacked.merge_once() is False  # fixpoint
+
+
+def test_crash_before_pointer_swap_preserves_view(spark, corpus, tmp_path):
+    """A fully-written segment dir without a pointer swap is invisible
+    (the atomic-publish rule at stack granularity)."""
+    root = str(tmp_path / "segroot2")
+    si = SegmentedIndex(spark, root)
+    si.commit(corpus.filter(F.col("doc_id") % 2 == 0), text_col="content")
+    n_before = si.topk("spark", 1000).count()
+    # simulate: segment written, crash before _publish
+    save_index(spark, corpus.filter(F.col("doc_id") % 2 == 1),
+               os.path.join(root, "segments", "seg-orphan"),
+               text_col="content")
+    assert si.topk("spark", 1000).count() == n_before
+
+
+def test_merge_applies_tombstones_physically(spark, corpus, tmp_path):
+    root = str(tmp_path / "segroot3")
+    si = SegmentedIndex(spark, root, merge_factor=2)
+    si.commit(corpus.filter(F.col("doc_id") % 2 == 0), text_col="content")
+    si.commit(corpus.filter(F.col("doc_id") % 2 == 1), text_col="content")
+    victim = si.topk("spark", 1).collect()[0]["doc_id"]
+    si.segments()[victim % 2].delete_docs(
+        spark.createDataFrame([(victim,)], "doc_id long")
+    )
+    assert si.merge_once() is True
+    merged = si.segments()[0]
+    assert merged.deletes() is None
+    assert merged.doc_stats().filter(
+        F.col("doc_id") == victim
+    ).count() == 0
+    assert victim not in [r["doc_id"] for r in si.topk("spark", 10).collect()]
+
+
+def test_log_buckets_keep_big_segments_out(spark, corpus, tmp_path):
+    """A big segment in a higher log bucket is not merged with small
+    ones (the log policy's point: avoid rewriting big data for small
+    compactions)."""
+    root = str(tmp_path / "segroot4")
+    si = SegmentedIndex(spark, root, merge_factor=2)
+    si.commit(corpus, text_col="content")  # big
+    si.commit(corpus.filter(F.col("doc_id") < 4), text_col="content")
+    si.commit(corpus.filter(F.col("doc_id") >= 4).filter(
+        F.col("doc_id") < 8), text_col="content")
+    cand = si.merge_candidates()
+    big = si._pointer()["segments"][0]["name"]
+    assert big not in cand and len(cand) == 2
