@@ -488,6 +488,38 @@ def q_segmented_search(spark, sf_dir):
     return si.topk(Q_AND2, 10, round_to=ROUND)
 
 
+def q_segmented_upsert_search(spark, sf_dir):
+    """Segment-granular upsert (B8 as delete-then-index over the
+    stack, TantivyCommitter.java:42-91): commit the corpus with STALE
+    text for every 7th doc, upsert the true rows as a second segment
+    (tombstoning the stale ones), force_merge to apply tombstones
+    physically and refresh n_docs/avgdl — final scores must bit-match
+    the ordinary flat oracle over the true corpus."""
+    import tempfile
+
+    from prosearch_spark.index.segments import SegmentedIndex
+
+    def build():
+        root = tempfile.mkdtemp(prefix="prosearch_segup_")
+        si = SegmentedIndex(spark, root, merge_factor=8)
+        docs = _docs(spark, sf_dir)
+        stale = F.col("doc_id") % 7 == 0
+        si.commit(
+            docs.withColumn(
+                "text",
+                F.when(stale, F.lit("stale placeholder body"))
+                .otherwise(F.col("text")),
+            ),
+            text_col="text",
+        )
+        si.upsert(docs.filter(stale), text_col="text")
+        assert si.force_merge()
+        return si
+
+    si = _memo_artifact("segmented_upsert", sf_dir, build)
+    return si.topk(Q_AND2, 10, round_to=ROUND)
+
+
 def q_bm25_topk_fielded_blocks(spark, sf_dir):
     """Per-field committed artifacts (title record:basic) queried
     through the fielded block engine — same oracle as the logical
@@ -876,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
         "segmented_search": q_segmented_search,
+        "segmented_upsert_search": q_segmented_upsert_search,
         "quality_filter": q_quality_filter,
         # dedup ladder (P5/W6 + training-data ops) — outside the window
         # in r02
@@ -1053,6 +1086,7 @@ def oracle_sql() -> dict[str, str]:
         "search_fetch": osql.search_fetch_sql(Q_RARE, 5, ROUND),
         "bm25_topk_quantized": osql.quantized_topk_sql(Q_AND2, 10, ROUND),
         "segmented_search": osql.topk_sql(Q_AND2, 10, ROUND),
+        "segmented_upsert_search": osql.topk_sql(Q_AND2, 10, ROUND),
         "bm25_topk_fastfield_wand": osql.topk_filtered_sql(
             Q_SINGLE,
             "d.n_chars < 350 AND "

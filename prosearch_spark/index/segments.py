@@ -87,25 +87,71 @@ class SegmentedIndex:
             for e in p["segments"]
         ]
 
+    def has_segment(self, name: str) -> bool:
+        return any(e["name"] == name
+                   for e in self._pointer()["segments"])
+
     # -- commit ----------------------------------------------------------------
 
-    def commit(self, docs: DataFrame, **save_kwargs) -> IndexArtifact:
+    def _seal(self, art: IndexArtifact, name: str,
+              meta: dict | None = None) -> IndexArtifact:
+        """Publish an already-written segment dir: append its pointer
+        entry (exact integer doc/length totals) and swap the pointer."""
+        p = self._pointer()
+        agg = art.doc_stats().agg(F.sum("dl").alias("t")).collect()[0]
+        entry = {"name": name, "n_docs": art.manifest["n_docs"],
+                 "total_dl": int(agg["t"] or 0), **(meta or {})}
+        self._publish(p["segments"] + [entry], p["gen"] + 1)
+        return art
+
+    def commit(self, docs: DataFrame, name: str | None = None,
+               meta: dict | None = None, **save_kwargs) -> IndexArtifact:
         """Seal ``docs`` as a new immutable segment and publish it.
 
         The segment is fully written BEFORE the pointer swap; a crash
-        mid-commit leaves an orphan dir (GC fodder) and the old view.
+        mid-commit leaves an orphan dir (GC fodder / adopt() fodder)
+        and the old view. ``name`` pins the segment dir (streaming
+        passes the batch id for idempotent re-delivery); ``meta`` is
+        merged into the pointer entry.
         """
-        p = self._pointer()
-        gen = p["gen"] + 1
-        name = f"seg-{gen:06d}"
+        if name is None:
+            name = f"seg-{self._pointer()['gen'] + 1:06d}"
         art = save_index(self.spark, docs,
                          os.path.join(self.root, "segments", name),
                          **save_kwargs)
-        agg = art.doc_stats().agg(F.sum("dl").alias("t")).collect()[0]
-        entry = {"name": name, "n_docs": art.manifest["n_docs"],
-                 "total_dl": int(agg["t"] or 0)}
-        self._publish(p["segments"] + [entry], gen)
-        return art
+        return self._seal(art, name, meta)
+
+    def adopt(self, name: str, meta: dict | None = None) -> IndexArtifact:
+        """Complete a commit that crashed between segment write and
+        pointer publish: the dir holds a full manifest but no pointer
+        entry — load it and publish. No-op-safe only when the caller
+        has checked ``has_segment`` first."""
+        art = IndexArtifact.load(
+            self.spark, os.path.join(self.root, "segments", name))
+        return self._seal(art, name, meta)
+
+    def upsert(self, docs: DataFrame, id_col: str = "doc_id",
+               name: str | None = None, meta: dict | None = None,
+               **save_kwargs) -> IndexArtifact:
+        """B8 at segment granularity: delete-then-index
+        (TantivyCommitter.java:42-91) without rewriting anything —
+        tombstone the incoming ids in every alive segment that holds
+        them, then seal ``docs`` as a new segment. Work is O(batch +
+        n_segments probe joins), never O(corpus); the merge policy
+        keeps n_segments logarithmic and applies tombstones physically.
+
+        Like the single-artifact path, df/avgdl drift until merge:
+        replaced docs stop matching immediately, collection stats
+        refresh on compaction (delete_docs NOTE, artifact.py).
+        """
+        ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        for art in self.segments():
+            hit = art.doc_stats().select("doc_id").join(
+                F.broadcast(ids), "doc_id", "left_semi")
+            if hit.limit(1).count() > 0:
+                art.delete_docs(hit)
+        return self.commit(docs, name=name, meta=meta,
+                           id_col=id_col, **save_kwargs)
 
     # -- query view ------------------------------------------------------------
 
@@ -168,14 +214,15 @@ class SegmentedIndex:
                 return sorted(buckets[b])[: self.merge_factor]
         return []
 
-    def merge_once(self) -> bool:
+    def merge_once(self, candidates: list[str] | None = None) -> bool:
         """Apply one round of the merge policy: rewrite the candidate
         segments as a single new segment and swap the pointer. Old dirs
         stay on disk (readers holding the previous pointer keep a
         consistent view) — GC is a separate sweep. Returns True when a
-        merge happened."""
-        cand = self.merge_candidates()
-        if not cand:
+        merge happened. ``candidates`` overrides the policy (the
+        explicit-segment-ids merge of IndexWriter.merge)."""
+        cand = self.merge_candidates() if candidates is None else candidates
+        if not cand or len(cand) < 2:
             return False
         p = self._pointer()
         gen = p["gen"] + 1
@@ -228,6 +275,15 @@ class SegmentedIndex:
         ]
         self._publish(survivors, gen)
         return True
+
+    def force_merge(self) -> bool:
+        """Compact ALL alive segments into one regardless of log
+        buckets (Lucene forceMerge / Tantivy merge-on-ids parity).
+        Physically applies every tombstone and refreshes n_docs/avgdl
+        from the survivors, so post-merge BM25 stats equal a fresh
+        single build over the logical corpus."""
+        return self.merge_once(
+            candidates=[e["name"] for e in self._pointer()["segments"]])
 
     def compact(self, max_rounds: int = 8) -> int:
         """Run the merge policy to a fixpoint (bounded); returns rounds

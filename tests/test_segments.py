@@ -104,3 +104,116 @@ def test_log_buckets_keep_big_segments_out(spark, corpus, tmp_path):
     cand = si.merge_candidates()
     big = si._pointer()["segments"][0]["name"]
     assert big not in cand and len(cand) == 2
+
+
+# -- streaming: one segment per micro-batch -----------------------------------
+
+STREAM_SCHEMA = "doc_id long, text string, lang string"
+
+
+def _scan(spark, si, term):
+    from prosearch_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, si.as_index([term]))
+    return sorted(r["doc_id"] for r in eng.match_scan(term).collect())
+
+
+def test_segmented_stream_upserts_without_rewrite(spark, tmp_path):
+    """Each trigger seals ONE O(batch) segment; upserted ids are
+    tombstoned in older segments (delete-then-index,
+    TantivyCommitter.java:42-91); re-delivery of a batch_id is a
+    no-op (idempotent under at-least-once)."""
+    from prosearch_spark.streaming.ingest import SegmentedStreamingIndexer
+
+    ix = SegmentedStreamingIndexer(spark, str(tmp_path / "segs"),
+                                   n_buckets=4, compact_inline=False)
+    wave1 = spark.createDataFrame(
+        [(0, "alpha beta", "en"), (1, "beta gamma", "en")], STREAM_SCHEMA)
+    ix.process_batch(wave1, 0)
+    assert _scan(spark, ix.index, "beta") == [0, 1]
+
+    wave2 = spark.createDataFrame(
+        [(1, "delta epsilon", "en"), (2, "alpha delta", "en")],
+        STREAM_SCHEMA)
+    ix.process_batch(wave2, 1)
+    assert _scan(spark, ix.index, "delta") == [1, 2]
+    assert _scan(spark, ix.index, "beta") == [0]  # old doc 1 gone
+    assert len(ix.index._pointer()["segments"]) == 2  # no rewrite
+
+    ix.process_batch(wave2, 1)  # re-delivery
+    assert len(ix.index._pointer()["segments"]) == 2
+    assert _scan(spark, ix.index, "delta") == [1, 2]
+
+
+def test_segmented_stream_adopts_after_crash(spark, tmp_path):
+    """Segment fully written, crash before pointer swap -> re-delivery
+    completes the publish via adopt() instead of re-indexing."""
+    from prosearch_spark.streaming.ingest import SegmentedStreamingIndexer
+
+    ix = SegmentedStreamingIndexer(spark, str(tmp_path / "segs2"),
+                                   n_buckets=4)
+    wave = spark.createDataFrame([(5, "omega psi", "en")], STREAM_SCHEMA)
+    # simulate the crash: dir written with the batch's name, no publish
+    save_index(spark, wave,
+               os.path.join(ix.index.root, "segments", "seg-b000000007"),
+               n_buckets=4)
+    assert ix.index._pointer()["segments"] == []
+    ix.process_batch(wave, 7)
+    segs = ix.index._pointer()["segments"]
+    assert [e["name"] for e in segs] == ["seg-b000000007"]
+    assert segs[0]["batch_id"] == 7
+    assert _scan(spark, ix.index, "omega") == [5]
+
+
+def test_segmented_stream_end_to_end_with_compaction(spark, tmp_path):
+    """readStream -> one segment per file trigger -> inline log-merge
+    keeps the alive-segment count bounded; union view stays correct."""
+    import json
+
+    from prosearch_spark.streaming.ingest import SegmentedStreamingIndexer
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i in range(4):
+        with open(os.path.join(src, f"w{i}.json"), "w") as f:
+            f.write(json.dumps({"doc_id": 20 + i,
+                                "text": f"stream doc{i} common",
+                                "lang": "en"}) + "\n")
+    ix = SegmentedStreamingIndexer(spark, str(tmp_path / "segs3"),
+                                   merge_factor=2, n_buckets=4)
+    stream = (spark.readStream.schema(STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = ix.attach(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    assert _scan(spark, ix.index, "common") == [20, 21, 22, 23]
+    # 4 commits with merge_factor=2 and inline compaction: strictly
+    # fewer alive segments than commits
+    assert len(ix.index._pointer()["segments"]) < 4
+
+
+def test_upsert_then_force_merge_matches_fresh_build(spark, corpus, tmp_path):
+    """Delete-then-index upsert + force_merge refreshes n_docs/avgdl
+    from the survivors: scores equal a fresh single build over the
+    final logical corpus (no stat drift after compaction)."""
+    root = str(tmp_path / "segroot5")
+    si = SegmentedIndex(spark, root, merge_factor=8)
+    stale = F.col("doc_id") % 5 == 0
+    si.commit(
+        corpus.withColumn(
+            "content",
+            F.when(stale, F.lit("stale placeholder"))
+            .otherwise(F.col("content")),
+        ),
+        text_col="content",
+    )
+    si.upsert(corpus.filter(stale), text_col="content")
+    assert si.force_merge()
+    assert len(si._pointer()["segments"]) == 1
+    flat = SearchEngine(spark, build_index(corpus, text_col="content"))
+    for q in ["spark shuffle", "the python"]:
+        a = [(r["doc_id"], r["score"])
+             for r in si.topk(q, 10, round_to=6).collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in flat.topk(q, 10, round_to=6).collect()]
+        assert a == b, q
