@@ -520,6 +520,41 @@ def q_segmented_upsert_search(spark, sf_dir):
     return si.topk(Q_AND2, 10, round_to=ROUND)
 
 
+def _routed(spark, sf_dir, q, fielded=False):
+    """The one-endpoint serving router (ArtifactSearcher.route,
+    serve.rs:407-419: the lenient parse's BooleanQuery picks the plan
+    over skip data): term-only -> Block-Max WAND, quoted -> staged
+    mixed engine, fielded config -> fielded WAND. Each branch's plan
+    is the one independently oracle-gated elsewhere; these entries
+    attest the ROUTING returns the same exact results."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    art = _memo_artifact("positional", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_pos_"), text_col="text",
+        with_positions=True))
+    s = ArtifactSearcher(
+        spark, art,
+        fielded=_fielded_arts(spark, sf_dir) if fielded else None)
+    df, _plan = s.route(q, 10, round_to=ROUND)
+    return df
+
+
+def q_serve_routed_term(spark, sf_dir):
+    return _routed(spark, sf_dir, Q_AND2)
+
+
+def q_serve_routed_phrase(spark, sf_dir):
+    return _routed(spark, sf_dir, Q_MIXED_PHRASE)
+
+
+def q_serve_routed_fielded(spark, sf_dir):
+    return _routed(spark, sf_dir, Q_AND2, fielded=True)
+
+
 def q_bm25_topk_fielded_blocks(spark, sf_dir):
     """Per-field committed artifacts (title record:basic) queried
     through the fielded block engine — same oracle as the logical
@@ -909,6 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
         "segmented_search": q_segmented_search,
         "segmented_upsert_search": q_segmented_upsert_search,
+        "serve_routed_term": q_serve_routed_term,
+        "serve_routed_phrase": q_serve_routed_phrase,
+        "serve_routed_fielded": q_serve_routed_fielded,
         "quality_filter": q_quality_filter,
         # dedup ladder (P5/W6 + training-data ops) — outside the window
         # in r02
@@ -1087,6 +1125,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_quantized": osql.quantized_topk_sql(Q_AND2, 10, ROUND),
         "segmented_search": osql.topk_sql(Q_AND2, 10, ROUND),
         "segmented_upsert_search": osql.topk_sql(Q_AND2, 10, ROUND),
+        "serve_routed_term": osql.topk_sql(Q_AND2, 10, ROUND),
+        "serve_routed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
+                                                   ROUND),
+        "serve_routed_fielded": osql.fielded_topk_sql(Q_AND2, 10, ROUND),
         "bm25_topk_fastfield_wand": osql.topk_filtered_sql(
             Q_SINGLE,
             "d.n_chars < 350 AND "

@@ -20,6 +20,82 @@ from prosearch_spark.query.engine import SearchEngine
 from prosearch_spark.query.snippet import with_snippet
 
 
+class ArtifactSearcher:
+    """Production /api responder over COMMITTED artifacts, routing each
+    parsed query to the best physical plan. The reference exposes ONE
+    endpoint; the BooleanQuery built from the lenient parse picks the
+    execution over segment skip data (serve.rs:407-419) — here:
+
+      - quoted span present -> staged-pruning mixed engine over the
+        positional artifact (phrase BM25 + term-WAND delegation);
+      - fielded artifacts configured, no quotes -> fielded Block-Max
+        WAND (title 1.5 / body 1.0, serve.rs:336-351);
+      - otherwise -> single-field Block-Max WAND.
+
+    Every branch is exact (each is oracle-gated on its own); routing
+    changes COST only — except that configuring ``fielded`` opts into
+    fielded scoring semantics, which is the caller's schema choice,
+    not a plan choice.
+    """
+
+    def __init__(self, spark: SparkSession, artifact,
+                 fielded: dict | None = None,
+                 body_col: str = "text"):
+        from prosearch_spark.query.block_engine import BlockSearchEngine
+        from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+        self.spark = spark
+        self.artifact = artifact
+        self.block = BlockSearchEngine(spark, artifact)
+        self.fielded = (FieldedBlockSearchEngine(spark, fielded)
+                        if fielded else None)
+        self.body_col = body_col
+
+    def route(self, q: str, k: int = 10,
+              round_to: int | None = None) -> tuple[DataFrame, str]:
+        """Pick the plan for ``q``; returns (hits, plan_name)."""
+        if '"' in q:
+            return self.block.mixed_topk(q, k, round_to), "mixed"
+        if self.fielded is not None:
+            df, _stats = self.fielded.topk_wand(q, k, round_to)
+            return df, "fielded_wand"
+        df, _stats = self.block.topk_wand(q, k, round_to)
+        return df, "wand"
+
+    def api(self, q: str, nhits: int = 10) -> dict:
+        """The Serp response (serve.rs:301-312): routed hits joined to
+        the artifact's doc store, snippets rendered, body dropped (P1),
+        latency + chosen plan reported (Q13)."""
+        t0 = time.perf_counter()
+        hits, plan = self.route(q, nhits, round_to=6)
+        fetched = self.artifact.fetch_docs(hits)
+        display = [c for c in fetched.columns
+                   if c not in {"doc_id", "rank", "score", self.body_col}]
+        from prosearch_spark.analyzer import parse_query_lenient
+
+        flat_terms = " ".join(
+            c[0] if kind == "term" else " ".join(c)
+            for kind, c in parse_query_lenient(q)
+        )
+        fetched = with_snippet(fetched, flat_terms, self.body_col)
+        rows = fetched.orderBy("rank").collect()
+        ms = (time.perf_counter() - t0) * 1000.0
+        return {
+            "q": q,
+            "plan": plan,
+            "num_hits": len(rows),
+            "hits": [
+                {
+                    "doc": {c: r[c] for c in
+                            ("rank", "doc_id", "score", *display)},
+                    "snip": r["snip"],
+                }
+                for r in rows
+            ],
+            "timings_ms": round(ms, 3),
+        }
+
+
 class Searcher:
     def __init__(self, spark: SparkSession, index: InvertedIndex,
                  docs: DataFrame, id_col: str = "doc_id",

@@ -96,3 +96,54 @@ def test_api_lenient_phrase_restricts_matches(spark, corpus):
     loose_ids = {h["doc"]["doc_id"] for h in loose["hits"]}
     tight_ids = {h["doc"]["doc_id"] for h in tight["hits"]}
     assert tight_ids <= loose_ids
+
+
+# -- routed serving over committed artifacts ---------------------------------
+
+def test_artifact_searcher_routes_by_query_shape(spark, corpus, tmp_path):
+    """One endpoint, three plans (serve.rs:407-419): term-only -> WAND,
+    quoted -> mixed staged pruning, fielded config -> fielded WAND —
+    and every branch returns the same exact hits as its dedicated
+    engine."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    art = save_index(spark, corpus, str(tmp_path / "art"),
+                     text_col="content", with_positions=True)
+    s = ArtifactSearcher(spark, art, body_col="content")
+    eng = BlockSearchEngine(spark, art)
+
+    hits, plan = s.route("spark shuffle", 5, round_to=6)
+    assert plan == "wand"
+    want, _ = eng.topk_wand("spark shuffle", 5, round_to=6)
+    assert [tuple(r) for r in hits.collect()] == \
+        [tuple(r) for r in want.collect()]
+
+    hits, plan = s.route('python "spark shuffle"', 5, round_to=6)
+    assert plan == "mixed"
+    want = eng.mixed_topk('python "spark shuffle"', 5, round_to=6)
+    assert [tuple(r) for r in hits.collect()] == \
+        [tuple(r) for r in want.collect()]
+
+
+def test_artifact_searcher_api_serp_shape(spark, corpus, tmp_path):
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    art = save_index(spark, corpus, str(tmp_path / "art2"),
+                     text_col="content", with_positions=True)
+    art.write_doc_store(corpus, ["content", "repo", "lang"])
+    s = ArtifactSearcher(spark, art, body_col="content")
+    serp = s.api("spark shuffle", nhits=5)
+    assert serp["plan"] == "wand"
+    assert 0 < serp["num_hits"] <= 5
+    hit = serp["hits"][0]
+    assert set(hit) == {"doc", "snip"}
+    assert "content" not in hit["doc"]  # P1: body dropped
+    assert {"rank", "doc_id", "score", "repo", "lang"} == set(hit["doc"])
+    assert "<b>" in hit["snip"]
+
+    serp = s.api('"spark shuffle"', nhits=3)
+    assert serp["plan"] == "mixed"
+    assert serp["num_hits"] >= 1
