@@ -464,13 +464,10 @@ def _fielded_arts(spark, sf_dir):
     return _memo_artifact("fielded", sf_dir, build)
 
 
-def q_segmented_search(spark, sf_dir):
-    """Multi-segment index stack (round 3): three commits seal three
-    immutable segments (Tantivy commit/segment model, index.rs:191;
-    LogMergePolicy in index/segments.py); the query view unions
-    bucket/term-pruned per-segment postings with df summed and N /
-    total-dl combined from exact integer pointer entries — scores
-    hash-match the ordinary single-index oracle over the same corpus."""
+def _segmented_stack(spark, sf_dir):
+    """Three commits seal three immutable segments over the corpus
+    (Tantivy commit/segment model, index.rs:191; LogMergePolicy in
+    index/segments.py), memoized per sf_dir."""
     import tempfile
 
     from prosearch_spark.index.segments import SegmentedIndex
@@ -484,7 +481,15 @@ def q_segmented_search(spark, sf_dir):
                       text_col="text")
         return si
 
-    si = _memo_artifact("segmented", sf_dir, build)
+    return _memo_artifact("segmented", sf_dir, build)
+
+
+def q_segmented_search(spark, sf_dir):
+    """Multi-segment index stack (round 3): the query view unions
+    bucket/term-pruned per-segment postings with df summed and N /
+    total-dl combined from exact integer pointer entries — scores
+    hash-match the ordinary single-index oracle over the same corpus."""
+    si = _segmented_stack(spark, sf_dir)
     return si.topk(Q_AND2, 10, round_to=ROUND)
 
 
@@ -518,6 +523,21 @@ def q_segmented_upsert_search(spark, sf_dir):
 
     si = _memo_artifact("segmented_upsert", sf_dir, build)
     return si.topk(Q_AND2, 10, round_to=ROUND)
+
+
+def q_segmented_wand(spark, sf_dir):
+    """Block-Max WAND over the segment STACK (SegmentedArtifactView:
+    the union duck-types IndexArtifact, so the pruning ladder runs
+    unchanged over n segments — Tantivy's BooleanQuery-per-segment
+    collector, serve.rs:413-419 + index.rs:191). min_prune_blocks=0
+    forces the full ladder past the cost cutoff; results must
+    hash-match the flat oracle."""
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    si = _segmented_stack(spark, sf_dir)
+    df, _stats = BlockSearchEngine(spark, si.as_artifact()).topk_wand(
+        Q_AND2, 10, round_to=ROUND, min_prune_blocks=0)
+    return df
 
 
 def _routed(spark, sf_dir, q, fielded=False):
@@ -944,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
         "segmented_search": q_segmented_search,
         "segmented_upsert_search": q_segmented_upsert_search,
+        "segmented_wand": q_segmented_wand,
         "serve_routed_term": q_serve_routed_term,
         "serve_routed_phrase": q_serve_routed_phrase,
         "serve_routed_fielded": q_serve_routed_fielded,
@@ -1125,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_quantized": osql.quantized_topk_sql(Q_AND2, 10, ROUND),
         "segmented_search": osql.topk_sql(Q_AND2, 10, ROUND),
         "segmented_upsert_search": osql.topk_sql(Q_AND2, 10, ROUND),
+        "segmented_wand": osql.topk_sql(Q_AND2, 10, ROUND),
         "serve_routed_term": osql.topk_sql(Q_AND2, 10, ROUND),
         "serve_routed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
                                                    ROUND),

@@ -183,6 +183,44 @@ class SegmentedIndex:
         return InvertedIndex(postings=postings, term_stats=term_stats,
                              stats=stats)
 
+    def as_artifact(self) -> "SegmentedArtifactView":
+        """Duck-typed IndexArtifact over the stack, so every
+        BlockSearchEngine plan — including Block-Max WAND — runs
+        UNCHANGED over multiple segments: block bounds (max_tf/min_dl)
+        are segment-local data while ub/idf derive at query time from
+        the GLOBAL stats this view serves.
+
+        WAND stays exact under the union because segments share one
+        docid space: a doc's other-term blocks always overlap its own
+        rarest-term block's range, so every candidate range's bound
+        still dominates the true score of each doc it covers
+        (overlapping ranges across segments only weaken pruning, never
+        correctness).
+
+        Requires a DELETE-FREE stack: per-segment tombstones cannot be
+        applied as one global anti-join (an upserted doc's live
+        re-add in a later segment would be killed alongside its dead
+        old version). That is Lucene/Tantivy's model too — per-segment
+        delete bitsets, merged away before bulk readers. Tombstoned
+        stacks query through topk()/as_index() (which apply each
+        segment's deletes to that segment only) or compact first.
+        """
+        segs = self.segments()
+        if not segs:
+            raise ValueError("no committed segments")
+        names = [e["name"] for e in self._pointer()["segments"]]
+        dirty = [n for n, s in zip(names, segs) if s.deletes() is not None]
+        if dirty:
+            raise ValueError(
+                "segments carry tombstones (%s): run compact()/"
+                "force_merge() first, or query via topk()/as_index()"
+                % ", ".join(dirty))
+        p = self._pointer()
+        return SegmentedArtifactView(
+            self.spark, segs,
+            n_docs=sum(e["n_docs"] for e in p["segments"]),
+            total_dl=sum(e["total_dl"] for e in p["segments"]))
+
     def topk(self, q: str, k: int = 10,
              round_to: int | None = None) -> DataFrame:
         from prosearch_spark.analyzer import analyze_query
@@ -292,3 +330,49 @@ class SegmentedIndex:
         while n < max_rounds and self.merge_once():
             n += 1
         return n
+
+
+class SegmentedArtifactView:
+    """The read-side union of a delete-free segment stack, exposing the
+    IndexArtifact query surface (blocks/term_stats/doc_stats/postings/
+    stats/deletes) so BlockSearchEngine needs no segment awareness.
+
+    Each delegated call is bucket/term-pruned PER SEGMENT before the
+    union, so a term lookup touches n_segments x one bucket directory —
+    the fan-out the merge policy exists to bound. df sums across
+    segments; n_docs/avgdl come from the pointer's exact integer
+    totals (identical float division to a single build)."""
+
+    def __init__(self, spark: SparkSession, segments: list[IndexArtifact],
+                 n_docs: int, total_dl: int):
+        self._spark = spark
+        self._segments = segments
+        self._n_docs = n_docs
+        self._total_dl = total_dl
+
+    def _union(self, frames: list[DataFrame]) -> DataFrame:
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    def blocks(self, terms: list[str] | None = None) -> DataFrame:
+        return self._union([s.blocks(terms) for s in self._segments])
+
+    def term_stats(self, terms: list[str] | None = None) -> DataFrame:
+        return (
+            self._union([s.term_stats(terms) for s in self._segments])
+            .groupBy("term").agg(F.sum("df").alias("df"))
+        )
+
+    def doc_stats(self) -> DataFrame:
+        return self._union([s.doc_stats() for s in self._segments])
+
+    def postings(self, terms: list[str] | None = None) -> DataFrame:
+        return self._union([s.postings(terms) for s in self._segments])
+
+    def deletes(self) -> DataFrame | None:
+        # the view refuses tombstoned stacks at construction
+        return None
+
+    def stats(self) -> DataFrame:
+        avgdl = self._total_dl / self._n_docs if self._n_docs else 0.0
+        return self._spark.createDataFrame(
+            [(self._n_docs, float(avgdl))], "n_docs long, avgdl double")

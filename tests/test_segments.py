@@ -217,3 +217,36 @@ def test_upsert_then_force_merge_matches_fresh_build(spark, corpus, tmp_path):
         b = [(r["doc_id"], r["score"])
              for r in flat.topk(q, 10, round_to=6).collect()]
         assert a == b, q
+
+
+def test_segmented_wand_matches_flat_wand(spark, corpus, stacked):
+    """Block-Max WAND over the stack view == WAND over one flat
+    artifact of the same corpus (exactness survives overlapping
+    cross-segment block ranges)."""
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    eng = BlockSearchEngine(spark, stacked.as_artifact())
+    got, stats = eng.topk_wand("spark shuffle", 10, round_to=6,
+                               min_prune_blocks=0)
+    flat = SearchEngine(spark, build_index(corpus, text_col="content"))
+    want = flat.topk("spark shuffle", 10, round_to=6)
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(r["doc_id"], r["score"]) for r in want.collect()]
+    assert stats["blocks_total"] > 0
+
+
+def test_stack_view_refuses_tombstones(spark, corpus, tmp_path):
+    """Per-segment deletes cannot be applied globally (an upserted
+    doc's re-add would die with its old version) — the view refuses
+    and points at compaction; post-merge it works."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "segroot6")
+    si = SegmentedIndex(spark, root, merge_factor=8)
+    si.commit(corpus.filter(F.col("doc_id") % 2 == 0), text_col="content")
+    si.upsert(corpus.filter(F.col("doc_id") % 2 == 0).limit(2),
+              text_col="content")
+    with _pytest.raises(ValueError, match="tombstones"):
+        si.as_artifact()
+    assert si.force_merge()
+    si.as_artifact()  # delete-free after physical merge
