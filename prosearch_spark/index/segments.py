@@ -105,20 +105,27 @@ class SegmentedIndex:
         return art
 
     def commit(self, docs: DataFrame, name: str | None = None,
-               meta: dict | None = None, **save_kwargs) -> IndexArtifact:
+               meta: dict | None = None,
+               store_cols: list[str] | None = None,
+               **save_kwargs) -> IndexArtifact:
         """Seal ``docs`` as a new immutable segment and publish it.
 
         The segment is fully written BEFORE the pointer swap; a crash
         mid-commit leaves an orphan dir (GC fodder / adopt() fodder)
         and the old view. ``name`` pins the segment dir (streaming
         passes the batch id for idempotent re-delivery); ``meta`` is
-        merged into the pointer entry.
+        merged into the pointer entry; ``store_cols`` additionally
+        writes the segment's doc store (S4) so the stack is servable
+        through ArtifactSearcher.
         """
         if name is None:
             name = f"seg-{self._pointer()['gen'] + 1:06d}"
         art = save_index(self.spark, docs,
                          os.path.join(self.root, "segments", name),
                          **save_kwargs)
+        if store_cols:
+            art.write_doc_store(docs, store_cols,
+                                id_col=save_kwargs.get("id_col", "doc_id"))
         return self._seal(art, name, meta)
 
     def adopt(self, name: str, meta: dict | None = None) -> IndexArtifact:
@@ -152,6 +159,22 @@ class SegmentedIndex:
                 art.delete_docs(hit)
         return self.commit(docs, name=name, meta=meta,
                            id_col=id_col, **save_kwargs)
+
+    def gc(self) -> list[str]:
+        """Remove segment dirs no longer referenced by the current
+        pointer (merged-away inputs, orphaned crash leftovers). A
+        deployment age-gates this behind its slowest reader's pointer;
+        here it is an explicit sweep, never run by commit/merge."""
+        import shutil
+
+        alive = {e["name"] for e in self._pointer()["segments"]}
+        segdir = os.path.join(self.root, "segments")
+        removed = []
+        for d in sorted(os.listdir(segdir)):
+            if d not in alive:
+                shutil.rmtree(os.path.join(segdir, d))
+                removed.append(d)
+        return removed
 
     # -- query view ------------------------------------------------------------
 
@@ -295,12 +318,20 @@ class SegmentedIndex:
             ).collect()[0]
             n_docs = int(agg["n"] or 0)
             avgdl = (agg["total"] or 0) / n_docs if n_docs else 0.0
+            # carry doc stores forward (minus tombstoned rows) when
+            # every merged segment has one — mirrors artifact.merge
+            stores = [a.doc_store() for a in arts]
+            store = None
+            if all(st is not None for st in stores):
+                store = reduce(lambda a, b: a.unionByName(b), stores).join(
+                    doc_stats.select("doc_id"), "doc_id", "left_semi")
             _write_artifact(
                 self.spark, os.path.join(self.root, "segments", name),
                 postings, term_stats, doc_stats,
                 n_docs=n_docs, avgdl=avgdl,
                 n_buckets=arts[0].n_buckets,
                 analyzer=arts[0].manifest["analyzer"],
+                doc_store=store,
                 record_basic=arts[0].manifest.get("record_basic", False),
                 fast_fields=arts[0].manifest.get("fast_fields") or None,
             )
@@ -376,3 +407,20 @@ class SegmentedArtifactView:
         avgdl = self._total_dl / self._n_docs if self._n_docs else 0.0
         return self._spark.createDataFrame(
             [(self._n_docs, float(avgdl))], "n_docs long, avgdl double")
+
+    def doc_store(self) -> DataFrame | None:
+        """Union of the per-segment doc stores (S4). Every alive
+        segment must carry one, else the stack has no store."""
+        stores = [s.doc_store() for s in self._segments]
+        if any(st is None for st in stores):
+            return None
+        return self._union(stores)
+
+    def fetch_docs(self, hits: DataFrame) -> DataFrame:
+        """S5/J3 over the stack: broadcast the k hits against each
+        segment's store — same shape as IndexArtifact.fetch_docs, so
+        ArtifactSearcher.api serves a live stack unchanged."""
+        store = self.doc_store()
+        if store is None:
+            raise ValueError("no doc_store written for every segment")
+        return store.join(F.broadcast(hits), "doc_id")

@@ -250,3 +250,36 @@ def test_stack_view_refuses_tombstones(spark, corpus, tmp_path):
         si.as_artifact()
     assert si.force_merge()
     si.as_artifact()  # delete-free after physical merge
+
+
+def test_stack_serves_api_with_doc_store_and_gc(spark, corpus, tmp_path):
+    """Full serving loop over a LIVE stack: commits write per-segment
+    doc stores, ArtifactSearcher routes WAND over the union view and
+    fetches stored fields; merge carries stores forward; gc() removes
+    only unreferenced dirs and the view still serves."""
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    root = str(tmp_path / "segroot7")
+    si = SegmentedIndex(spark, root, merge_factor=2)
+    for i in range(2):
+        si.commit(corpus.filter(F.col("doc_id") % 2 == i),
+                  text_col="content",
+                  store_cols=["content", "repo", "lang"])
+
+    s = ArtifactSearcher(spark, si.as_artifact(), body_col="content")
+    serp = s.api("spark shuffle", nhits=5)
+    assert serp["plan"] == "wand" and serp["num_hits"] > 0
+    assert {"rank", "doc_id", "score", "repo", "lang"} \
+        == set(serp["hits"][0]["doc"])
+
+    assert si.merge_once() is True  # same-bucket pair compacts
+    merged = si.segments()[0]
+    assert merged.doc_store() is not None  # store carried forward
+
+    removed = si.gc()
+    assert len(removed) == 2  # the two merged-away inputs
+    assert si.has_segment(si._pointer()["segments"][0]["name"])
+    s2 = ArtifactSearcher(spark, si.as_artifact(), body_col="content")
+    serp2 = s2.api("spark shuffle", nhits=5)
+    assert [h["doc"]["doc_id"] for h in serp2["hits"]] == \
+        [h["doc"]["doc_id"] for h in serp["hits"]]
