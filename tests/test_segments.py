@@ -283,3 +283,34 @@ def test_stack_serves_api_with_doc_store_and_gc(spark, corpus, tmp_path):
     serp2 = s2.api("spark shuffle", nhits=5)
     assert [h["doc"]["doc_id"] for h in serp2["hits"]] == \
         [h["doc"]["doc_id"] for h in serp["hits"]]
+
+
+def test_positional_stack_serves_phrase_and_mixed(spark, corpus, tmp_path):
+    """Segments committed with positions serve phrase and mixed
+    queries through the union view — parity with one flat positional
+    artifact (the router's quoted branch works on a live stack)."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    root = str(tmp_path / "segroot8")
+    si = SegmentedIndex(spark, root, merge_factor=8)
+    for i in range(2):
+        si.commit(corpus.filter(F.col("doc_id") % 2 == i),
+                  text_col="content", with_positions=True)
+    flat = save_index(spark, corpus, str(tmp_path / "flatpos"),
+                      text_col="content", with_positions=True)
+
+    got = BlockSearchEngine(spark, si.as_artifact())
+    want = BlockSearchEngine(spark, flat)
+    q = 'python "spark shuffle"'
+    a = [(r["doc_id"], r["score"])
+         for r in got.mixed_topk(q, 10, round_to=6).collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in want.mixed_topk(q, 10, round_to=6).collect()]
+    assert a == b and len(a) > 0
+
+    a = [(r["doc_id"], r["score"])
+         for r in got.phrase_topk("spark shuffle", 10, round_to=6).collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in want.phrase_topk("spark shuffle", 10, round_to=6).collect()]
+    assert a == b

@@ -88,6 +88,35 @@ def main() -> None:
 
     out["chain_over_segmented_wave"] = round(
         out["chain"]["wave_mean_sec"] / out["segmented"]["wave_mean_sec"], 2)
+
+    # -- read amplification: the SAME corpus committed as S segments
+    # vs compacted to one; query latency delta is what the merge
+    # policy buys readers (n_segments x bucket-dir fan-out per term).
+    from prosearch_spark.index.segments import SegmentedIndex
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    n_segs = 8
+    si = SegmentedIndex(spark, tempfile.mkdtemp(prefix="segbench_read_"),
+                        merge_factor=n_segs + 1)
+    for i in range(n_segs):
+        si.commit(docs.filter(F.col("doc_id") % n_segs == i),
+                  text_col="text", n_buckets=16)
+
+    def q_once() -> float:
+        t0 = time.perf_counter()
+        df, _ = BlockSearchEngine(spark, si.as_artifact()).topk_wand(
+            "spark shuffle", 10, round_to=6)
+        df.collect()
+        return time.perf_counter() - t0
+
+    q_once()  # warm
+    stack_s = min(q_once(), q_once())
+    si.force_merge()
+    q_once()  # warm
+    merged_s = min(q_once(), q_once())
+    out["query_stack"] = {"n_segments": n_segs,
+                          "topk_wand_sec": round(stack_s, 3)}
+    out["query_merged"] = {"topk_wand_sec": round(merged_s, 3)}
     print(json.dumps(out))
 
 
