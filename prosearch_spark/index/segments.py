@@ -380,23 +380,76 @@ class SegmentedArtifactView:
         self._segments = segments
         self._n_docs = n_docs
         self._total_dl = total_dl
+        # homogeneous stacks (the commit path's normal output) read all
+        # segment trees in ONE multi-path parquet scan instead of
+        # n_segments unioned scans: the measured 2.3x query latency on
+        # an 8-segment stack was per-scan scheduling, and the single
+        # scan removes it entirely (BENCH.md §2c, 6.55 s vs a merged
+        # segment's 6.76 s)
+        self._uniform = (
+            len({(s.n_buckets, s.manifest.get("record_basic", False),
+                  s.manifest["analyzer"]) for s in segments}) == 1
+        )
 
     def _union(self, frames: list[DataFrame]) -> DataFrame:
         return reduce(lambda a, b: a.unionByName(b), frames)
 
+    def _bucket_read(self, sub: str,
+                     terms: list[str] | None) -> DataFrame | None:
+        """One multi-path scan over the segments' ``sub`` trees with
+        partition pruning done DRIVER-SIDE: the needed ``tb=<b>`` leaf
+        dirs are enumerated per segment and read directly (leaf dirs
+        carry no partition structure, so multi-root reads can't raise
+        CONFLICTING_DIRECTORY_STRUCTURES; tb itself is never consumed
+        downstream). Returns None when the caller must fall back to
+        the per-segment union (full scan or no matching bucket dir)."""
+        if terms is None:
+            return None
+        from prosearch_spark.index.artifact import term_buckets_py
+
+        buckets = sorted(set(
+            term_buckets_py(sorted(set(terms)),
+                            self._segments[0].n_buckets,
+                            self._spark).values()
+        ))
+        paths = [
+            p for s in self._segments for b in buckets
+            if os.path.isdir(p := os.path.join(s.path, sub, f"tb={b}"))
+        ]
+        if not paths:
+            return None
+        return self._spark.read.parquet(*paths).filter(
+            F.col("term").isin(sorted(set(terms))))
+
     def blocks(self, terms: list[str] | None = None) -> DataFrame:
+        if self._uniform:
+            df = self._bucket_read("blocks", terms)
+            if df is not None:
+                return df
         return self._union([s.blocks(terms) for s in self._segments])
 
     def term_stats(self, terms: list[str] | None = None) -> DataFrame:
-        return (
-            self._union([s.term_stats(terms) for s in self._segments])
-            .groupBy("term").agg(F.sum("df").alias("df"))
-        )
+        per_seg = self._bucket_read("term_stats", terms) \
+            if self._uniform else None
+        if per_seg is not None:
+            per_seg = per_seg.select("term", "df")
+        else:
+            per_seg = self._union(
+                [s.term_stats(terms) for s in self._segments])
+        return per_seg.groupBy("term").agg(F.sum("df").alias("df"))
 
     def doc_stats(self) -> DataFrame:
-        return self._union([s.doc_stats() for s in self._segments])
+        # plain (unpartitioned) parquet trees: multi-path read is safe
+        return self._spark.read.parquet(
+            *[os.path.join(s.path, "doc_stats") for s in self._segments])
 
     def postings(self, terms: list[str] | None = None) -> DataFrame:
+        if self._uniform:
+            from prosearch_spark.index.blocks import decode_blocks
+
+            # the view is delete-free by construction, so decoding the
+            # single-scan blocks IS the postings union
+            return decode_blocks(self.blocks(terms))
         return self._union([s.postings(terms) for s in self._segments])
 
     def deletes(self) -> DataFrame | None:
