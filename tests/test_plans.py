@@ -170,3 +170,22 @@ def test_doc_fetch_is_broadcast(spark, corpus):
     plan = _plan(eng.fetch(hits, corpus.select("doc_id", "repo")))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_segment_stack_blocks_is_one_scan(spark, corpus, tmp_path):
+    """A uniform segment stack reads block metadata in ONE multi-path
+    parquet scan (driver-side tb-dir pruning), not n_segments unioned
+    scans — the rewrite that erased the 2.3x stack read amplification
+    (BENCH.md §2c). A Union of per-segment scans here is a
+    regression."""
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.index.segments import SegmentedIndex
+
+    si = SegmentedIndex(spark, str(tmp_path / "segplan"), merge_factor=9)
+    for i in range(3):
+        si.commit(corpus.filter(F.col("doc_id") % 3 == i),
+                  text_col="content")
+    plan = _plan(si.as_artifact().blocks(["spark"]))
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
