@@ -525,6 +525,32 @@ def q_segmented_upsert_search(spark, sf_dir):
     return si.topk(Q_AND2, 10, round_to=ROUND)
 
 
+def q_bm25_topk_or(spark, sf_dir):
+    """Disjunctive (match-ANY) top-k — BooleanQuery should-clause
+    scoring (engine.topk_or); oracle = the conjunction CTE minus the
+    clause-count HAVING."""
+    eng, _ = _engine(spark, sf_dir)
+    return eng.topk_or(Q_AND2, 10, round_to=ROUND)
+
+
+def q_bm25_topk_wand_or(spark, sf_dir):
+    """Disjunctive Block-Max WAND (Ding & Suel 2011 shape) over the
+    committed block artifact: per-block bounds from one metadata
+    self-range-join, no rarest-term zipper. min_prune_blocks=0 forces
+    the full ladder; hash-matches the flat disjunctive oracle."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_wandor_"), text_col="text"))
+    df, _stats = BlockSearchEngine(spark, art).topk_wand_or(
+        Q_AND2, 10, round_to=ROUND, min_prune_blocks=0)
+    return df
+
+
 def q_segmented_wand(spark, sf_dir):
     """Block-Max WAND over the segment STACK (SegmentedArtifactView:
     the union duck-types IndexArtifact, so the pruning ladder runs
@@ -965,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmented_search": q_segmented_search,
         "segmented_upsert_search": q_segmented_upsert_search,
         "segmented_wand": q_segmented_wand,
+        "bm25_topk_or": q_bm25_topk_or,
+        "bm25_topk_wand_or": q_bm25_topk_wand_or,
         "serve_routed_term": q_serve_routed_term,
         "serve_routed_phrase": q_serve_routed_phrase,
         "serve_routed_fielded": q_serve_routed_fielded,
@@ -1147,6 +1175,8 @@ def oracle_sql() -> dict[str, str]:
         "segmented_search": osql.topk_sql(Q_AND2, 10, ROUND),
         "segmented_upsert_search": osql.topk_sql(Q_AND2, 10, ROUND),
         "segmented_wand": osql.topk_sql(Q_AND2, 10, ROUND),
+        "bm25_topk_or": osql.topk_or_sql(Q_AND2, 10, ROUND),
+        "bm25_topk_wand_or": osql.topk_or_sql(Q_AND2, 10, ROUND),
         "serve_routed_term": osql.topk_sql(Q_AND2, 10, ROUND),
         "serve_routed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
                                                    ROUND),

@@ -384,6 +384,187 @@ class BlockSearchEngine:
         finally:
             meta.unpersist()
 
+    def topk_wand_or(self, q: str, k: int = 10,
+                     round_to: int | None = None,
+                     min_prune_blocks: int | None = None
+                     ) -> tuple[DataFrame, dict]:
+        """DISJUNCTIVE Block-Max WAND top-k — match ANY clause, score =
+        sum of matched contributions. This is the query shape the
+        block-max skip structure was invented for (Ding & Suel 2011,
+        PAPERS.md): with no required term there is no rarest-term
+        zipper, so every block is its own candidate, bounded by
+
+            bound(b) = wub(b) + sum_{t' != term(b)} max wub of t'-blocks
+                       overlapping b's doc range
+
+        (wub = clause-weight x block upper bound). Soundness: a doc d
+        matching clause set S has, for each t in S, its posting in one
+        block b_t(d); every other matched term's block contains d, so
+        it overlaps b_t(d)'s range and its wub enters the max — hence
+        bound(b_t(d)) >= score(d). If score(d) >= theta, ALL of d's
+        blocks survive and d decodes completely (exact score); if any
+        of d's blocks is pruned then score(d) <= bound < theta-eps and
+        d cannot enter the top-k (>= k seed docs score >= theta).
+        Partially-decoded survivors only UNDERSTATE their (sub-theta)
+        scores, so they cannot displace anything either.
+
+        The ladder (seed by weighted ub over ALL terms' blocks ->
+        theta from exact seed scores -> per-block bound via one
+        metadata self-range-join -> decode surviving blocks) and the
+        cost cutoffs mirror topk_wand; the metadata join is
+        blocks x blocks but only over the QUERY terms' blocks
+        (sum_t df_t / BLOCK_SIZE rows), never the corpus.
+        """
+        from prosearch_spark.index.blocks import (
+            BLOCK_SIZE,
+            block_upper_bound_expr,
+        )
+        from prosearch_spark.query.engine import (
+            TOPK_SCHEMA,
+            materialize_topk,
+        )
+
+        clauses = analyze_query(q)
+        terms = sorted({t for t, _ in clauses})
+        weights = {t: 0.0 for t in terms}
+        for t, b in clauses:
+            weights[t] += b
+        if not terms:
+            return (self.spark.createDataFrame([], TOPK_SCHEMA),
+                    {"blocks_total": 0, "blocks_decoded": 0})
+
+        w_expr = None
+        for t in terms:
+            e = F.when(F.col("term") == t, F.lit(weights[t]))
+            w_expr = e if w_expr is None else w_expr.when(
+                F.col("term") == t, F.lit(weights[t]))
+
+        ts = self.artifact.term_stats(terms)
+        meta = (
+            self.artifact.blocks(terms)
+            .join(F.broadcast(ts), "term")
+            .join(F.broadcast(self.artifact.stats()))
+            .withColumn("ub", F.expr(block_upper_bound_expr()))
+            .withColumn("wub", w_expr * F.col("ub"))
+        ).persist()
+        if min_prune_blocks is None:
+            min_prune_blocks = WAND_MIN_PRUNE_BLOCKS
+
+        def _eng(blks):
+            return self._engine_on_blocks(blks, terms)
+
+        try:
+            n_blocks = meta.count()
+            if n_blocks == 0:
+                return (self.spark.createDataFrame([], TOPK_SCHEMA),
+                        {"blocks_total": 0, "blocks_decoded": 0})
+            if n_blocks < min_prune_blocks:
+                out = materialize_topk(
+                    self.spark, _eng(meta).topk_or(q, k, round_to))
+                return out, {"blocks_total": n_blocks,
+                             "blocks_decoded": n_blocks,
+                             "blocks_seed": 0, "blocks_final": n_blocks,
+                             "short_circuit": True}
+
+            # -- seed: doubling prefix of ALL blocks by weighted ub ----
+            B = min(max(4, -(-k // BLOCK_SIZE) * 2), SEED_BLOCK_CAP)
+            while True:
+                covers_all = B >= n_blocks
+                ranges = [
+                    (r["first_doc"], r["last_doc"])
+                    for r in meta.select("wub", "first_doc", "last_doc")
+                    .orderBy(F.desc("wub"), F.asc("first_doc"))
+                    .limit(B).collect()
+                ]
+                ranges_df = self.spark.createDataFrame(
+                    ranges, "rf long, rl long")
+                seed_blocks = meta.join(
+                    F.broadcast(ranges_df),
+                    (F.col("first_doc") <= F.col("rl"))
+                    & (F.col("last_doc") >= F.col("rf")),
+                    "left_semi",
+                )
+                n_seed = seed_blocks.count()
+                rt = round_to if covers_all else None
+                seed_rows = _eng(seed_blocks).topk_or(
+                    q, k, round_to=rt).collect()
+                if covers_all:
+                    out = (self.spark.createDataFrame(seed_rows,
+                                                      TOPK_SCHEMA)
+                           if seed_rows else
+                           self.spark.createDataFrame([], TOPK_SCHEMA))
+                    return out, {"blocks_total": n_blocks,
+                                 "blocks_decoded": n_seed,
+                                 "blocks_seed": n_seed,
+                                 "blocks_final": 0}
+                if len(seed_rows) >= k:
+                    break
+                B *= 4
+                if min(B, n_blocks) > SEED_BLOCK_CAP:
+                    out = materialize_topk(
+                        self.spark, _eng(meta).topk_or(q, k, round_to))
+                    return out, {"blocks_total": n_blocks,
+                                 "blocks_decoded": n_blocks,
+                                 "seed_capped": True}
+            theta = min(r["score"] for r in seed_rows)
+            eps = (10 ** (-round_to) if round_to is not None
+                   else 1e-9 * abs(theta))
+
+            if n_blocks - n_seed < min_prune_blocks:
+                out = _eng(meta).topk_or(q, k, round_to=round_to)
+                return out, {"blocks_total": n_blocks,
+                             "blocks_decoded": n_blocks,
+                             "blocks_seed": n_seed,
+                             "blocks_final": n_blocks - n_seed,
+                             "bounds_skipped": True}
+
+            # -- per-block bound via ONE metadata self-range-join ------
+            ra = meta.select(
+                F.col("term").alias("rt"),
+                F.col("first_doc").alias("rf"),
+                F.col("last_doc").alias("rl"),
+                F.col("wub").alias("rwub"),
+            )
+            others = meta.select("term", "first_doc", "last_doc", "wub")
+            per_term_max = (
+                others.join(
+                    F.broadcast(ra),
+                    (F.col("first_doc") <= F.col("rl"))
+                    & (F.col("last_doc") >= F.col("rf"))
+                    & (F.col("term") != F.col("rt")),
+                )
+                .groupBy("rt", "rf", "rl", "rwub", "term")
+                .agg(F.max("wub").alias("mx"))
+            )
+            osum = per_term_max.groupBy("rt", "rf", "rl", "rwub").agg(
+                F.sum("mx").alias("osum"))
+            surviving = (
+                ra.join(osum, ["rt", "rf", "rl", "rwub"], "left")
+                .withColumn("bound",
+                            F.col("rwub") + F.coalesce(F.col("osum"),
+                                                       F.lit(0.0)))
+                .filter(F.col("bound") >= F.lit(theta - eps))
+                .select(F.col("rt").alias("term"),
+                        F.col("rf").alias("first_doc"))
+            )
+            # decode set = the surviving BLOCKS themselves (unlike the
+            # conjunctive ladder there is no driver-range expansion —
+            # every qualifying doc's blocks each survive on their own)
+            survivors = meta.join(F.broadcast(surviving),
+                                  ["term", "first_doc"], "left_semi")
+            new_blocks = survivors.join(
+                seed_blocks.select("term", "first_doc"),
+                ["term", "first_doc"], "left_anti",
+            )
+            n_new = new_blocks.count()
+            out = _eng(seed_blocks.unionByName(new_blocks)).topk_or(
+                q, k, round_to=round_to)
+            return out, {"blocks_total": n_blocks,
+                         "blocks_decoded": n_seed + n_new,
+                         "blocks_seed": n_seed, "blocks_final": n_new}
+        finally:
+            meta.unpersist()
+
     def topk_filtered(self, q: str, predicate: str, k: int = 10,
                       round_to: int | None = None) -> DataFrame:
         """Fast-field filtered top-k: matches are restricted by a SQL

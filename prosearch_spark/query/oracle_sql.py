@@ -104,9 +104,12 @@ def _qualify(expr: str) -> str:
     return _QUALIFY_RE.sub(lambda m: _QUALIFY[m.group(1)], expr)
 
 
-def _scored_docs_cte_qualified(q: str) -> tuple[str, int]:
+def _scored_docs_cte_qualified(q: str,
+                               conjunctive: bool = True) -> tuple[str, int]:
     qcte, n_clauses = _query_clause_cte(q)
     score = _qualify(SCORE_EXPR)
+    having = (f"    HAVING count(*) = {n_clauses}\n"
+              if conjunctive else "")
     cte = (
         f"{INDEX_CTES}, {qcte},\n"
         "scored AS (\n"
@@ -119,14 +122,13 @@ def _scored_docs_cte_qualified(q: str) -> tuple[str, int]:
         "docs_scored AS (\n"
         "    SELECT doc_id, sum(s) AS score, count(*) AS nmatch\n"
         "    FROM scored GROUP BY doc_id\n"
-        f"    HAVING count(*) = {n_clauses}\n"
+        f"{having}"
         ")"
     )
     return cte, n_clauses
 
 
-def topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
-    cte, _ = _scored_docs_cte_qualified(q)
+def _rank_tail(cte: str, k: int, round_to: int) -> str:
     return (
         f"WITH {cte},\n"
         "rounded AS (\n"
@@ -139,6 +141,18 @@ def topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
         ")\n"
         f"SELECT rank, doc_id, score FROM ranked WHERE rank <= {k} ORDER BY rank"
     )
+
+
+def topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
+    cte, _ = _scored_docs_cte_qualified(q)
+    return _rank_tail(cte, k, round_to)
+
+
+def topk_or_sql(q: str, k: int = 10, round_to: int = 6) -> str:
+    """Disjunctive (match-ANY) top-k: the conjunction CTE minus the
+    clause-count HAVING — twin of SearchEngine.topk_or."""
+    cte, _ = _scored_docs_cte_qualified(q, conjunctive=False)
+    return _rank_tail(cte, k, round_to)
 
 
 def count_sql(q: str) -> str:

@@ -310,3 +310,68 @@ def test_wand_filtered_excludes_heavy_docs(spark, tmp_path):
     assert all(r["doc_id"] % 2 == 1 for r in got_rows)
     assert [(r["doc_id"], r["score"]) for r in got_rows] == \
         [(r["doc_id"], r["score"]) for r in exp.collect()]
+
+
+# -- disjunctive (match-ANY) Block-Max WAND -----------------------------------
+
+@pytest.mark.parametrize("q,k", [("spark python", 10), ("the return", 5),
+                                 ("spark", 10), ("spark spark python", 7)])
+def test_wand_or_exact_vs_flat(spark, big_artifact, q, k):
+    """Disjunctive WAND == flat disjunctive engine, scores included
+    (docs matching a strict subset of clauses must appear, scored by
+    their matched clauses only)."""
+    docs, art = big_artifact
+    flat = SearchEngine(spark, build_index(docs, text_col="content"))
+    blk = BlockSearchEngine(spark, art)
+    exp = [(r["doc_id"], r["score"])
+           for r in flat.topk_or(q, k, round_to=6).collect()]
+    got_df, stats = blk.topk_wand_or(q, k, round_to=6, min_prune_blocks=0)
+    got = [(r["doc_id"], r["score"]) for r in got_df.collect()]
+    assert got == exp, q
+    assert stats["blocks_total"] >= stats["blocks_decoded"]
+
+
+def test_wand_or_includes_partial_matchers(spark, big_artifact):
+    """OR semantics proper: the disjunction of a hot and a nonexistent
+    term equals the single-term result (conjunction would be empty)."""
+    docs, art = big_artifact
+    blk = BlockSearchEngine(spark, art)
+    only, _ = blk.topk_wand_or("spark zzznosuchterm", 10, round_to=6,
+                               min_prune_blocks=0)
+    single, _ = blk.topk_wand("spark", 10, round_to=6, min_prune_blocks=0)
+    assert [(r["doc_id"], r["score"]) for r in only.collect()] == \
+        [(r["doc_id"], r["score"]) for r in single.collect()]
+    assert blk.topk("spark zzznosuchterm", 10, round_to=6).count() == 0
+
+
+def test_wand_or_prunes_on_zipf_vocabulary(spark, tmp_path):
+    """The canonical block-max WAND case (Ding & Suel 2011): topical
+    disjunction over a long-tail vocabulary prunes background blocks
+    while staying exact vs the flat disjunctive engine."""
+    from prosearch_spark.corpus import zipf_corpus
+
+    docs = zipf_corpus(spark, n_docs=6000, n_topics=8, region=512)
+    art = save_index(spark, docs, str(tmp_path / "zipfor"),
+                     text_col="content")
+    blk = BlockSearchEngine(spark, art)
+    got, stats = blk.topk_wand_or("z3_1 z3_2", 10, round_to=6,
+                                  min_prune_blocks=0)
+    flat = SearchEngine(spark, build_index(docs, text_col="content"))
+    exp = flat.topk_or("z3_1 z3_2", 10, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
+        [(r["doc_id"], r["score"]) for r in exp]
+    pruned = 1 - stats["blocks_decoded"] / stats["blocks_total"]
+    assert pruned >= 0.3, stats
+
+
+def test_wand_or_short_circuit_and_empty(spark, big_artifact):
+    docs, art = big_artifact
+    blk = BlockSearchEngine(spark, art)
+    out, stats = blk.topk_wand_or("spark python", 5, round_to=6)
+    assert stats.get("short_circuit") is True  # small corpus, cutoff
+    exp = SearchEngine(spark, build_index(docs, text_col="content")) \
+        .topk_or("spark python", 5, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in out.collect()] == \
+        [(r["doc_id"], r["score"]) for r in exp]
+    empty, st0 = blk.topk_wand_or("zzznope", 5, round_to=6)
+    assert empty.count() == 0 and st0["blocks_total"] == 0
