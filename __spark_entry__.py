@@ -551,6 +551,23 @@ def q_bm25_topk_wand_or(spark, sf_dir):
     return df
 
 
+def q_bm25_topk_min2of3(spark, sf_dir):
+    """minimum_should_match 2-of-3 through the disjunctive WAND ladder
+    (bounds dominate any clause subset; only the count filter and seed
+    scoring change) — oracle = HAVING count(*) >= 2."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_m2_"), text_col="text"))
+    df, _stats = BlockSearchEngine(spark, art).topk_wand_or(
+        Q_AND3, 10, round_to=ROUND, min_prune_blocks=0, min_match=2)
+    return df
+
+
 def q_segmented_wand(spark, sf_dir):
     """Block-Max WAND over the segment STACK (SegmentedArtifactView:
     the union duck-types IndexArtifact, so the pruning ladder runs
@@ -993,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmented_wand": q_segmented_wand,
         "bm25_topk_or": q_bm25_topk_or,
         "bm25_topk_wand_or": q_bm25_topk_wand_or,
+        "bm25_topk_min2of3": q_bm25_topk_min2of3,
         "serve_routed_term": q_serve_routed_term,
         "serve_routed_phrase": q_serve_routed_phrase,
         "serve_routed_fielded": q_serve_routed_fielded,
@@ -1177,6 +1195,8 @@ def oracle_sql() -> dict[str, str]:
         "segmented_wand": osql.topk_sql(Q_AND2, 10, ROUND),
         "bm25_topk_or": osql.topk_or_sql(Q_AND2, 10, ROUND),
         "bm25_topk_wand_or": osql.topk_or_sql(Q_AND2, 10, ROUND),
+        "bm25_topk_min2of3": osql.topk_or_sql(Q_AND3, 10, ROUND,
+                                              min_match=2),
         "serve_routed_term": osql.topk_sql(Q_AND2, 10, ROUND),
         "serve_routed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
                                                    ROUND),

@@ -386,7 +386,8 @@ class BlockSearchEngine:
 
     def topk_wand_or(self, q: str, k: int = 10,
                      round_to: int | None = None,
-                     min_prune_blocks: int | None = None
+                     min_prune_blocks: int | None = None,
+                     min_match: int = 1
                      ) -> tuple[DataFrame, dict]:
         """DISJUNCTIVE Block-Max WAND top-k — match ANY clause, score =
         sum of matched contributions. This is the query shape the
@@ -414,6 +415,13 @@ class BlockSearchEngine:
         cost cutoffs mirror topk_wand; the metadata join is
         blocks x blocks but only over the QUERY terms' blocks
         (sum_t df_t / BLOCK_SIZE rows), never the corpus.
+
+        ``min_match`` adds minimum_should_match semantics (m-of-n):
+        the per-block bounds dominate any clause subset's score, so
+        the pruning argument is unchanged; only the final clause-count
+        filter and the seed scoring apply the threshold. A partial doc
+        can understate nmatch, but only below-theta docs decode
+        partially, so nothing that belongs in the top-k is lost.
         """
         from prosearch_spark.index.blocks import (
             BLOCK_SIZE,
@@ -453,6 +461,10 @@ class BlockSearchEngine:
         def _eng(blks):
             return self._engine_on_blocks(blks, terms)
 
+        def _topk_or(blks, rt):
+            return _eng(blks).topk_or(q, k, round_to=rt,
+                                      min_match=min_match)
+
         try:
             n_blocks = meta.count()
             if n_blocks == 0:
@@ -460,7 +472,7 @@ class BlockSearchEngine:
                         {"blocks_total": 0, "blocks_decoded": 0})
             if n_blocks < min_prune_blocks:
                 out = materialize_topk(
-                    self.spark, _eng(meta).topk_or(q, k, round_to))
+                    self.spark, _topk_or(meta, round_to))
                 return out, {"blocks_total": n_blocks,
                              "blocks_decoded": n_blocks,
                              "blocks_seed": 0, "blocks_final": n_blocks,
@@ -486,8 +498,7 @@ class BlockSearchEngine:
                 )
                 n_seed = seed_blocks.count()
                 rt = round_to if covers_all else None
-                seed_rows = _eng(seed_blocks).topk_or(
-                    q, k, round_to=rt).collect()
+                seed_rows = _topk_or(seed_blocks, rt).collect()
                 if covers_all:
                     out = (self.spark.createDataFrame(seed_rows,
                                                       TOPK_SCHEMA)
@@ -502,7 +513,7 @@ class BlockSearchEngine:
                 B *= 4
                 if min(B, n_blocks) > SEED_BLOCK_CAP:
                     out = materialize_topk(
-                        self.spark, _eng(meta).topk_or(q, k, round_to))
+                        self.spark, _topk_or(meta, round_to))
                     return out, {"blocks_total": n_blocks,
                                  "blocks_decoded": n_blocks,
                                  "seed_capped": True}
@@ -511,7 +522,7 @@ class BlockSearchEngine:
                    else 1e-9 * abs(theta))
 
             if n_blocks - n_seed < min_prune_blocks:
-                out = _eng(meta).topk_or(q, k, round_to=round_to)
+                out = _topk_or(meta, round_to)
                 return out, {"blocks_total": n_blocks,
                              "blocks_decoded": n_blocks,
                              "blocks_seed": n_seed,
@@ -557,8 +568,8 @@ class BlockSearchEngine:
                 ["term", "first_doc"], "left_anti",
             )
             n_new = new_blocks.count()
-            out = _eng(seed_blocks.unionByName(new_blocks)).topk_or(
-                q, k, round_to=round_to)
+            out = _topk_or(seed_blocks.unionByName(new_blocks),
+                           round_to)
             return out, {"blocks_total": n_blocks,
                          "blocks_decoded": n_seed + n_new,
                          "blocks_seed": n_seed, "blocks_final": n_new}

@@ -88,24 +88,30 @@ class SearchEngine:
             .drop("nmatch")
         )
 
-    def _docs_scored_or(self, q: str) -> DataFrame:
-        """(doc_id, score) for docs matching ANY clause — BooleanQuery
-        should-clause semantics (disjunction): the score sums the
-        matched clauses' contributions, unmatched clauses contribute 0.
-        Same scored-rows fragment as the conjunction, minus the
-        clause-count filter."""
+    def _docs_scored_or(self, q: str, min_match: int = 1) -> DataFrame:
+        """(doc_id, score) for docs matching >= ``min_match`` clauses —
+        BooleanQuery should-clauses with minimum_should_match: the
+        score sums the matched clauses' contributions, unmatched
+        clauses contribute 0. min_match=1 is plain disjunction;
+        min_match=n_clauses equals the conjunction. Same scored-rows
+        fragment as the conjunction with the count filter relaxed."""
         scored, _n = self._matches(q)
-        return scored.groupBy("doc_id").agg(F.sum("s").alias("score"))
+        d = scored.groupBy("doc_id").agg(
+            F.sum("s").alias("score"), F.count("*").alias("nmatch"))
+        if min_match > 1:
+            d = d.filter(F.col("nmatch") >= min_match)
+        return d.drop("nmatch")
 
     # -- public query operators --------------------------------------------
 
     def topk_or(self, q: str, k: int = 10,
-                round_to: int | None = None) -> DataFrame:
-        """Disjunctive top-k (match ANY clause) — the query shape
-        Block-Max WAND was designed for (Ding & Suel 2011); the
-        conjunction engines cover the reference's default AND
-        semantics, this covers should-clause scoring."""
-        return rank_topk(self._docs_scored_or(q), k, round_to)
+                round_to: int | None = None,
+                min_match: int = 1) -> DataFrame:
+        """Disjunctive top-k (match >= min_match clauses, default ANY)
+        — the query shape Block-Max WAND was designed for (Ding & Suel
+        2011); the conjunction engines cover the reference's default
+        AND semantics, this covers should-clause scoring."""
+        return rank_topk(self._docs_scored_or(q, min_match), k, round_to)
 
     def topk(self, q: str, k: int = 10, round_to: int | None = None) -> DataFrame:
         """Q6: top-k by (score DESC, doc_id ASC).

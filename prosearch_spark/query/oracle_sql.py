@@ -104,12 +104,16 @@ def _qualify(expr: str) -> str:
     return _QUALIFY_RE.sub(lambda m: _QUALIFY[m.group(1)], expr)
 
 
-def _scored_docs_cte_qualified(q: str,
-                               conjunctive: bool = True) -> tuple[str, int]:
+def _scored_docs_cte_qualified(q: str, conjunctive: bool = True,
+                               min_match: int = 1) -> tuple[str, int]:
     qcte, n_clauses = _query_clause_cte(q)
     score = _qualify(SCORE_EXPR)
-    having = (f"    HAVING count(*) = {n_clauses}\n"
-              if conjunctive else "")
+    if conjunctive:
+        having = f"    HAVING count(*) = {n_clauses}\n"
+    elif min_match > 1:
+        having = f"    HAVING count(*) >= {min_match}\n"
+    else:
+        having = ""
     cte = (
         f"{INDEX_CTES}, {qcte},\n"
         "scored AS (\n"
@@ -148,10 +152,13 @@ def topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
     return _rank_tail(cte, k, round_to)
 
 
-def topk_or_sql(q: str, k: int = 10, round_to: int = 6) -> str:
-    """Disjunctive (match-ANY) top-k: the conjunction CTE minus the
-    clause-count HAVING — twin of SearchEngine.topk_or."""
-    cte, _ = _scored_docs_cte_qualified(q, conjunctive=False)
+def topk_or_sql(q: str, k: int = 10, round_to: int = 6,
+                min_match: int = 1) -> str:
+    """Disjunctive (match >= min_match, default ANY) top-k: the
+    conjunction CTE with the clause-count HAVING relaxed — twin of
+    SearchEngine.topk_or."""
+    cte, _ = _scored_docs_cte_qualified(q, conjunctive=False,
+                                        min_match=min_match)
     return _rank_tail(cte, k, round_to)
 
 

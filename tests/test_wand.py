@@ -375,3 +375,24 @@ def test_wand_or_short_circuit_and_empty(spark, big_artifact):
         [(r["doc_id"], r["score"]) for r in exp]
     empty, st0 = blk.topk_wand_or("zzznope", 5, round_to=6)
     assert empty.count() == 0 and st0["blocks_total"] == 0
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_wand_or_min_should_match(spark, big_artifact, m):
+    """minimum_should_match m-of-n: same OR ladder (bounds dominate
+    any clause subset), final filter relaxed — matches the flat twin
+    at every m; m == n equals the conjunction."""
+    docs, art = big_artifact
+    flat = SearchEngine(spark, build_index(docs, text_col="content"))
+    blk = BlockSearchEngine(spark, art)
+    q = "spark python return"
+    exp = [(r["doc_id"], r["score"])
+           for r in flat.topk_or(q, 8, round_to=6, min_match=m).collect()]
+    got_df, _ = blk.topk_wand_or(q, 8, round_to=6, min_prune_blocks=0,
+                                 min_match=m)
+    got = [(r["doc_id"], r["score"]) for r in got_df.collect()]
+    assert got == exp, m
+    if m == 3:
+        conj = [(r["doc_id"], r["score"])
+                for r in flat.topk(q, 8, round_to=6).collect()]
+        assert got == conj
