@@ -551,6 +551,39 @@ def q_bm25_topk_wand_or(spark, sf_dir):
     return df
 
 
+def q_prefix_topk(spark, sf_dir):
+    """PrefixQuery: dictionary expansion (term LIKE 's%') capped
+    Lucene-style (df DESC, term ASC, 50) -> disjunctive scoring at
+    boost 1.0; the oracle computes the SAME expansion from its derived
+    term_stats view (query/expand.py)."""
+    from prosearch_spark.query.expand import prefix_clauses
+
+    eng, _ = _engine(spark, sf_dir)
+    cl = prefix_clauses(eng.index.term_stats, "s")
+    return eng.topk_or("", 10, round_to=ROUND, clauses=cl)
+
+
+def q_fuzzy_topk(spark, sf_dir):
+    """FuzzyTermQuery: levenshtein(term, 'part') <= 2 expansion with
+    the length-band pre-prune (result-neutral) -> disjunction."""
+    from prosearch_spark.query.expand import fuzzy_clauses
+
+    eng, _ = _engine(spark, sf_dir)
+    cl = fuzzy_clauses(eng.index.term_stats, "part", max_dist=2)
+    return eng.topk_or("", 10, round_to=ROUND, clauses=cl)
+
+
+def q_regex_topk(spark, sf_dir):
+    """RegexQuery: full-term RE2 match ('jo.n|ha.h') -> disjunction;
+    Spark anchors ^(?:...)$, DuckDB regexp_full_match — same RE2
+    semantics on both engines."""
+    from prosearch_spark.query.expand import regex_clauses
+
+    eng, _ = _engine(spark, sf_dir)
+    cl = regex_clauses(eng.index.term_stats, "jo.n|ha.h")
+    return eng.topk_or("", 10, round_to=ROUND, clauses=cl)
+
+
 def q_bm25_topk_min2of3(spark, sf_dir):
     """minimum_should_match 2-of-3 through the disjunctive WAND ladder
     (bounds dominate any clause subset; only the count filter and seed
@@ -1011,6 +1044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or": q_bm25_topk_or,
         "bm25_topk_wand_or": q_bm25_topk_wand_or,
         "bm25_topk_min2of3": q_bm25_topk_min2of3,
+        "prefix_topk": q_prefix_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "regex_topk": q_regex_topk,
         "serve_routed_term": q_serve_routed_term,
         "serve_routed_phrase": q_serve_routed_phrase,
         "serve_routed_fielded": q_serve_routed_fielded,
@@ -1197,6 +1233,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand_or": osql.topk_or_sql(Q_AND2, 10, ROUND),
         "bm25_topk_min2of3": osql.topk_or_sql(Q_AND3, 10, ROUND,
                                               min_match=2),
+        "prefix_topk": osql.expanded_topk_sql("term LIKE 's%'", 10, ROUND),
+        "fuzzy_topk": osql.expanded_topk_sql(
+            "levenshtein(term, 'part') <= 2", 10, ROUND),
+        "regex_topk": osql.expanded_topk_sql(
+            "regexp_full_match(term, 'jo.n|ha.h')", 10, ROUND),
         "serve_routed_term": osql.topk_sql(Q_AND2, 10, ROUND),
         "serve_routed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
                                                    ROUND),

@@ -387,7 +387,8 @@ class BlockSearchEngine:
     def topk_wand_or(self, q: str, k: int = 10,
                      round_to: int | None = None,
                      min_prune_blocks: int | None = None,
-                     min_match: int = 1
+                     min_match: int = 1,
+                     clauses: list[tuple[str, float]] | None = None
                      ) -> tuple[DataFrame, dict]:
         """DISJUNCTIVE Block-Max WAND top-k — match ANY clause, score =
         sum of matched contributions. This is the query shape the
@@ -432,7 +433,8 @@ class BlockSearchEngine:
             materialize_topk,
         )
 
-        clauses = analyze_query(q)
+        if clauses is None:
+            clauses = analyze_query(q)
         terms = sorted({t for t, _ in clauses})
         weights = {t: 0.0 for t in terms}
         for t, b in clauses:
@@ -463,7 +465,8 @@ class BlockSearchEngine:
 
         def _topk_or(blks, rt):
             return _eng(blks).topk_or(q, k, round_to=rt,
-                                      min_match=min_match)
+                                      min_match=min_match,
+                                      clauses=clauses)
 
         try:
             n_blocks = meta.count()

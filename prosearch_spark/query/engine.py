@@ -63,9 +63,15 @@ class SearchEngine:
 
     # -- plan fragments ----------------------------------------------------
 
-    def _matches(self, q: str) -> tuple[DataFrame, int]:
-        """Per-(clause, doc) scored rows + the clause count for AND."""
-        clauses = analyze_query(q)
+    def _matches(self, q: str,
+                 clauses: list[tuple[str, float]] | None = None
+                 ) -> tuple[DataFrame, int]:
+        """Per-(clause, doc) scored rows + the clause count for AND.
+        ``clauses`` overrides the analyzer parse — used by term
+        expansion (prefix/fuzzy/regex), where boosts are uniform and
+        the analyzer's boost table must NOT apply."""
+        if clauses is None:
+            clauses = analyze_query(q)
         qdf = self.spark.createDataFrame(clauses, "term string, boost double")
         terms = sorted({t for t, _ in clauses})
         ts = self.index.term_stats.filter(F.col("term").isin(terms))
@@ -88,14 +94,16 @@ class SearchEngine:
             .drop("nmatch")
         )
 
-    def _docs_scored_or(self, q: str, min_match: int = 1) -> DataFrame:
+    def _docs_scored_or(self, q: str, min_match: int = 1,
+                        clauses: list[tuple[str, float]] | None = None
+                        ) -> DataFrame:
         """(doc_id, score) for docs matching >= ``min_match`` clauses —
         BooleanQuery should-clauses with minimum_should_match: the
         score sums the matched clauses' contributions, unmatched
         clauses contribute 0. min_match=1 is plain disjunction;
         min_match=n_clauses equals the conjunction. Same scored-rows
         fragment as the conjunction with the count filter relaxed."""
-        scored, _n = self._matches(q)
+        scored, _n = self._matches(q, clauses)
         d = scored.groupBy("doc_id").agg(
             F.sum("s").alias("score"), F.count("*").alias("nmatch"))
         if min_match > 1:
@@ -106,12 +114,15 @@ class SearchEngine:
 
     def topk_or(self, q: str, k: int = 10,
                 round_to: int | None = None,
-                min_match: int = 1) -> DataFrame:
+                min_match: int = 1,
+                clauses: list[tuple[str, float]] | None = None
+                ) -> DataFrame:
         """Disjunctive top-k (match >= min_match clauses, default ANY)
         — the query shape Block-Max WAND was designed for (Ding & Suel
         2011); the conjunction engines cover the reference's default
         AND semantics, this covers should-clause scoring."""
-        return rank_topk(self._docs_scored_or(q, min_match), k, round_to)
+        return rank_topk(self._docs_scored_or(q, min_match, clauses),
+                         k, round_to)
 
     def topk(self, q: str, k: int = 10, round_to: int | None = None) -> DataFrame:
         """Q6: top-k by (score DESC, doc_id ASC).

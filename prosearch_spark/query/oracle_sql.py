@@ -152,6 +152,36 @@ def topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
     return _rank_tail(cte, k, round_to)
 
 
+def expanded_topk_sql(where_sql: str, k: int = 10, round_to: int = 6,
+                      max_expansions: int = 50) -> str:
+    """Prefix/fuzzy/regex oracle: qterms comes from the DERIVED
+    term_stats view filtered by ``where_sql`` and capped with the
+    Lucene rule (df DESC, term ASC LIMIT max_expansions) — the same
+    expansion query/expand.py runs on the Spark side; uniform boost
+    1.0; disjunctive scoring (no HAVING)."""
+    score = _qualify(SCORE_EXPR)
+    cte = (
+        f"{INDEX_CTES},\n"
+        "qterms AS (\n"
+        f"    SELECT term, 1.0::DOUBLE AS boost FROM term_stats\n"
+        f"    WHERE {where_sql}\n"
+        f"    ORDER BY df DESC, term ASC LIMIT {max_expansions}\n"
+        "),\n"
+        "scored AS (\n"
+        f"    SELECT p.doc_id AS doc_id, {score} AS s\n"
+        "    FROM qterms q\n"
+        "    JOIN postings p ON p.term = q.term\n"
+        "    JOIN term_stats t ON t.term = q.term\n"
+        "    CROSS JOIN stats\n"
+        "),\n"
+        "docs_scored AS (\n"
+        "    SELECT doc_id, sum(s) AS score\n"
+        "    FROM scored GROUP BY doc_id\n"
+        ")"
+    )
+    return _rank_tail(cte, k, round_to)
+
+
 def topk_or_sql(q: str, k: int = 10, round_to: int = 6,
                 min_match: int = 1) -> str:
     """Disjunctive (match >= min_match, default ANY) top-k: the
