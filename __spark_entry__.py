@@ -551,6 +551,22 @@ def q_bm25_topk_wand_or(spark, sf_dir):
     return df
 
 
+def q_bm25_topk_not(spark, sf_dir):
+    """BooleanQuery must_not (Occur::MustNot): conjunctive matches of
+    'join hash' minus every doc containing 'dup', over the committed
+    block artifact — exclusion removes docs, never scores."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_not_"), text_col="text"))
+    return BlockSearchEngine(spark, art).topk_not(
+        Q_AND2, Q_RARE, 10, round_to=ROUND)
+
+
 def q_prefix_topk(spark, sf_dir):
     """PrefixQuery: dictionary expansion (term LIKE 's%') capped
     Lucene-style (df DESC, term ASC, 50) -> disjunctive scoring at
@@ -1044,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or": q_bm25_topk_or,
         "bm25_topk_wand_or": q_bm25_topk_wand_or,
         "bm25_topk_min2of3": q_bm25_topk_min2of3,
+        "bm25_topk_not": q_bm25_topk_not,
         "prefix_topk": q_prefix_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "regex_topk": q_regex_topk,
@@ -1233,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand_or": osql.topk_or_sql(Q_AND2, 10, ROUND),
         "bm25_topk_min2of3": osql.topk_or_sql(Q_AND3, 10, ROUND,
                                               min_match=2),
+        "bm25_topk_not": osql.topk_not_sql(Q_AND2, Q_RARE, 10, ROUND),
         "prefix_topk": osql.expanded_topk_sql("term LIKE 's%'", 10, ROUND),
         "fuzzy_topk": osql.expanded_topk_sql(
             "levenshtein(term, 'part') <= 2", 10, ROUND),

@@ -579,6 +579,22 @@ class BlockSearchEngine:
         finally:
             meta.unpersist()
 
+    def topk_not(self, q: str, exclude: str, k: int = 10,
+                 round_to: int | None = None) -> DataFrame:
+        """BooleanQuery must_not over the committed artifact: the
+        bucket/term/range-pruned conjunctive decode anti-joined with
+        the excluded terms' postings (their lookup is bucket-pruned
+        like any query term's; exclusion never scores — Occur::MustNot
+        semantics)."""
+        from prosearch_spark.query.engine import rank_topk
+
+        ex_terms = sorted({t for t, _ in analyze_query(exclude)})
+        d = self._engine(q)._docs_scored(q)
+        if ex_terms:
+            ex_docs = self.artifact.postings(ex_terms).select("doc_id")
+            d = d.join(ex_docs, "doc_id", "left_anti")
+        return rank_topk(d, k, round_to)
+
     def topk_filtered(self, q: str, predicate: str, k: int = 10,
                       round_to: int | None = None) -> DataFrame:
         """Fast-field filtered top-k: matches are restricted by a SQL

@@ -133,6 +133,22 @@ class SearchEngine:
         """
         return rank_topk(self._docs_scored(q), k, round_to)
 
+    def topk_not(self, q: str, exclude: str, k: int = 10,
+                 round_to: int | None = None) -> DataFrame:
+        """BooleanQuery must_not: conjunctive matches of ``q`` minus
+        every doc containing ANY analyzed term of ``exclude``
+        (Tantivy's Occur::MustNot — exclusion never contributes to the
+        score, it only removes docs). One anti-join against the
+        excluded terms' postings; the exclusion side is term-pruned
+        like any other lookup."""
+        ex_terms = sorted({t for t, _ in analyze_query(exclude)})
+        d = self._docs_scored(q)
+        if ex_terms:
+            ex_docs = self.index.postings.filter(
+                F.col("term").isin(ex_terms)).select("doc_id")
+            d = d.join(ex_docs, "doc_id", "left_anti")
+        return rank_topk(d, k, round_to)
+
     def count(self, q: str) -> DataFrame:
         """Q7: total hit count alongside/instead of top-k."""
         return self._docs_scored(q).agg(F.count("*").alias("hits"))

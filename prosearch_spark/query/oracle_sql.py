@@ -132,11 +132,12 @@ def _scored_docs_cte_qualified(q: str, conjunctive: bool = True,
     return cte, n_clauses
 
 
-def _rank_tail(cte: str, k: int, round_to: int) -> str:
+def _rank_tail(cte: str, k: int, round_to: int,
+               from_name: str = "docs_scored") -> str:
     return (
         f"WITH {cte},\n"
         "rounded AS (\n"
-        f"    SELECT doc_id, round(score, {round_to}) AS score FROM docs_scored\n"
+        f"    SELECT doc_id, round(score, {round_to}) AS score FROM {from_name}\n"
         "),\n"
         "ranked AS (\n"
         "    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,\n"
@@ -180,6 +181,26 @@ def expanded_topk_sql(where_sql: str, k: int = 10, round_to: int = 6,
         ")"
     )
     return _rank_tail(cte, k, round_to)
+
+
+def topk_not_sql(q: str, exclude: str, k: int = 10,
+                 round_to: int = 6) -> str:
+    """must_not oracle: the conjunctive CTE anti-joined with docs
+    containing any analyzed term of ``exclude`` — twin of
+    SearchEngine.topk_not / BlockSearchEngine.topk_not."""
+    cte, _ = _scored_docs_cte_qualified(q)
+    ex = sorted({t for t, _ in analyze_query(exclude)})
+    inlist = ", ".join(_sql_str(t) for t in ex)
+    cte += (
+        ",\n"
+        "docs_kept AS (\n"
+        "    SELECT d.doc_id, d.score FROM docs_scored d\n"
+        "    WHERE NOT EXISTS (SELECT 1 FROM postings p\n"
+        f"                      WHERE p.term IN ({inlist})\n"
+        "                        AND p.doc_id = d.doc_id)\n"
+        ")"
+    )
+    return _rank_tail(cte, k, round_to, from_name="docs_kept")
 
 
 def topk_or_sql(q: str, k: int = 10, round_to: int = 6,

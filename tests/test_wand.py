@@ -396,3 +396,26 @@ def test_wand_or_min_should_match(spark, big_artifact, m):
         conj = [(r["doc_id"], r["score"])
                 for r in flat.topk(q, 8, round_to=6).collect()]
         assert got == conj
+
+
+def test_topk_not_excludes_and_matches_flat(spark, big_artifact):
+    """must_not: block path == flat path; excluded docs vanish, and
+    with no excluded term present the result equals plain topk."""
+    docs, art = big_artifact
+    flat = SearchEngine(spark, build_index(docs, text_col="content"))
+    blk = BlockSearchEngine(spark, art)
+    a = [(r["doc_id"], r["score"])
+         for r in blk.topk_not("spark", "python", 10, round_to=6).collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in flat.topk_not("spark", "python", 10, round_to=6).collect()]
+    assert a == b and len(a) > 0
+    # every excluded doc is really gone
+    py_docs = {r["doc_id"] for r in flat.match_scan("python").collect()}
+    assert not ({d for d, _ in a} & py_docs)
+    # no-op exclusion == plain topk
+    plain = [(r["doc_id"], r["score"])
+             for r in flat.topk("spark", 10, round_to=6).collect()]
+    noex = [(r["doc_id"], r["score"])
+            for r in flat.topk_not("spark", "zzznope", 10,
+                                   round_to=6).collect()]
+    assert noex == plain
