@@ -48,6 +48,17 @@ SEED_BLOCK_CAP = 1 << 16
 # full ladder regardless of corpus size.
 WAND_MIN_PRUNE_BLOCKS = 256
 
+# The DISJUNCTIVE ladder has no rarest-term pre-prune, so its fixed
+# cost is higher (per-block bound self-range-join + the same ~6 jobs):
+# measured at 800k docs / 2.5k blocks, the ladder ran 14.0 s against
+# 3.4 s for one unpruned decode even while pruning 64% of blocks
+# (tools/or_bench.py, BENCH.md §2ad) — block decode is too cheap at
+# sandbox scale to amortize the scheduling. The cutoff is set where
+# the ladder's fixed cost (~11 s) matches decode savings at gate
+# hardware; the pruning RATIO is the scale signal that the ladder
+# pays at true posting volumes.
+WAND_OR_MIN_PRUNE_BLOCKS = 8192
+
 
 class BlockSearchEngine:
     def __init__(self, spark: SparkSession, artifact: IndexArtifact):
@@ -442,6 +453,8 @@ class BlockSearchEngine:
         if not terms:
             return (self.spark.createDataFrame([], TOPK_SCHEMA),
                     {"blocks_total": 0, "blocks_decoded": 0})
+        if min_prune_blocks is None:
+            min_prune_blocks = WAND_OR_MIN_PRUNE_BLOCKS
 
         w_expr = None
         for t in terms:
@@ -457,8 +470,6 @@ class BlockSearchEngine:
             .withColumn("ub", F.expr(block_upper_bound_expr()))
             .withColumn("wub", w_expr * F.col("ub"))
         ).persist()
-        if min_prune_blocks is None:
-            min_prune_blocks = WAND_MIN_PRUNE_BLOCKS
 
         def _eng(blks):
             return self._engine_on_blocks(blks, terms)
