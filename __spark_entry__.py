@@ -727,6 +727,24 @@ def q_phrase_topk(spark, sf_dir):
     return _phrase(spark, sf_dir, "join hash")
 
 
+def q_phrase_prefix_topk(spark, sf_dir):
+    """Phrase + last-slot prefix (Lucene MultiPhraseQuery / Tantivy
+    PhrasePrefixQuery, the autocomplete shape): 'join s*' — the final
+    slot matches the per-doc UNION of the df-capped prefix expansion's
+    positions; scored as a synthetic phrase term."""
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.index.positions import (
+        phrase_prefix_topk,
+        positional_postings,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pp = positional_postings(docs, text_col="text")
+    stats = build_index(docs, text_col="text").stats
+    return phrase_prefix_topk(spark, pp, stats, "join", "s", 10,
+                              round_to=ROUND)
+
+
 def q_phrase_topk_repeat(spark, sf_dir):
     """Duplicate-term phrase ('table table') — consecutive-occurrence
     position algebra."""
@@ -1061,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand_or": q_bm25_topk_wand_or,
         "bm25_topk_min2of3": q_bm25_topk_min2of3,
         "bm25_topk_not": q_bm25_topk_not,
+        "phrase_prefix_topk": q_phrase_prefix_topk,
         "prefix_topk": q_prefix_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "regex_topk": q_regex_topk,
@@ -1251,6 +1270,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_min2of3": osql.topk_or_sql(Q_AND3, 10, ROUND,
                                               min_match=2),
         "bm25_topk_not": osql.topk_not_sql(Q_AND2, Q_RARE, 10, ROUND),
+        "phrase_prefix_topk": osql.phrase_prefix_topk_sql(
+            "join", "s", 10, ROUND),
         "prefix_topk": osql.expanded_topk_sql("term LIKE 's%'", 10, ROUND),
         "fuzzy_topk": osql.expanded_topk_sql(
             "levenshtein(term, 'part') <= 2", 10, ROUND),

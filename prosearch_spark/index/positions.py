@@ -91,6 +91,86 @@ def phrase_matches(postings: DataFrame, phrase_terms: list[str]) -> DataFrame:
     )
 
 
+def phrase_prefix_matches(postings: DataFrame, fixed_terms: list[str],
+                          expansion_terms: list[str]) -> DataFrame:
+    """(doc_id, dl, tf) for docs where ``fixed_terms`` align as a
+    phrase and ANY of ``expansion_terms`` completes it at the final
+    slot — Lucene MultiPhraseQuery / Tantivy PhrasePrefixQuery (the
+    autocomplete shape). The last slot's positions are the per-doc
+    UNION of the expansion terms' (shifted) positions; tf counts the
+    start offsets where the phrase completes with some expansion.
+
+    ``fixed_terms`` must be non-empty (a pure prefix query is
+    query/expand.prefix_clauses + topk_or, scored per-term — a
+    different, better shape for that case)."""
+    if not fixed_terms:
+        raise ValueError("phrase-prefix needs at least one fixed term; "
+                         "use expand.prefix_clauses + topk_or instead")
+    n = len(fixed_terms)
+
+    def shifted(by: int):
+        return F.transform("positions", lambda p: p - F.lit(by))
+
+    sides = []
+    for i, t in enumerate(fixed_terms):
+        sides.append(
+            postings.filter(F.col("term") == t).select(
+                "doc_id",
+                *(["dl"] if i == 0 else []),
+                shifted(i).alias(f"p{i}"),
+            )
+        )
+    if not expansion_terms:
+        return (postings.select("doc_id", "dl")
+                .withColumn("tf", F.lit(0).cast("long"))
+                .filter(F.lit(False)))
+    last = (
+        postings.filter(
+            F.col("term").isin(sorted(set(expansion_terms))))
+        .select("doc_id", shifted(n).alias("pl"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list("pl")))).alias(f"p{n}"))
+    )
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), sides + [last])
+    inter = reduce(
+        lambda acc, i: F.array_intersect(acc, F.col(f"p{i}")),
+        range(1, n + 1),
+        F.col("p0"),
+    )
+    return (
+        joined.withColumn("phrase_freq", F.size(inter))
+        .filter(F.col("phrase_freq") > 0)
+        .select("doc_id", "dl",
+                F.col("phrase_freq").cast("long").alias("tf"))
+    )
+
+
+def phrase_prefix_topk(spark: SparkSession, postings: DataFrame,
+                       n_docs_avgdl: DataFrame, phrase: str, prefix: str,
+                       k: int = 10, round_to: int | None = None,
+                       max_expansions: int | None = None) -> DataFrame:
+    """BM25 top-k for phrase + last-slot prefix: expansion from the
+    postings-derived dictionary with the Lucene (df DESC, term ASC)
+    cap, then synthetic-term scoring exactly like phrase_topk (tf =
+    completion count, df = matching-doc count)."""
+    from prosearch_spark.query.engine import materialize_topk, rank_topk
+    from prosearch_spark.query.expand import MAX_EXPANSIONS, prefix_clauses
+
+    terms = [t for t, _ in analyze_query(phrase)]
+    ts = postings.groupBy("term").agg(F.count("*").alias("df"))
+    exp = [t for t, _ in prefix_clauses(
+        ts, prefix, max_expansions or MAX_EXPANSIONS)]
+    m = phrase_prefix_matches(postings, terms, exp).persist()
+    try:
+        phrase_df = m.count()
+        scored = phrase_scores(m, phrase_df, n_docs_avgdl) \
+            .withColumnRenamed("s", "score")
+        return materialize_topk(spark, rank_topk(scored, k, round_to))
+    finally:
+        m.unpersist()
+
+
 def phrase_scores(m: DataFrame, phrase_df: int,
                   n_docs_avgdl: DataFrame) -> DataFrame:
     """(doc_id, s): BM25 of the SYNTHETIC phrase term over matched docs

@@ -397,6 +397,89 @@ FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def phrase_prefix_topk_sql(phrase: str, prefix: str, k: int = 10,
+                           round_to: int = 6,
+                           max_expansions: int = 50) -> str:
+    """Phrase + last-slot-prefix oracle (MultiPhraseQuery): the fixed
+    terms' position algebra as in phrase_topk_sql, with the final slot
+    intersected against the per-doc UNION of the prefix expansion's
+    shifted positions; the expansion comes from the derived term_stats
+    with the Lucene (df DESC, term ASC, max_expansions) cap — the same
+    rule index/positions.phrase_prefix_topk applies."""
+    terms = [t for t, _ in analyze_query(phrase)]
+    assert terms
+    n = len(terms)
+    joins = "\n".join(
+        f"    JOIN pos a{i} ON a{i}.doc_id = a0.doc_id"
+        f" AND a{i}.term = {_sql_str(t)}"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    inter = "a0.positions"
+    for i in range(1, n):
+        inter = (
+            f"list_intersect({inter}, "
+            f"list_transform(a{i}.positions, x -> x - {i}))"
+        )
+    inter = f"list_intersect({inter}, lastpos.positions)"
+    phrase_map = {
+        "boost": "1.0",
+        "n_docs": "stats.n_docs",
+        "avgdl": "stats.avgdl",
+        "df": "pdf.df",
+        "tf": "matched.pf",
+        "dl": "dlen.dl",
+    }
+    score = _QUALIFY_RE.sub(lambda mt: phrase_map[mt.group(1)], SCORE_EXPR)
+    like = _sql_str(prefix.replace("%", "") + "%")
+    return f"""
+WITH {INDEX_CTES},
+dlen AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+d2 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tl
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, term, list(i - 1 ORDER BY i) AS positions
+    FROM (
+        SELECT doc_id, i, tl[i] AS term
+        FROM d2, unnest(generate_series(1, len(tl))) u(i)
+    )
+    WHERE term <> '' GROUP BY doc_id, term
+),
+exp AS (
+    SELECT term FROM term_stats WHERE term LIKE {like}
+    ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+lastpos AS (
+    SELECT doc_id,
+           list_sort(list_distinct(flatten(list(
+               list_transform(positions, x -> x - {n}))))) AS positions
+    FROM pos WHERE term IN (SELECT term FROM exp)
+    GROUP BY doc_id
+),
+m AS (
+    SELECT a0.doc_id, len({inter})::BIGINT AS pf
+    FROM pos a0
+{joins}
+    JOIN lastpos ON lastpos.doc_id = a0.doc_id
+    WHERE a0.term = {_sql_str(terms[0])}
+),
+matched AS (SELECT doc_id, pf FROM m WHERE pf > 0),
+pdf AS (SELECT count(*)::BIGINT AS df FROM matched),
+scored AS (
+    SELECT matched.doc_id, {score} AS score
+    FROM matched
+    JOIN dlen ON dlen.doc_id = matched.doc_id
+    CROSS JOIN pdf CROSS JOIN stats
+),
+rounded AS (SELECT doc_id, round(score, {round_to}) AS score FROM scored)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+       doc_id, score
+FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def topk_filtered_sql(q: str, predicate: str, k: int = 10,
                       round_to: int = 6) -> str:
     """topk_sql with a fast-field predicate applied to matches BEFORE

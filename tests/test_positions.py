@@ -186,3 +186,43 @@ def test_mixed_blocks_term_only_delegates_to_wand(spark, tmp_path):
     exp = blk.topk("z3_1 z3_2", 10, round_to=6)
     assert [(r["doc_id"], r["score"]) for r in got.collect()] == \
         [(r["doc_id"], r["score"]) for r in exp.collect()]
+
+
+def test_phrase_prefix_matches_union(spark, tiny):
+    """MultiPhraseQuery last-slot union: 'alpha <any>' counts every
+    completion; 'beta g*' expands to gamma only; empty expansion ->
+    empty; no fixed terms -> error pointing at the prefix engine."""
+    from prosearch_spark.index.positions import phrase_prefix_matches
+
+    pp = positional_postings(tiny, text_col="text")
+    got = {r["doc_id"]: r["tf"]
+           for r in phrase_prefix_matches(
+               pp, ["alpha"], ["alpha", "beta", "gamma"]).collect()}
+    assert got == {0: 2, 1: 1, 3: 2}
+
+    got = {r["doc_id"]: r["tf"]
+           for r in phrase_prefix_matches(pp, ["beta"], ["gamma"]).collect()}
+    assert got == {0: 1, 1: 1}
+
+    assert phrase_prefix_matches(pp, ["alpha"], []).count() == 0
+    with pytest.raises(ValueError, match="prefix_clauses"):
+        phrase_prefix_matches(pp, [], ["beta"])
+
+
+def test_phrase_prefix_topk_exact_phrase_degenerate(spark, tiny):
+    """A prefix expanding to exactly one term scores identically to
+    the exact phrase (same synthetic-term df/tf)."""
+    from prosearch_spark.index.positions import (
+        phrase_prefix_topk,
+        phrase_topk,
+    )
+
+    pp = positional_postings(tiny, text_col="text")
+    stats = build_index(tiny, text_col="text").stats
+    a = [(r["doc_id"], r["score"])
+         for r in phrase_prefix_topk(spark, pp, stats, "alpha", "b",
+                                     10, round_to=6).collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in phrase_topk(spark, pp, stats, "alpha beta",
+                              10, round_to=6).collect()]
+    assert a == b and len(a) == 3
