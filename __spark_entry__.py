@@ -551,6 +551,22 @@ def q_bm25_topk_wand_or(spark, sf_dir):
     return df
 
 
+def q_top_hits_by_group(spark, sf_dir):
+    """Tantivy top_hits sub-aggregation: best 3 hits per lang bucket,
+    executed as a PARTITIONED window (WindowGroupLimit — per-task
+    partial top-n, no global sort)."""
+    eng, docs = _engine(spark, sf_dir)
+    return eng.top_hits_by_group(Q_AND2, docs, "lang", 3,
+                                 round_to=ROUND)
+
+
+def q_collapse_topk(spark, sf_dir):
+    """Field collapsing (one best hit per source, then global top-k) —
+    the 'one result per site' SERP rule."""
+    eng, docs = _engine(spark, sf_dir)
+    return eng.collapse_topk(Q_AND2, docs, "source", 10, round_to=ROUND)
+
+
 def q_bm25_topk_not(spark, sf_dir):
     """BooleanQuery must_not (Occur::MustNot): conjunctive matches of
     'join hash' minus every doc containing 'dup', over the committed
@@ -1080,6 +1096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_min2of3": q_bm25_topk_min2of3,
         "bm25_topk_not": q_bm25_topk_not,
         "phrase_prefix_topk": q_phrase_prefix_topk,
+        "top_hits_by_group": q_top_hits_by_group,
+        "collapse_topk": q_collapse_topk,
         "prefix_topk": q_prefix_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "regex_topk": q_regex_topk,
@@ -1272,6 +1290,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_not": osql.topk_not_sql(Q_AND2, Q_RARE, 10, ROUND),
         "phrase_prefix_topk": osql.phrase_prefix_topk_sql(
             "join", "s", 10, ROUND),
+        "top_hits_by_group": osql.top_hits_by_group_sql(
+            Q_AND2, "lang", 3, ROUND),
+        "collapse_topk": osql.collapse_topk_sql(Q_AND2, "source", 10,
+                                                ROUND),
         "prefix_topk": osql.expanded_topk_sql("term LIKE 's%'", 10, ROUND),
         "fuzzy_topk": osql.expanded_topk_sql(
             "levenshtein(term, 'part') <= 2", 10, ROUND),

@@ -183,6 +183,50 @@ class SearchEngine:
         """Q8: every matching doc, unranked (search.rs:62-78)."""
         return self._docs_scored(q).select("doc_id")
 
+    def top_hits_by_group(self, q: str, docs: DataFrame, group_col: str,
+                          n_per_group: int = 3,
+                          round_to: int | None = None) -> DataFrame:
+        """Tantivy's top_hits sub-aggregation: the best n hits inside
+        every bucket of ``group_col``. The per-group window is
+        PARTITIONED, so Spark executes it as WindowGroupLimit (partial
+        per-task top-n, then final per-group) — no global sort, no
+        single-task window; round-before-rank and the (score DESC,
+        doc_id ASC) tie-break as everywhere."""
+        d = self._docs_scored(q)
+        if round_to is not None:
+            d = d.withColumn("score", F.round("score", round_to))
+        joined = d.join(docs.select("doc_id", group_col), "doc_id")
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        return (
+            joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n_per_group)
+            .select(group_col, "rank", "doc_id", "score")
+            .orderBy(group_col, "rank")
+        )
+
+    def collapse_topk(self, q: str, docs: DataFrame, collapse_col: str,
+                      k: int = 10,
+                      round_to: int | None = None) -> DataFrame:
+        """Field collapsing (the Lucene/ES collapse clause): keep only
+        each ``collapse_col`` group's best hit, then rank the
+        representatives globally — 'one result per site' in a SERP.
+        First window partitioned by the collapse key (WindowGroupLimit
+        shape), second is the ordinary k-row ranking."""
+        d = self._docs_scored(q)
+        if round_to is not None:
+            d = d.withColumn("score", F.round("score", round_to))
+        joined = d.join(docs.select("doc_id", collapse_col), "doc_id")
+        w = Window.partitionBy(collapse_col).orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        best = (joined.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(collapse_col, "doc_id", "score"))
+        top = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        wg = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.withColumn("rank", F.row_number().over(wg)).select(
+            "rank", collapse_col, "doc_id", "score")
+
     def fetch(self, hits: DataFrame, docs: DataFrame,
               id_col: str = "doc_id") -> DataFrame:
         """S5/J3: top-k doc store fetch = broadcast join of the k hits

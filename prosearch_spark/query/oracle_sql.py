@@ -480,6 +480,59 @@ FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def top_hits_by_group_sql(q: str, group_col: str, n_per_group: int = 3,
+                          round_to: int = 6) -> str:
+    """top_hits sub-aggregation oracle: per-group row_number over the
+    rounded scores — twin of SearchEngine.top_hits_by_group."""
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte},\n"
+        "rounded AS (\n"
+        f"    SELECT m.doc_id, d.{group_col} AS {group_col},\n"
+        f"           round(m.score, {round_to}) AS score\n"
+        "    FROM docs_scored m JOIN documents d USING (doc_id)\n"
+        "),\n"
+        "ranked AS (\n"
+        f"    SELECT {group_col},\n"
+        f"           row_number() OVER (PARTITION BY {group_col}\n"
+        "               ORDER BY score DESC, doc_id ASC)::INT AS rank,\n"
+        "           doc_id, score\n"
+        "    FROM rounded\n"
+        ")\n"
+        f"SELECT {group_col}, rank, doc_id, score FROM ranked\n"
+        f"WHERE rank <= {n_per_group} ORDER BY {group_col}, rank"
+    )
+
+
+def collapse_topk_sql(q: str, collapse_col: str, k: int = 10,
+                      round_to: int = 6) -> str:
+    """Field-collapsing oracle: best hit per collapse group, then the
+    global k — twin of SearchEngine.collapse_topk."""
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte},\n"
+        "rounded AS (\n"
+        f"    SELECT m.doc_id, d.{collapse_col} AS {collapse_col},\n"
+        f"           round(m.score, {round_to}) AS score\n"
+        "    FROM docs_scored m JOIN documents d USING (doc_id)\n"
+        "),\n"
+        "best AS (\n"
+        f"    SELECT {collapse_col}, doc_id, score FROM (\n"
+        f"        SELECT *, row_number() OVER (PARTITION BY {collapse_col}\n"
+        "            ORDER BY score DESC, doc_id ASC) AS rn\n"
+        "        FROM rounded\n"
+        "    ) WHERE rn = 1\n"
+        "),\n"
+        "ranked AS (\n"
+        "    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT\n"
+        f"               AS rank, {collapse_col}, doc_id, score\n"
+        "    FROM best\n"
+        ")\n"
+        f"SELECT rank, {collapse_col}, doc_id, score FROM ranked\n"
+        f"WHERE rank <= {k} ORDER BY rank"
+    )
+
+
 def topk_filtered_sql(q: str, predicate: str, k: int = 10,
                       round_to: int = 6) -> str:
     """topk_sql with a fast-field predicate applied to matches BEFORE

@@ -189,3 +189,16 @@ def test_segment_stack_blocks_is_one_scan(spark, corpus, tmp_path):
     plan = _plan(si.as_artifact().blocks(["spark"]))
     assert plan.count("Scan parquet") == 1
     assert "Union" not in plan
+
+
+def test_top_hits_group_window_is_group_limited(spark, corpus):
+    """The per-group top-n window must run as WindowGroupLimit
+    (partial per-task top-n before the shuffle), never an
+    unpartitioned global window."""
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, build_index(corpus, text_col="content"))
+    plan = _plan(eng.top_hits_by_group("spark", corpus.withColumnRenamed(
+        "repo", "grp"), "grp", 3, round_to=6))
+    assert "WindowGroupLimit" in plan
