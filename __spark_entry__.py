@@ -551,6 +551,39 @@ def q_bm25_topk_wand_or(spark, sf_dir):
     return df
 
 
+def q_date_histogram(spark, sf_dir):
+    """Tantivy DateHistogramAggregation: matches bucketed per month
+    over a DATE fast field carried columnar in doc_stats (fast:true,
+    new.rs:136-231). The date derives deterministically from doc_id so
+    the oracle recomputes it independently."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    def build():
+        docs = _docs(spark, sf_dir).withColumn(
+            "ts",
+            F.expr("date_add(DATE'2020-01-01', cast(doc_id % 400 as int))"))
+        return save_index(
+            spark, docs, tempfile.mkdtemp(prefix="prosearch_dh_"),
+            text_col="text", fast_fields={"ts": "ts"})
+
+    art = _memo_artifact("datehist", sf_dir, build)
+    m = BlockSearchEngine(spark, art).match_scan(Q_SINGLE)
+    ds = art.doc_stats().select("doc_id", "ts")
+    return (
+        m.join(ds, "doc_id")
+        # string month key: the driver compare normalizes dates
+        # differently across Spark/DuckDB pandas conversions
+        .withColumn("month",
+                    F.date_format(F.date_trunc("month", "ts"),
+                                  "yyyy-MM-dd"))
+        .groupBy("month").agg(F.count("*").alias("doc_count"))
+        .orderBy("month")
+    )
+
+
 def q_top_hits_by_group(spark, sf_dir):
     """Tantivy top_hits sub-aggregation: best 3 hits per lang bucket,
     executed as a PARTITIONED window (WindowGroupLimit — per-task
@@ -1098,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_prefix_topk": q_phrase_prefix_topk,
         "top_hits_by_group": q_top_hits_by_group,
         "collapse_topk": q_collapse_topk,
+        "date_histogram": q_date_histogram,
         "prefix_topk": q_prefix_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "regex_topk": q_regex_topk,
@@ -1294,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
             Q_AND2, "lang", 3, ROUND),
         "collapse_topk": osql.collapse_topk_sql(Q_AND2, "source", 10,
                                                 ROUND),
+        "date_histogram": osql.date_histogram_sql(Q_SINGLE),
         "prefix_topk": osql.expanded_topk_sql("term LIKE 's%'", 10, ROUND),
         "fuzzy_topk": osql.expanded_topk_sql(
             "levenshtein(term, 'part') <= 2", 10, ROUND),

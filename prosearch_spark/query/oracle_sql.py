@@ -533,6 +533,21 @@ def collapse_topk_sql(q: str, collapse_col: str, k: int = 10,
     )
 
 
+def date_histogram_sql(q: str, anchor: str = "2020-01-01",
+                       mod: int = 400) -> str:
+    """Date-histogram oracle: query matches bucketed per month over
+    the deterministically derived Date fast field (DATE anchor +
+    doc_id % mod days) — twin of the q_date_histogram entry."""
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte}\n"
+        f"SELECT strftime(date_trunc('month', DATE '{anchor}'"
+        f" + (doc_id % {mod})::INT), '%Y-%m-%d') AS month,\n"
+        "       count(*)::BIGINT AS doc_count\n"
+        "FROM docs_scored GROUP BY month ORDER BY month"
+    )
+
+
 def topk_filtered_sql(q: str, predicate: str, k: int = 10,
                       round_to: int = 6) -> str:
     """topk_sql with a fast-field predicate applied to matches BEFORE
