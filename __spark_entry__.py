@@ -551,6 +551,27 @@ def q_bm25_topk_wand_or(spark, sf_dir):
     return df
 
 
+def q_terms_stats_agg(spark, sf_dir):
+    """terms aggregation with a stats sub-aggregation per bucket (the
+    agg-tree shape): n_chars stats inside every lang bucket of the
+    match set."""
+    eng, docs = _engine(spark, sf_dir)
+    return eng.terms_stats_agg(Q_SINGLE, docs, "lang", "n_chars")
+
+
+def q_search_after(spark, sf_dir):
+    """search_after pagination: page 2 seeded with page 1's last
+    (score, doc_id) cursor; with the unique tie-break this equals
+    global ranks k+1..2k, which is what the oracle computes. Unlike
+    the reference (offset parsed, ignored, serve.rs:573-587) this is
+    real stateless deep paging."""
+    eng, _ = _engine(spark, sf_dir)
+    page1 = eng.topk(Q_SINGLE, 10, round_to=ROUND).collect()
+    last = page1[-1]
+    return eng.topk_after(Q_SINGLE, 10, round_to=ROUND,
+                          after=(last["score"], last["doc_id"]))
+
+
 def q_date_histogram(spark, sf_dir):
     """Tantivy DateHistogramAggregation: matches bucketed per month
     over a DATE fast field carried columnar in doc_stats (fast:true,
@@ -1132,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits_by_group": q_top_hits_by_group,
         "collapse_topk": q_collapse_topk,
         "date_histogram": q_date_histogram,
+        "terms_stats_agg": q_terms_stats_agg,
+        "search_after": q_search_after,
         "prefix_topk": q_prefix_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "regex_topk": q_regex_topk,
@@ -1329,6 +1352,9 @@ def oracle_sql() -> dict[str, str]:
         "collapse_topk": osql.collapse_topk_sql(Q_AND2, "source", 10,
                                                 ROUND),
         "date_histogram": osql.date_histogram_sql(Q_SINGLE),
+        "terms_stats_agg": osql.terms_stats_agg_sql(Q_SINGLE, "lang",
+                                                    "n_chars"),
+        "search_after": osql.topk_page2_sql(Q_SINGLE, 10, ROUND),
         "prefix_topk": osql.expanded_topk_sql("term LIKE 's%'", 10, ROUND),
         "fuzzy_topk": osql.expanded_topk_sql(
             "levenshtein(term, 'part') <= 2", 10, ROUND),

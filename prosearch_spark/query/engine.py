@@ -258,6 +258,51 @@ class SearchEngine:
             F.avg(value_col).alias("avg"),
         )
 
+    def terms_stats_agg(self, q: str, docs: DataFrame, group_col: str,
+                        value_col: str) -> DataFrame:
+        """Q9: a ``terms`` aggregation with a ``stats`` SUB-aggregation
+        per bucket (the Tantivy/ES agg-tree shape): count/min/max/sum/
+        avg of ``value_col`` inside every ``group_col`` bucket of the
+        match set. Integer value columns keep sum exact and avg a
+        single division — float-order-safe vs the oracle."""
+        m = self.match_scan(q)
+        return (
+            docs.join(m, "doc_id")
+            .groupBy(group_col)
+            .agg(
+                F.count(value_col).cast("long").alias("count"),
+                F.min(value_col).alias("min"),
+                F.max(value_col).alias("max"),
+                F.sum(value_col).cast("long").alias("sum"),
+                F.round(F.avg(value_col), 6).alias("avg"),
+            )
+            .orderBy(group_col)
+        )
+
+    def topk_after(self, q: str, k: int = 10,
+                   round_to: int | None = None,
+                   after: tuple[float, int] | None = None) -> DataFrame:
+        """search_after pagination: the k hits strictly AFTER the
+        cursor ``(score, doc_id)`` in (score DESC, doc_id ASC) order —
+        the ES/Lucene search_after contract (stateless deep paging;
+        the reference parses an offset param and ignores it,
+        serve.rs:573-587 — this is the real thing). The cursor
+        compares against ROUNDED scores when round_to is set, i.e. in
+        ranking order; rank restarts at 1 within the page. Unlike
+        offset paging, cost does not grow with page depth: the filter
+        prunes before the top-k heap."""
+        d = self._docs_scored(q)
+        if round_to is not None:
+            d = d.withColumn("score", F.round("score", round_to))
+        if after is not None:
+            s0, d0 = after
+            d = d.filter(
+                (F.col("score") < F.lit(s0))
+                | ((F.col("score") == F.lit(s0))
+                   & (F.col("doc_id") > F.lit(d0)))
+            )
+        return rank_topk(d, k, round_to)
+
     def histogram_agg(self, q: str, docs: DataFrame, value_col: str,
                       interval: float) -> DataFrame:
         """Q9: ``histogram`` aggregation over matches."""

@@ -952,6 +952,43 @@ def stats_agg_sql(q: str, value_col: str) -> str:
     )
 
 
+def terms_stats_agg_sql(q: str, group_col: str, value_col: str) -> str:
+    """terms + stats sub-aggregation oracle — twin of
+    SearchEngine.terms_stats_agg."""
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte}\n"
+        f"SELECT d.{group_col} AS {group_col},\n"
+        f"       count(d.{value_col})::BIGINT AS count,\n"
+        f"       min(d.{value_col}) AS min, max(d.{value_col}) AS max,\n"
+        f"       sum(d.{value_col})::BIGINT AS sum,\n"
+        f"       round(avg(d.{value_col}), 6) AS avg\n"
+        "FROM documents d JOIN docs_scored m USING (doc_id)\n"
+        f"GROUP BY d.{group_col} ORDER BY d.{group_col}"
+    )
+
+
+def topk_page2_sql(q: str, k: int = 10, round_to: int = 6) -> str:
+    """search_after oracle: with the unique (score DESC, doc_id ASC)
+    tie-break, the page after the k-th hit's cursor is exactly global
+    ranks k+1..2k, re-numbered from 1 — twin of topk_after seeded with
+    page 1's last row."""
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte},\n"
+        "rounded AS (\n"
+        f"    SELECT doc_id, round(score, {round_to}) AS score FROM docs_scored\n"
+        "),\n"
+        "ranked AS (\n"
+        "    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS g,\n"
+        "           doc_id, score\n"
+        "    FROM rounded\n"
+        ")\n"
+        f"SELECT (g - {k})::INT AS rank, doc_id, score FROM ranked\n"
+        f"WHERE g > {k} AND g <= {2 * k} ORDER BY rank"
+    )
+
+
 def knn_ivf_sql(k: int = 10, n_centroids: int = 8, n_probe: int = 2,
                 round_to: int = 6) -> str:
     """DuckDB twin of ops/similarity.ivf_sampled_topk over the

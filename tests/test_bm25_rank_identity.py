@@ -72,3 +72,45 @@ def test_conjunction_semantics(engine_and_oracle, corpus_rows):
         toks = set(white_lower_py(d["content"]))
         expected = "spark" in toks and "shuffle" in toks
         assert (d["doc_id"] in hits) == expected
+
+
+def test_search_after_continues_the_ranking(spark, corpus):
+    """Pages seeded by the previous page's last cursor tile the global
+    order: page1 + page2 == top-2k, disjoint, in order."""
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, build_index(corpus, text_col="content"))
+    top20 = [(r["doc_id"], r["score"])
+             for r in eng.topk("spark", 20, round_to=6).collect()]
+    p1 = eng.topk("spark", 10, round_to=6).collect()
+    last = p1[-1]
+    p2 = eng.topk_after("spark", 10, round_to=6,
+                        after=(last["score"], last["doc_id"])).collect()
+    got = [(r["doc_id"], r["score"]) for r in p1] + \
+          [(r["doc_id"], r["score"]) for r in p2]
+    assert got == top20
+    assert [r["rank"] for r in p2] == list(range(1, len(p2) + 1))
+
+
+def test_terms_stats_agg_buckets(spark, corpus):
+    """Per-bucket stats equal the single-bucket stats restricted to
+    that bucket (integer column: exact sums, one division)."""
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.engine import SearchEngine
+
+    docs = corpus.withColumn("n_chars", F.length("content"))
+    eng = SearchEngine(spark, build_index(docs, text_col="content"))
+    rows = {r["lang"]: r for r in
+            eng.terms_stats_agg("spark", docs, "lang", "n_chars")
+            .collect()}
+    assert rows
+    for lang, r in rows.items():
+        sub = docs.filter(F.col("lang") == lang).join(
+            eng.match_scan("spark"), "doc_id")
+        agg = sub.agg(F.count("*").alias("c"),
+                      F.sum("n_chars").alias("s")).collect()[0]
+        assert r["count"] == agg["c"] and r["sum"] == agg["s"]
+        assert r["min"] <= r["avg"] <= r["max"]
