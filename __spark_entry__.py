@@ -729,6 +729,19 @@ def q_serve_routed_term(spark, sf_dir):
     return _routed(spark, sf_dir, Q_AND2)
 
 
+def q_serve_routed_stack(spark, sf_dir):
+    """The serving router over a LIVE multi-segment stack: the
+    delete-free union view duck-types the artifact, so the WAND branch
+    runs unchanged over n segments (serving needs no compaction) —
+    same flat oracle as every exact plan."""
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    si = _segmented_stack(spark, sf_dir)
+    s = ArtifactSearcher(spark, si.as_artifact())
+    df, _plan = s.route(Q_AND2, 10, round_to=ROUND)
+    return df
+
+
 def q_serve_routed_phrase(spark, sf_dir):
     return _routed(spark, sf_dir, Q_MIXED_PHRASE)
 
@@ -1159,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": q_fuzzy_topk,
         "regex_topk": q_regex_topk,
         "serve_routed_term": q_serve_routed_term,
+        "serve_routed_stack": q_serve_routed_stack,
         "serve_routed_phrase": q_serve_routed_phrase,
         "serve_routed_fielded": q_serve_routed_fielded,
         "quality_filter": q_quality_filter,
@@ -1361,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "regex_topk": osql.expanded_topk_sql(
             "regexp_full_match(term, 'jo.n|ha.h')", 10, ROUND),
         "serve_routed_term": osql.topk_sql(Q_AND2, 10, ROUND),
+        "serve_routed_stack": osql.topk_sql(Q_AND2, 10, ROUND),
         "serve_routed_phrase": osql.mixed_topk_sql(Q_MIXED_PHRASE, 10,
                                                    ROUND),
         "serve_routed_fielded": osql.fielded_topk_sql(Q_AND2, 10, ROUND),
