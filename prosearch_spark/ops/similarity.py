@@ -238,8 +238,18 @@ def _banded_sigs(vec: Column | str, planes: list[list[float]],
     hyperplane the vector sits closest to. Probing one side of a join
     suffices (a flipped-left signature meets the right's base
     signature), so candidate volume grows by ~probes on the probing
-    side only, not quadratically."""
+    side only, not quadratically.
+
+    Flip positions are chosen by RANK over sorted (|margin|, plane
+    index) structs — a deterministic tie-break, so tied margins still
+    flip (probes-1) DISTINCT bits (array_position on raw values would
+    resolve every tied rank to the first occurrence and silently emit
+    duplicate probes — r3 ADVICE finding). ``probes`` is clamped to
+    planes_per_table + 1 (base + one flip per plane is every
+    one-bit-away signature there is; a larger value would index past
+    the margin array and emit null signatures)."""
     v = F.col(vec) if isinstance(vec, str) else vec
+    probes = min(probes, planes_per_table + 1)
     entries = []
     for t in range(n_tables):
         sl = planes[t * planes_per_table:(t + 1) * planes_per_table]
@@ -249,17 +259,22 @@ def _banded_sigs(vec: Column | str, planes: list[list[float]],
         base = F.concat(*bits)
         entries.append(F.struct(F.lit(t).alias("t"), base.alias("sig")))
         if probes > 1:
-            absd = F.array(*[F.abs(d) for d in dots])
-            sorted_abs = F.array_sort(absd)
+            # rank-ordered flip positions: struct sort on (|margin|,
+            # plane index) — ties resolve to the lower index, and each
+            # rank j names a DISTINCT plane
+            order = F.array_sort(F.array(*[
+                F.struct(F.abs(d).alias("a"),
+                         F.lit(i + 1).cast("int").alias("i"))
+                for i, d in enumerate(dots)
+            ]))
             for j in range(1, probes):
-                pos = F.array_position(absd, F.element_at(sorted_abs, j))
+                pos = F.element_at(order, j)["i"]
                 flipped = F.when(
-                    F.substring(base, pos.cast("int"), 1) == "1", F.lit("0")
+                    F.substring(base, pos, 1) == "1", F.lit("0")
                 ).otherwise(F.lit("1"))
                 entries.append(F.struct(
                     F.lit(t).alias("t"),
-                    F.overlay(base, flipped, pos.cast("int"),
-                              F.lit(1)).alias("sig"),
+                    F.overlay(base, flipped, pos, F.lit(1)).alias("sig"),
                 ))
     return F.array(*entries)
 

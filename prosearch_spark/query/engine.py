@@ -84,9 +84,11 @@ class SearchEngine:
         )
         return scored, len(clauses)
 
-    def _docs_scored(self, q: str) -> DataFrame:
+    def _docs_scored(self, q: str,
+                     clauses: list[tuple[str, float]] | None = None
+                     ) -> DataFrame:
         """(doc_id, score) for docs matching ALL clauses (conjunction)."""
-        scored, n_clauses = self._matches(q)
+        scored, n_clauses = self._matches(q, clauses)
         return (
             scored.groupBy("doc_id")
             .agg(F.sum("s").alias("score"), F.count("*").alias("nmatch"))
@@ -124,14 +126,21 @@ class SearchEngine:
         return rank_topk(self._docs_scored_or(q, min_match, clauses),
                          k, round_to)
 
-    def topk(self, q: str, k: int = 10, round_to: int | None = None) -> DataFrame:
+    def topk(self, q: str, k: int = 10, round_to: int | None = None,
+             clauses: list[tuple[str, float]] | None = None) -> DataFrame:
         """Q6: top-k by (score DESC, doc_id ASC).
 
         ``round_to`` rounds scores BEFORE ranking — used by the
         cross-engine correctness gate so rank order is identical even
         when the two engines differ in the last float ulp.
+        ``clauses`` overrides the analyzer parse (same contract as
+        topk_or) — the lenient grammar's term clauses carry boosts the
+        re-analysis of a joined string would NOT reproduce (a quoted
+        token folds to boost 1.0; analyze_query would re-apply the
+        raw-token boost table), so delegating callers pass the parsed
+        clause list instead of text.
         """
-        return rank_topk(self._docs_scored(q), k, round_to)
+        return rank_topk(self._docs_scored(q, clauses), k, round_to)
 
     def topk_not(self, q: str, exclude: str, k: int = 10,
                  round_to: int | None = None) -> DataFrame:

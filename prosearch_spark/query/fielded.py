@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from prosearch_spark.analyzer import analyze_query
+from prosearch_spark.analyzer import analyze_query, parse_query_lenient
 from prosearch_spark.index.build import InvertedIndex
 from prosearch_spark.query.bm25 import SCORE_EXPR
 
@@ -34,7 +34,8 @@ class FieldedSearchEngine:
         self.index = index  # postings: (field, term, doc_id, tf, dl)
         self.field_boosts = field_boosts or DEFAULT_FIELD_BOOSTS
 
-    def _docs_scored(self, q: str) -> DataFrame:
+    def _scored(self, q: str) -> tuple[DataFrame, int]:
+        """Per-(clause, field, doc) scored rows + clause count."""
         clauses = analyze_query(q)
         qdf = self.spark.createDataFrame(
             [(i, t, b) for i, (t, b) in enumerate(clauses)],
@@ -58,15 +59,42 @@ class FieldedSearchEngine:
             .join(F.broadcast(self.index.stats), "field")
             .withColumn("s", fb * F.expr(SCORE_EXPR))
         )
+        return scored, len(clauses)
+
+    def _docs_scored(self, q: str) -> DataFrame:
+        scored, n_clauses = self._scored(q)
         return (
             scored.groupBy("doc_id")
             .agg(
                 F.sum("s").alias("score"),
                 F.countDistinct("clause_id").alias("nmatch"),
             )
-            .filter(F.col("nmatch") == len(clauses))
+            .filter(F.col("nmatch") == n_clauses)
             .drop("nmatch")
         )
+
+    def _docs_scored_or(self, q: str, min_match: int = 1) -> DataFrame:
+        """Disjunctive fielded scoring: a doc scores the sum of every
+        matched (clause, field) contribution and qualifies with >=
+        ``min_match`` DISTINCT matched clauses (a clause matched in
+        both fields is still one clause — countDistinct, exactly like
+        the conjunction's AND predicate)."""
+        scored, _n = self._scored(q)
+        d = scored.groupBy("doc_id").agg(
+            F.sum("s").alias("score"),
+            F.countDistinct("clause_id").alias("nmatch"),
+        )
+        if min_match > 1:
+            d = d.filter(F.col("nmatch") >= min_match)
+        return d.drop("nmatch")
+
+    def topk_or(self, q: str, k: int = 10, round_to: int | None = None,
+                min_match: int = 1) -> DataFrame:
+        """Multi-field should-clause top-k (title 1.5 / body 1.0 kept;
+        match ANY clause by default) — the disjunctive twin of topk."""
+        from prosearch_spark.query.engine import rank_topk
+
+        return rank_topk(self._docs_scored_or(q, min_match), k, round_to)
 
     def topk(self, q: str, k: int = 10, round_to: int | None = None) -> DataFrame:
         d = self._docs_scored(q)
@@ -85,16 +113,21 @@ class FieldedSearchEngine:
         return self._docs_scored(q).select("doc_id")
 
 
-def fielded_index_from_artifacts(artifacts: dict, q: str) -> InvertedIndex:
+def fielded_index_from_artifacts(artifacts: dict, q: str,
+                                 terms: list[str] | None = None
+                                 ) -> InvertedIndex:
     """Assemble the fielded logical index from per-field block
-    artifacts (save_fielded_index layout), term-pruned for query ``q``.
+    artifacts (save_fielded_index layout), term-pruned for query ``q``
+    (or for an explicit ``terms`` list — the mixed engine passes its
+    parsed term-clause terms, bypassing re-analysis).
 
     Per-field postings carry each field's own bucket/term/parquet
     pruning; the union adds the ``field`` tag the fielded scorer
     expects. Per-field df / N / avgdl come from each artifact's
     manifest — exactly Tantivy's per-field segment stats.
     """
-    terms = sorted({t for t, _ in analyze_query(q)})
+    if terms is None:
+        terms = sorted({t for t, _ in analyze_query(q)})
     postings = None
     term_stats = None
     stats = None
@@ -127,6 +160,11 @@ class FieldedBlockSearchEngine:
 
     def topk(self, q: str, k: int = 10, round_to: int | None = None) -> DataFrame:
         return self._engine(q).topk(q, k, round_to)
+
+    def topk_or(self, q: str, k: int = 10, round_to: int | None = None,
+                min_match: int = 1) -> DataFrame:
+        """Disjunctive fielded top-k over the committed artifacts."""
+        return self._engine(q).topk_or(q, k, round_to, min_match)
 
     def count(self, q: str) -> DataFrame:
         return self._engine(q).count(q)
@@ -256,7 +294,15 @@ class FieldedBlockSearchEngine:
             meta = meta.unionByName(m)
         meta = meta.persist()
         try:
-            n_blocks = meta.count()
+            # ONE metadata job yields n_blocks AND n_rarest (driver is
+            # picked from the already-collected per-field term stats) —
+            # the flat ladder's r3-verdict count fold, applied here too
+            driver = min(terms, key=lambda t: (dfs_total[t], t))
+            cnt_rows = meta.groupBy(
+                (F.col("term") == driver).alias("is_r")
+            ).agg(F.count("*").alias("n")).collect()
+            n_blocks = sum(r["n"] for r in cnt_rows)
+            n_rarest = sum(r["n"] for r in cnt_rows if r["is_r"])
             if n_blocks == 0:
                 return (self.spark.createDataFrame([], TOPK_SCHEMA),
                         {"blocks_total": 0, "blocks_decoded": 0})
@@ -269,9 +315,7 @@ class FieldedBlockSearchEngine:
                              "blocks_decoded": n_blocks,
                              "blocks_seed": 0, "blocks_final": n_blocks,
                              "short_circuit": True}
-            driver = min(terms, key=lambda t: (dfs_total[t], t))
             rmeta = meta.filter(F.col("term") == driver)
-            n_rarest = rmeta.count()
 
             B = min(max(4, -(-k // BLOCK_SIZE) * 2), SEED_BLOCK_CAP)
             while True:
@@ -380,3 +424,313 @@ class FieldedBlockSearchEngine:
                          "blocks_seed": n_seed, "blocks_final": n_new}
         finally:
             meta.unpersist()
+
+    def topk_wand_or(self, q: str, k: int = 10,
+                     round_to: int | None = None,
+                     min_prune_blocks: int | None = None,
+                     min_match: int = 1) -> tuple[DataFrame, dict]:
+        """DISJUNCTIVE Block-Max WAND over PER-FIELD artifacts — the
+        flat topk_wand_or ladder with (field, term) playing the role
+        of the term: every block is its own candidate, bounded by
+
+            bound(b) = wub(b) + sum over groups (t', f') != (term(b),
+                       field(b)) of max{wub(b') : b' overlaps b}
+
+        where wub folds BOTH weights (clause weight x field boost x
+        block upper bound). Soundness is the flat argument verbatim:
+        a doc d scoring in (t', f') has its posting in exactly one
+        (t', f')-block, which contains d and therefore overlaps every
+        block holding one of d's postings — so each of d's blocks
+        bounds d's full score, and if score(d) >= theta ALL of d's
+        blocks survive (d decodes completely and exactly). The SAME
+        term in the OTHER field is one of the summed groups — a doc
+        can match a term in both fields and collect both
+        contributions. Partially decoded survivors only understate
+        sub-theta scores. ``min_match`` relaxes/filters DISTINCT
+        clause counts at scoring only (bounds dominate any subset).
+        Cost cutoffs mirror the flat disjunctive ladder.
+        """
+        from prosearch_spark.index.blocks import (
+            BLOCK_SIZE,
+            block_upper_bound_expr,
+        )
+        from prosearch_spark.query.block_engine import (
+            SEED_BLOCK_CAP,
+            WAND_OR_MIN_PRUNE_BLOCKS,
+        )
+        from prosearch_spark.query.engine import (
+            TOPK_SCHEMA,
+            materialize_topk,
+        )
+
+        if min_prune_blocks is None:
+            min_prune_blocks = WAND_OR_MIN_PRUNE_BLOCKS
+        clauses = analyze_query(q)
+        terms = sorted({t for t, _ in clauses})
+        weights = {t: 0.0 for t in terms}
+        for t, b in clauses:
+            weights[t] += b
+        if not terms:
+            return (self.spark.createDataFrame([], TOPK_SCHEMA),
+                    {"blocks_total": 0, "blocks_decoded": 0})
+
+        w_expr = None
+        for t in terms:
+            e = F.when(F.col("term") == t, F.lit(weights[t]))
+            w_expr = e if w_expr is None else w_expr.when(
+                F.col("term") == t, F.lit(weights[t]))
+
+        metas = []
+        for field, art in sorted(self.artifacts.items()):
+            boost = float(self.field_boosts.get(field, 1.0))
+            m = (
+                art.blocks(terms)
+                .join(F.broadcast(art.term_stats(terms)), "term")
+                .join(F.broadcast(art.stats()))
+                .withColumn(
+                    "wub",
+                    w_expr * F.lit(boost)
+                    * F.expr(block_upper_bound_expr()))
+                .select(F.lit(field).alias("field"), "term", "first_doc",
+                        "last_doc", "n", "max_tf", "min_dl", "docs",
+                        "tfs", "dls", "wub")
+            )
+            metas.append(m)
+        meta = metas[0]
+        for m in metas[1:]:
+            meta = meta.unionByName(m)
+        meta = meta.persist()
+
+        def _topk_or(blks, rt):
+            return self._engine_on_blocks(blks, terms).topk_or(
+                q, k, round_to=rt, min_match=min_match)
+
+        try:
+            n_blocks = meta.count()
+            if n_blocks == 0:
+                return (self.spark.createDataFrame([], TOPK_SCHEMA),
+                        {"blocks_total": 0, "blocks_decoded": 0})
+            if n_blocks < min_prune_blocks:
+                out = materialize_topk(self.spark, _topk_or(meta, round_to))
+                return out, {"blocks_total": n_blocks,
+                             "blocks_decoded": n_blocks,
+                             "blocks_seed": 0, "blocks_final": n_blocks,
+                             "short_circuit": True}
+
+            B = min(max(4, -(-k // BLOCK_SIZE) * 2), SEED_BLOCK_CAP)
+            while True:
+                covers_all = B >= n_blocks
+                ranges = [
+                    (r["first_doc"], r["last_doc"])
+                    for r in meta.select("wub", "first_doc", "last_doc",
+                                         "field")
+                    .orderBy(F.desc("wub"), F.asc("first_doc"),
+                             F.asc("field"))
+                    .limit(B).collect()
+                ]
+                ranges_df = self.spark.createDataFrame(
+                    ranges, "rf long, rl long")
+                seed_blocks = meta.join(
+                    F.broadcast(ranges_df),
+                    (F.col("first_doc") <= F.col("rl"))
+                    & (F.col("last_doc") >= F.col("rf")),
+                    "left_semi",
+                )
+                n_seed = seed_blocks.count()
+                rt = round_to if covers_all else None
+                seed_rows = _topk_or(seed_blocks, rt).collect()
+                if covers_all:
+                    out = (self.spark.createDataFrame(seed_rows,
+                                                      TOPK_SCHEMA)
+                           if seed_rows else
+                           self.spark.createDataFrame([], TOPK_SCHEMA))
+                    return out, {"blocks_total": n_blocks,
+                                 "blocks_decoded": n_seed,
+                                 "blocks_seed": n_seed,
+                                 "blocks_final": 0}
+                if len(seed_rows) >= k:
+                    break
+                B *= 4
+                if min(B, n_blocks) > SEED_BLOCK_CAP:
+                    out = materialize_topk(
+                        self.spark, _topk_or(meta, round_to))
+                    return out, {"blocks_total": n_blocks,
+                                 "blocks_decoded": n_blocks,
+                                 "seed_capped": True}
+            theta = min(r["score"] for r in seed_rows)
+            eps = (10 ** (-round_to) if round_to is not None
+                   else 1e-9 * abs(theta))
+
+            if n_blocks - n_seed < min_prune_blocks:
+                out = _topk_or(meta, round_to)
+                return out, {"blocks_total": n_blocks,
+                             "blocks_decoded": n_blocks,
+                             "blocks_seed": n_seed,
+                             "blocks_final": n_blocks - n_seed,
+                             "bounds_skipped": True}
+
+            # per-block bound via ONE metadata self-range-join over
+            # (field, term) groups
+            ra = meta.select(
+                F.col("field").alias("rfld"),
+                F.col("term").alias("rt"),
+                F.col("first_doc").alias("rf"),
+                F.col("last_doc").alias("rl"),
+                F.col("wub").alias("rwub"),
+            )
+            others = meta.select("field", "term", "first_doc",
+                                 "last_doc", "wub")
+            per_group_max = (
+                others.join(
+                    F.broadcast(ra),
+                    (F.col("first_doc") <= F.col("rl"))
+                    & (F.col("last_doc") >= F.col("rf"))
+                    & ~((F.col("term") == F.col("rt"))
+                        & (F.col("field") == F.col("rfld"))),
+                )
+                .groupBy("rfld", "rt", "rf", "rl", "rwub", "term", "field")
+                .agg(F.max("wub").alias("mx"))
+            )
+            osum = per_group_max.groupBy("rfld", "rt", "rf", "rl",
+                                         "rwub").agg(
+                F.sum("mx").alias("osum"))
+            surviving = (
+                ra.join(osum, ["rfld", "rt", "rf", "rl", "rwub"], "left")
+                .withColumn("bound",
+                            F.col("rwub") + F.coalesce(F.col("osum"),
+                                                       F.lit(0.0)))
+                .filter(F.col("bound") >= F.lit(theta - eps))
+                .select(F.col("rfld").alias("field"),
+                        F.col("rt").alias("term"),
+                        F.col("rf").alias("first_doc"))
+            )
+            survivors = meta.join(F.broadcast(surviving),
+                                  ["field", "term", "first_doc"],
+                                  "left_semi")
+            new_blocks = survivors.join(
+                seed_blocks.select("field", "term", "first_doc"),
+                ["field", "term", "first_doc"], "left_anti",
+            )
+            n_new = new_blocks.count()
+            out = _topk_or(seed_blocks.unionByName(new_blocks), round_to)
+            return out, {"blocks_total": n_blocks,
+                         "blocks_decoded": n_seed + n_new,
+                         "blocks_seed": n_seed, "blocks_final": n_new}
+        finally:
+            meta.unpersist()
+
+    # -- fielded lenient mixed (term + phrase) queries -------------------------
+
+    def mixed_topk(self, q: str, k: int = 10,
+                   round_to: int | None = None,
+                   body_field: str = "body") -> DataFrame:
+        """Lenient mixed query over a FIELDED deployment — the round-3
+        routing gap: the reference parses EVERY user query (quoted or
+        not) with one lenient parser over the default fields
+        [title, body] WITH their boosts (serve.rs:336-351,407-409), so
+        a quoted query must not silently drop to single-field scoring.
+
+        Clause semantics (documented choice, mirroring Tantivy's field
+        options):
+
+        - TERM clause (term, boost): scores in EVERY configured field
+          it appears in — field_boost x clause_boost x per-field BM25
+          (title record:"basic" keeps tf=1, per-field df/N/avgdl),
+          summed across fields; matches when present in >= 1 field.
+          Identical algebra to the pure-term fielded engine.
+        - PHRASE clause [t1..tn]: positions exist only where the field
+          was committed record:"position" — title is record:"basic"
+          (stores NO positions, by definition), so phrases match and
+          score in ``body_field`` only: body_boost x phrase BM25
+          (tf = phrase frequency, df = phrase doc count in body,
+          body dl/avgdl). This is exactly why Tantivy cannot serve a
+          phrase from a basic field.
+        - Conjunction: a doc matches every clause
+          (countDistinct(clause_id) == n_clauses — a term clause can
+          emit one row per field, so row counting would overcount).
+
+        Pruning: term-clause postings decode bucket/term-pruned per
+        field; phrase terms decode only the phrase terms' body blocks.
+        Collection stats come from manifests — nothing re-tokenizes.
+        """
+        from prosearch_spark.index.positions import (
+            phrase_matches,
+            phrase_scores,
+        )
+        from prosearch_spark.query.engine import (
+            TOPK_SCHEMA,
+            materialize_topk,
+            rank_topk,
+        )
+
+        clauses = parse_query_lenient(q)
+        if not clauses:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        n_clauses = len(clauses)
+        term_clauses = [(i, c) for i, (kind, c) in enumerate(clauses)
+                        if kind == "term"]
+        phrase_clauses = [(i, c) for i, (kind, c) in enumerate(clauses)
+                          if kind == "phrase"]
+
+        persisted: list[DataFrame] = []
+        try:
+            scored_parts: list[DataFrame] = []
+            if term_clauses:
+                qdf = self.spark.createDataFrame(
+                    [(i, t, b) for i, (t, b) in term_clauses],
+                    "clause_id int, term string, boost double",
+                )
+                terms = sorted({t for _, (t, _b) in term_clauses})
+                idx = fielded_index_from_artifacts(self.artifacts, q,
+                                                   terms=terms)
+                fb = None
+                for field, boost in self.field_boosts.items():
+                    cond = F.when(F.col("field") == field,
+                                  F.lit(float(boost)))
+                    fb = cond if fb is None else fb.when(
+                        F.col("field") == field, F.lit(float(boost)))
+                fb = fb.otherwise(F.lit(1.0))
+                scored_parts.append(
+                    idx.postings
+                    .join(F.broadcast(qdf), "term")
+                    .join(F.broadcast(idx.term_stats), ["field", "term"])
+                    .join(F.broadcast(idx.stats), "field")
+                    .withColumn("s", fb * F.expr(SCORE_EXPR))
+                    .select("clause_id", "doc_id", "s")
+                )
+            if phrase_clauses:
+                body_art = self.artifacts[body_field]
+                body_boost = float(self.field_boosts.get(body_field, 1.0))
+                body_stats = body_art.stats()
+            for ci, terms_p in phrase_clauses:
+                pp = body_art.postings(sorted(set(terms_p)))
+                if "positions" not in pp.columns:
+                    raise ValueError(
+                        f"field '{body_field}' was not committed with "
+                        "positions (save_fielded_index positional_fields)")
+                m = phrase_matches(pp, list(terms_p)).persist()
+                persisted.append(m)
+                phrase_df = m.count()
+                if phrase_df == 0:
+                    # conjunction dead: one clause matches nothing
+                    return self.spark.createDataFrame([], TOPK_SCHEMA)
+                s = phrase_scores(m, phrase_df, body_stats)
+                if body_boost != 1.0:
+                    s = s.withColumn("s", F.col("s") * F.lit(body_boost))
+                scored_parts.append(
+                    s.select(F.lit(ci).cast("int").alias("clause_id"),
+                             "doc_id", "s"))
+            from functools import reduce
+
+            scored = reduce(lambda a, b: a.unionByName(b), scored_parts)
+            d = (
+                scored.groupBy("doc_id")
+                .agg(F.sum("s").alias("score"),
+                     F.countDistinct("clause_id").alias("nmatch"))
+                .filter(F.col("nmatch") == n_clauses)
+                .drop("nmatch")
+            )
+            return materialize_topk(self.spark, rank_topk(d, k, round_to))
+        finally:
+            for df in persisted:
+                df.unpersist()

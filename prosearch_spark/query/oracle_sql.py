@@ -187,9 +187,14 @@ def topk_not_sql(q: str, exclude: str, k: int = 10,
                  round_to: int = 6) -> str:
     """must_not oracle: the conjunctive CTE anti-joined with docs
     containing any analyzed term of ``exclude`` — twin of
-    SearchEngine.topk_not / BlockSearchEngine.topk_not."""
-    cte, _ = _scored_docs_cte_qualified(q)
+    SearchEngine.topk_not / BlockSearchEngine.topk_not. An exclude
+    that analyzes to ZERO terms is a no-op on the engine side, so the
+    twin degrades to plain topk_sql (an empty IN () list would be a
+    DuckDB syntax error — r3 ADVICE finding)."""
     ex = sorted({t for t, _ in analyze_query(exclude)})
+    if not ex:
+        return topk_sql(q, k, round_to)
+    cte, _ = _scored_docs_cte_qualified(q)
     inlist = ", ".join(_sql_str(t) for t in ex)
     cte += (
         ",\n"
@@ -235,12 +240,22 @@ def terms_agg_sql(q: str, group_col: str, size: int = 10) -> str:
 
 
 def fielded_topk_sql(q: str, k: int = 10, round_to: int = 6,
-                     title_tokens: int = 4) -> str:
+                     title_tokens: int = 4, conjunctive: bool = True,
+                     min_match: int = 1) -> str:
     """Two-field (title/body) BM25 oracle — full reference semantics:
     title = first N whitespace tokens of text (the test harness's
     title derivation), record:"basic" tf=1, field boosts 1.5/1.0,
-    per-field df/N/avgdl, conjunction across fields."""
+    per-field df/N/avgdl, conjunction across fields.
+    ``conjunctive=False`` relaxes to should-clause scoring with
+    ``min_match`` distinct matched clauses (twin of
+    FieldedSearchEngine.topk_or / the fielded disjunctive WAND)."""
     qcte, n_clauses = _query_clause_cte_fielded(q)
+    if conjunctive:
+        having = f"    HAVING count(DISTINCT clause_id) = {n_clauses}\n"
+    elif min_match > 1:
+        having = f"    HAVING count(DISTINCT clause_id) >= {min_match}\n"
+    else:
+        having = ""
     score = _qualify(SCORE_EXPR)
     per_field = []
     for field, fb, tf_expr in [
@@ -310,8 +325,7 @@ scored AS (
 docs_scored AS (
     SELECT doc_id, sum(s) AS score
     FROM scored GROUP BY doc_id
-    HAVING count(DISTINCT clause_id) = {n_clauses}
-),
+{having}),
 rounded AS (
     SELECT doc_id, round(score, {round_to}) AS score FROM docs_scored
 )
@@ -331,6 +345,166 @@ def _query_clause_cte_fielded(q: str) -> tuple[str, int]:
     return (
         f"qterms(clause_id, term, boost) AS (SELECT * FROM (VALUES {vals}))",
         len(clauses),
+    )
+
+
+def fielded_mixed_topk_sql(q: str, k: int = 10, round_to: int = 6,
+                           title_tokens: int = 4) -> str:
+    """Oracle for the FIELDED lenient mixed grammar
+    (FieldedBlockSearchEngine.mixed_topk): term clauses score per field
+    with boosts title 1.5 (record:basic tf=1) / body 1.0 and the
+    lenient parse's clause boosts (a quoted token folds to 1.0);
+    phrase clauses score in BODY only (title stores no positions),
+    tf = phrase frequency, df = phrase doc count in body, body
+    dl/avgdl; conjunction over DISTINCT clause ids."""
+    from prosearch_spark.analyzer import parse_query_lenient
+
+    clauses = parse_query_lenient(q)
+    assert clauses, "fielded mixed oracle needs at least one clause"
+    n_clauses = len(clauses)
+    term_clauses = [(i, c) for i, (kind, c) in enumerate(clauses)
+                    if kind == "term"]
+    phrase_clauses = [(i, c) for i, (kind, c) in enumerate(clauses)
+                      if kind == "phrase"]
+    score = _qualify(SCORE_EXPR)
+
+    ctes = [f"""docs2 AS (
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, {title_tokens}), ' ') AS title,
+           text AS body
+    FROM documents
+),
+toks_title AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(title), '\\s+')) AS term
+        FROM docs2
+    ) WHERE term <> ''
+),
+toks_body AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(body), '\\s+')) AS term
+        FROM docs2
+    ) WHERE term <> ''
+),
+tf_title AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks_title GROUP BY 1, 2
+),
+tf_body AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks_body GROUP BY 1, 2
+),
+postings_title AS (
+    SELECT term, doc_id, tf,
+           sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS dl
+    FROM tf_title
+),
+postings_body AS (
+    SELECT term, doc_id, tf,
+           sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS dl
+    FROM tf_body
+),
+df_title AS (SELECT term, count(*)::BIGINT AS df FROM tf_title GROUP BY term),
+df_body AS (SELECT term, count(*)::BIGINT AS df FROM tf_body GROUP BY term),
+stats_title AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+           (SELECT count(*) FROM toks_title) * 1.0
+               / (SELECT count(*) FROM documents) AS avgdl
+),
+stats_body AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+           (SELECT count(*) FROM toks_body) * 1.0
+               / (SELECT count(*) FROM documents) AS avgdl
+),
+dlen_body AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf_body GROUP BY doc_id)"""]
+    selects: list[str] = []
+
+    if term_clauses:
+        vals = ", ".join(
+            f"({i}, {_sql_str(t)}, {b!r}::DOUBLE)"
+            for i, (t, b) in term_clauses
+        )
+        ctes.append(
+            f"qterms(clause_id, term, boost) AS (SELECT * FROM (VALUES {vals}))"
+        )
+        for field, fb, tf_expr in [
+            ("title", 1.5, "1"),            # record:"basic" -> tf==1
+            ("body", 1.0, "p.tf"),
+        ]:
+            s = score.replace("p.tf", tf_expr) if tf_expr != "p.tf" else score
+            selects.append(
+                f"SELECT q.clause_id, p.doc_id, {fb!r} * ({s}) AS s\n"
+                f"    FROM qterms q\n"
+                f"    JOIN postings_{field} p ON p.term = q.term\n"
+                f"    JOIN df_{field} t ON t.term = q.term\n"
+                f"    CROSS JOIN stats_{field} stats"
+            )
+
+    if phrase_clauses:
+        ctes.append("""d2 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(body), '\\s+'), t -> t <> '') AS tl
+    FROM docs2
+)""")
+        ctes.append("""pos AS (
+    SELECT doc_id, term, list(i - 1 ORDER BY i) AS positions
+    FROM (
+        SELECT doc_id, i, tl[i] AS term
+        FROM d2, unnest(generate_series(1, len(tl))) u(i)
+    )
+    WHERE term <> '' GROUP BY doc_id, term
+)""")
+    pmap = {
+        "boost": "1.0", "n_docs": "stats.n_docs",
+        "avgdl": "stats.avgdl", "df": "pdf.df",
+        "tf": "matched.pf", "dl": "dlen.dl",
+    }
+    pscore = _QUALIFY_RE.sub(lambda m: pmap[m.group(1)], SCORE_EXPR)
+    for ci, terms in phrase_clauses:
+        joins = "\n".join(
+            f"    JOIN pos a{i} ON a{i}.doc_id = a0.doc_id"
+            f" AND a{i}.term = {_sql_str(t)}"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+        inter = "a0.positions"
+        for i in range(1, len(terms)):
+            inter = (f"list_intersect({inter}, "
+                     f"list_transform(a{i}.positions, x -> x - {i}))")
+        ctes.append(
+            f"m{ci} AS (\n"
+            f"    SELECT a0.doc_id, len({inter})::BIGINT AS pf\n"
+            f"    FROM pos a0\n{joins}\n"
+            f"    WHERE a0.term = {_sql_str(terms[0])}\n)"
+        )
+        ctes.append(
+            f"matched{ci} AS (SELECT doc_id, pf FROM m{ci} WHERE pf > 0)"
+        )
+        ctes.append(
+            f"pdf{ci} AS (SELECT count(*)::BIGINT AS df FROM matched{ci})"
+        )
+        # body field boost is 1.0 under the reference's fixed boosts
+        selects.append(
+            f"SELECT {ci} AS clause_id, matched.doc_id, 1.0 * ({pscore}) AS s\n"
+            f"    FROM matched{ci} matched\n"
+            "    JOIN dlen_body dlen ON dlen.doc_id = matched.doc_id\n"
+            f"    CROSS JOIN pdf{ci} pdf CROSS JOIN stats_body stats"
+        )
+
+    scored_union = "\n    UNION ALL\n    ".join(selects)
+    ctes.append(f"scored AS (\n    {scored_union}\n)")
+    ctes.append(
+        "docs_scored AS (\n"
+        "    SELECT doc_id, sum(s) AS score FROM scored GROUP BY doc_id\n"
+        f"    HAVING count(DISTINCT clause_id) = {n_clauses}\n)"
+    )
+    ctes.append(
+        f"rounded AS (SELECT doc_id, round(score, {round_to}) AS score "
+        "FROM docs_scored)"
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        "SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,\n"
+        "       doc_id, score\n"
+        f"FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}"
     )
 
 
@@ -938,6 +1112,29 @@ SELECT l_id, r_id, cosine, rank FROM (
     FROM pairs
 ) WHERE rank <= {k}
 """
+
+
+def facet_counts_sql(q: str, facet_array_sql: str) -> str:
+    """FacetCollector oracle — twin of BlockSearchEngine.facet_counts:
+    per facet path prefix, the count of matched docs with >= 1 facet
+    under it. ``facet_array_sql`` is a DuckDB LIST expression over the
+    documents view aliased ``d`` (the deterministic facet derivation,
+    recomputed independently of the artifact's fast field)."""
+    cte, _ = _scored_docs_cte_qualified(q)
+    return (
+        f"WITH {cte},\n"
+        "f AS (\n"
+        f"    SELECT m.doc_id, unnest({facet_array_sql}) AS facet\n"
+        "    FROM docs_scored m JOIN documents d USING (doc_id)\n"
+        "),\n"
+        "p AS (\n"
+        "    SELECT DISTINCT doc_id,\n"
+        "           array_to_string((string_split(facet, '/'))[1:i], '/') AS path\n"
+        "    FROM f, unnest(generate_series(1, len(string_split(facet, '/')))) t(i)\n"
+        ")\n"
+        "SELECT path, count(*)::BIGINT AS doc_count FROM p\n"
+        "GROUP BY path ORDER BY path"
+    )
 
 
 def stats_agg_sql(q: str, value_col: str) -> str:

@@ -26,8 +26,13 @@ class ArtifactSearcher:
     endpoint; the BooleanQuery built from the lenient parse picks the
     execution over segment skip data (serve.rs:407-419) — here:
 
-      - quoted span present -> staged-pruning mixed engine over the
-        positional artifact (phrase BM25 + term-WAND delegation);
+      - quoted span + fielded artifacts configured -> fielded lenient
+        mixed engine (title 1.5 / body 1.0 kept for term clauses;
+        phrases score in the positional body field — round-4 fix: the
+        r3 router silently dropped a fielded deployment's quoted
+        queries to single-field scoring);
+      - quoted span, single-field -> staged-pruning mixed engine over
+        the positional artifact (phrase BM25 + term-WAND delegation);
       - fielded artifacts configured, no quotes -> fielded Block-Max
         WAND (title 1.5 / body 1.0, serve.rs:336-351);
       - otherwise -> single-field Block-Max WAND.
@@ -55,6 +60,9 @@ class ArtifactSearcher:
               round_to: int | None = None) -> tuple[DataFrame, str]:
         """Pick the plan for ``q``; returns (hits, plan_name)."""
         if '"' in q:
+            if self.fielded is not None:
+                return (self.fielded.mixed_topk(q, k, round_to),
+                        "fielded_mixed")
             return self.block.mixed_topk(q, k, round_to), "mixed"
         if self.fielded is not None:
             df, _stats = self.fielded.topk_wand(q, k, round_to)

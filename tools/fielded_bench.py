@@ -11,6 +11,11 @@ derivation the gate entries use) and measures:
   default cost cutoff (the serving configuration) and once with the
   ladder forced (min_prune_blocks=0, the pruning measurement).
 
+Round 4 additions (the body field commits record:"position", the
+reference's actual schema): fielded lenient MIXED query latency
+(term + quoted phrase, phrases scoring body-only), and the fielded
+disjunctive WAND ladder forced, with its pruning stats.
+
 Usage: python tools/fielded_bench.py [cpus] [n_docs]
 Prints one JSON line.
 """
@@ -54,6 +59,7 @@ def main() -> None:
     t0 = time.perf_counter()
     save_fielded_index(spark, docs, path,
                        {"title": "title", "body": "content"},
+                       positional_fields=frozenset({"body"}),
                        n_buckets=32)
     out["fielded_commit_sec"] = round(time.perf_counter() - t0, 2)
 
@@ -74,6 +80,20 @@ def main() -> None:
         r.collect()
         out["q_fielded_wand_ladder"] = round(time.perf_counter() - t0, 2)
         out["wand_ladder_stats"] = st
+        # round 4: quoted query on the fielded deployment (phrase
+        # scores body-only, term clause keeps title 1.5 / body 1.0)
+        t0 = time.perf_counter()
+        hits = blk.mixed_topk('z3_1 "z3_2 z3_3"', 10, round_to=6)
+        n_hits = hits.count()
+        out["q_fielded_mixed_phrase"] = round(time.perf_counter() - t0, 2)
+        out["fielded_mixed_hits"] = n_hits
+        # round 4: fielded disjunctive WAND, ladder forced
+        t0 = time.perf_counter()
+        r, st = blk.topk_wand_or("z3_1 z3_2", 10, round_to=6,
+                                 min_prune_blocks=0)
+        r.collect()
+        out["q_fielded_wand_or_ladder"] = round(time.perf_counter() - t0, 2)
+        out["wand_or_ladder_stats"] = st
     print(json.dumps(out))
     spark.stop()
 
