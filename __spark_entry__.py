@@ -925,6 +925,51 @@ def q_phrase_prefix_blocks(spark, sf_dir):
         "join", "s", 10, round_to=ROUND)
 
 
+def _fielded_stacks(spark, sf_dir):
+    """Per-FIELD segment stacks (fields x segments — the reference's
+    real shape: a Tantivy index is per-field structures inside N
+    segments): each field its own SegmentedIndex, three commits each,
+    title record:basic / body record:position; exposed as delete-free
+    union views that duck-type the per-field artifacts."""
+    import os
+    import tempfile
+
+    from prosearch_spark.index.segments import SegmentedIndex
+
+    def build():
+        root = tempfile.mkdtemp(prefix="prosearch_fstacks_")
+        docs = _docs(spark, sf_dir).withColumn(
+            "title", F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
+        )
+        out = {}
+        for field, col, kw in [
+            ("title", "title", {"record_basic": True}),
+            ("body", "text", {"with_positions": True}),
+        ]:
+            si = SegmentedIndex(spark, os.path.join(root, f"field={field}"))
+            for i in range(3):
+                si.commit(docs.filter(F.col("doc_id") % 3 == i),
+                          text_col=col, **kw)
+            out[field] = si.as_artifact()
+        return out
+
+    return _memo_artifact("fielded_stacks", sf_dir, build)
+
+
+def q_fielded_stack_phrase(spark, sf_dir):
+    """Fields x segments x positions x phrases — the deepest layout
+    combination: a quoted mixed query over PER-FIELD SEGMENT STACKS
+    through the fielded mixed engine. Exact integer pointer totals
+    make the union views' per-field avgdl the same float division as
+    a single-generation build, so scores hash-match the flat fielded
+    mixed oracle."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    stacks = _fielded_stacks(spark, sf_dir)
+    return FieldedBlockSearchEngine(spark, stacks).mixed_topk(
+        Q_MIXED_PHRASE, 10, round_to=ROUND)
+
+
 def q_knn_ivf(spark, sf_dir):
     """Deterministic IVF ANN (round 3), oracle-gated: sampled-member
     coarse quantizer (the 8 smallest non-query ids), bucket =
@@ -1250,6 +1295,41 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical-survivor selection per near-dup cluster (round 4) —
+    the step AFTER dup_clusters in a training-data dedup pipeline:
+    keep the highest-n_chars member of every MinHash cluster (ties to
+    the lowest doc_id), executed as one partitioned window over the
+    cluster labels (WindowGroupLimit shape, no global sort)."""
+    pairs = dd.minhash_dedup_pairs(
+        _docs(spark, sf_dir), content_col="text", n=3,
+        num_hashes=16, bands=4, threshold=0.5,
+    )
+    clusters = dd.dup_clusters(pairs)
+    return dd.keep_best(clusters, _docs(spark, sf_dir), "n_chars")
+
+
+def q_serve_routed_fielded_stack(spark, sf_dir):
+    """The router on a FIELDED deployment whose per-field indexes are
+    SEGMENT STACKS (fields x segments, the reference's full shape):
+    a quoted query routes to the fielded mixed engine over the union
+    views and must hash-match the flat fielded mixed oracle."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    art = _memo_artifact("positional", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_rfs_"), text_col="text",
+        with_positions=True))
+    s = ArtifactSearcher(spark, art,
+                         fielded=_fielded_stacks(spark, sf_dir))
+    df, plan = s.route(Q_MIXED_PHRASE, 10, round_to=ROUND)
+    assert plan == "fielded_mixed"
+    return df
+
+
 def q_quality_filter(spark, sf_dir):
     """Gopher-rule hard quality filter (round 3): keep/reject verdict +
     first-failing-rule reason, thresholds compared on 6dp-rounded
@@ -1308,6 +1388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_blocks": q_search_after_blocks,
         "terms_stats_agg_blocks": q_terms_stats_agg_blocks,
         "phrase_prefix_blocks": q_phrase_prefix_blocks,
+        "fielded_stack_phrase": q_fielded_stack_phrase,
+        "serve_routed_fielded_stack": q_serve_routed_fielded_stack,
+        "dedup_keep_best": q_dedup_keep_best,
         # ---- code changed in round 4 (clause threading / count fold /
         # router / fielded engine / segments / multi-probe tie-break) ----
         "bm25_topk_wand": q_bm25_topk_wand,
@@ -1432,6 +1515,12 @@ def oracle_sql() -> dict[str, str]:
             Q_SINGLE, "lang", "n_chars"),
         "phrase_prefix_blocks": osql.phrase_prefix_topk_sql(
             "join", "s", 10, ROUND),
+        # fields x segments: the union views must not change scores —
+        # the flat fielded mixed oracle gates the stack
+        "fielded_stack_phrase": osql.fielded_mixed_topk_sql(
+            Q_MIXED_PHRASE, 10, ROUND),
+        "serve_routed_fielded_stack": osql.fielded_mixed_topk_sql(
+            Q_MIXED_PHRASE, 10, ROUND),
         "index_postings": osql.postings_sql(),
         "index_term_stats": osql.term_stats_sql(),
         "index_doc_stats": osql.doc_stats_sql(),
@@ -1772,53 +1861,20 @@ def oracle_sql() -> dict[str, str]:
             FROM base, range(16) t(i)
         """,
         "dedup_clusters": f"""
-            WITH RECURSIVE {_SHINGLES_CTE},
-            mh AS (
-                SELECT doc_id, i AS pos,
-                       min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::UBIGINT::BIGINT) AS v
-                FROM sh, range(16) t(i)
-                GROUP BY doc_id, i
-            ),
-            sig AS (SELECT doc_id, list(v ORDER BY pos) AS sig FROM mh GROUP BY doc_id),
-            banded AS (
-                SELECT doc_id, b AS band,
-                       array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
-                FROM sig, range(4) t(b)
-            ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_id2
-                FROM banded a JOIN banded b
-                  ON a.band = b.band AND a.bucket = b.bucket
-                 AND a.doc_id < b.doc_id
-            ),
-            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT c.doc_id, c.doc_id2, count(*) AS inter
-                FROM cand c
-                JOIN sh x ON x.doc_id = c.doc_id
-                JOIN sh y ON y.doc_id = c.doc_id2 AND y.shingle = x.shingle
-                GROUP BY c.doc_id, c.doc_id2
-            ),
-            pairs AS (
-                SELECT i.doc_id, i.doc_id2
-                FROM inter i
-                JOIN sz sa ON i.doc_id = sa.doc_id
-                JOIN sz sb ON i.doc_id2 = sb.doc_id
-                WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
-            ),
-            edges AS (
-                SELECT doc_id AS a, doc_id2 AS b FROM pairs
-                UNION
-                SELECT doc_id2 AS a, doc_id AS b FROM pairs
-            ),
-            nodes AS (SELECT DISTINCT a AS node FROM edges),
-            reach(node, r) AS (
-                SELECT node, node FROM nodes
-                UNION
-                SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+            WITH RECURSIVE {_CLUSTERS_CTE}
+            SELECT doc_id, cluster_id FROM clusters
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_CLUSTERS_CTE},
+            scored AS (
+                SELECT c.doc_id, c.cluster_id, d.n_chars
+                FROM clusters c JOIN documents d USING (doc_id)
             )
-            SELECT node AS doc_id, min(r)::BIGINT AS cluster_id
-            FROM reach GROUP BY node
+            SELECT doc_id, cluster_id,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id ASC)
+                       = 1 AS keep
+            FROM scored
         """,
         "quality_filter": f"""
             WITH {_TOKS},
@@ -1927,6 +1983,72 @@ sh AS (
     SELECT DISTINCT doc_id, array_to_string(tl[i:i+2], ' ') AS shingle
     FROM d, unnest(generate_series(1, greatest(len(tl) - 2, 1))) AS t(i)
     WHERE array_to_string(tl[i:i+2], ' ') <> ''
+)
+"""
+
+# MinHash-LSH near-dup clusters as a reusable CTE chain (ends in
+# `clusters(doc_id, cluster_id)`): shingles -> md5 minhash signatures
+# -> banded buckets -> exact-Jaccard verify -> recursive connected
+# components with min-label canonicalization. Shared by the
+# dedup_clusters and dedup_keep_best oracles.
+_CLUSTERS_CTE = """
+d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tl
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(tl[i:i+2], ' ') AS shingle
+    FROM d, unnest(generate_series(1, greatest(len(tl) - 2, 1))) AS t(i)
+    WHERE array_to_string(tl[i:i+2], ' ') <> ''
+),
+mh AS (
+    SELECT doc_id, i AS pos,
+           min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::UBIGINT::BIGINT) AS v
+    FROM sh, range(16) t(i)
+    GROUP BY doc_id, i
+),
+sig AS (SELECT doc_id, list(v ORDER BY pos) AS sig FROM mh GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, b AS band,
+           array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+    FROM sig, range(4) t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_id2
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket
+     AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_id, c.doc_id2, count(*) AS inter
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_id
+    JOIN sh y ON y.doc_id = c.doc_id2 AND y.shingle = x.shingle
+    GROUP BY c.doc_id, c.doc_id2
+),
+pairs AS (
+    SELECT i.doc_id, i.doc_id2
+    FROM inter i
+    JOIN sz sa ON i.doc_id = sa.doc_id
+    JOIN sz sb ON i.doc_id2 = sb.doc_id
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+),
+edges AS (
+    SELECT doc_id AS a, doc_id2 AS b FROM pairs
+    UNION
+    SELECT doc_id2 AS a, doc_id AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+clusters AS (
+    SELECT node AS doc_id, min(r)::BIGINT AS cluster_id
+    FROM reach GROUP BY node
 )
 """
 

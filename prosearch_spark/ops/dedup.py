@@ -334,3 +334,33 @@ def dup_clusters(pairs: DataFrame, left: str = "doc_id",
         return labels.select("node", F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
+
+
+def keep_best(clusters: DataFrame, docs: DataFrame, score_col: str,
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, cluster_id, keep): pick ONE canonical survivor per
+    near-dup cluster — the step after :func:`dup_clusters` in a real
+    training-data dedup pipeline (drop the duplicates, keep the best
+    exemplar). Rule: highest ``score_col`` (e.g. a quality score or
+    content length), ties to the lowest doc_id — deterministic so the
+    SQL oracle recomputes the same survivor.
+
+    Plan: broadcast-sized cluster labels join the score column, then
+    one PARTITIONED row_number per cluster (WindowGroupLimit shape —
+    per-task partial winners, no global sort). At 100 TB clusters are
+    the tiny side of the corpus; the window partitions by cluster_id,
+    so skew equals the largest duplicate group (bounded by the
+    near-dup threshold, not the corpus)."""
+    from pyspark.sql import Window
+
+    j = (
+        clusters.select(F.col("node").alias("doc_id"), "cluster_id")
+        .join(docs.select(F.col(id_col).alias("doc_id"), score_col),
+              "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc("doc_id"))
+    return (
+        j.withColumn("keep", F.row_number().over(w) == F.lit(1))
+        .select("doc_id", "cluster_id", "keep")
+    )

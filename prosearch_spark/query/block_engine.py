@@ -303,7 +303,6 @@ class BlockSearchEngine:
                     & (F.col("last_doc") >= F.col("rf")),
                     "left_semi",
                 )
-                n_seed = seed_blocks.count()
                 # when the seed spans every rarest block the seed
                 # result IS final — score it under the caller's
                 # rounding directly (theta is only needed when a
@@ -316,6 +315,7 @@ class BlockSearchEngine:
                 if covers_all:
                     from prosearch_spark.query.engine import TOPK_SCHEMA
 
+                    n_seed = seed_blocks.count()
                     out = (self.spark.createDataFrame(seed_rows,
                                                       TOPK_SCHEMA)
                            if seed_rows else
@@ -341,19 +341,30 @@ class BlockSearchEngine:
             eps = (10 ** (-round_to) if round_to is not None
                    else 1e-9 * abs(theta))
 
-            # bounds-pass cost cutoff: it can save at most the blocks
-            # the seed did not decode — if that is under the pruning
-            # threshold, decode them outright (one job instead of the
-            # range-join + aggregate + anti-join ladder)
-            if n_blocks - n_seed < min_prune_blocks:
-                out = self._engine_on_blocks(meta, terms, predicate).topk(
-                    q, k, round_to=round_to, clauses=clauses
-                )
-                return out, {"blocks_total": n_blocks,
-                             "blocks_decoded": n_blocks,
-                             "blocks_seed": n_seed,
-                             "blocks_final": n_blocks - n_seed,
-                             "bounds_skipped": True}
+            # n_seed is needed NOW only for the bounds-skip decision —
+            # with the ladder forced (min_prune_blocks=0) that branch
+            # is dead, so the count folds into the post-prune stats
+            # job instead (one fewer scheduled job on the forced path;
+            # r3 verdict item 3's "only compute what the branches
+            # need")
+            n_seed = None
+            if min_prune_blocks > 0:
+                # bounds-pass cost cutoff: it can save at most the
+                # blocks the seed did not decode — if that is under
+                # the pruning threshold, decode them outright (one job
+                # instead of the range-join + aggregate + anti-join
+                # ladder)
+                n_seed = seed_blocks.count()
+                if n_blocks - n_seed < min_prune_blocks:
+                    out = self._engine_on_blocks(meta, terms,
+                                                 predicate).topk(
+                        q, k, round_to=round_to, clauses=clauses
+                    )
+                    return out, {"blocks_total": n_blocks,
+                                 "blocks_decoded": n_blocks,
+                                 "blocks_seed": n_seed,
+                                 "blocks_final": n_blocks - n_seed,
+                                 "bounds_skipped": True}
 
             # -- bound per rarest block (broadcast metadata range join)
             r_ranges = rmeta.select(
@@ -414,7 +425,16 @@ class BlockSearchEngine:
                 seed_blocks.select("term", "first_doc"),
                 ["term", "first_doc"], "left_anti",
             )
-            n_new = new_blocks.count()
+            if n_seed is None:
+                # ONE tagged count job for both stats figures
+                cnts = seed_blocks.select(F.lit(True).alias("s")) \
+                    .unionByName(new_blocks.select(F.lit(False)
+                                                   .alias("s"))) \
+                    .groupBy("s").agg(F.count("*").alias("n")).collect()
+                n_seed = sum(r["n"] for r in cnts if r["s"])
+                n_new = sum(r["n"] for r in cnts if not r["s"])
+            else:
+                n_new = new_blocks.count()
             out = self._engine_on_blocks(
                 seed_blocks.unionByName(new_blocks), terms, predicate
             ).topk(q, k, round_to=round_to, clauses=clauses)
@@ -539,10 +559,10 @@ class BlockSearchEngine:
                     & (F.col("last_doc") >= F.col("rf")),
                     "left_semi",
                 )
-                n_seed = seed_blocks.count()
                 rt = round_to if covers_all else None
                 seed_rows = _topk_or(seed_blocks, rt).collect()
                 if covers_all:
+                    n_seed = seed_blocks.count()
                     out = (self.spark.createDataFrame(seed_rows,
                                                       TOPK_SCHEMA)
                            if seed_rows else
@@ -564,13 +584,18 @@ class BlockSearchEngine:
             eps = (10 ** (-round_to) if round_to is not None
                    else 1e-9 * abs(theta))
 
-            if n_blocks - n_seed < min_prune_blocks:
-                out = _topk_or(meta, round_to)
-                return out, {"blocks_total": n_blocks,
-                             "blocks_decoded": n_blocks,
-                             "blocks_seed": n_seed,
-                             "blocks_final": n_blocks - n_seed,
-                             "bounds_skipped": True}
+            # n_seed only gates the bounds-skip branch (dead when the
+            # ladder is forced) — same count deferral as topk_wand
+            n_seed = None
+            if min_prune_blocks > 0:
+                n_seed = seed_blocks.count()
+                if n_blocks - n_seed < min_prune_blocks:
+                    out = _topk_or(meta, round_to)
+                    return out, {"blocks_total": n_blocks,
+                                 "blocks_decoded": n_blocks,
+                                 "blocks_seed": n_seed,
+                                 "blocks_final": n_blocks - n_seed,
+                                 "bounds_skipped": True}
 
             # -- per-block bound via ONE metadata self-range-join ------
             ra = meta.select(
@@ -610,7 +635,15 @@ class BlockSearchEngine:
                 seed_blocks.select("term", "first_doc"),
                 ["term", "first_doc"], "left_anti",
             )
-            n_new = new_blocks.count()
+            if n_seed is None:
+                cnts = seed_blocks.select(F.lit(True).alias("s")) \
+                    .unionByName(new_blocks.select(F.lit(False)
+                                                   .alias("s"))) \
+                    .groupBy("s").agg(F.count("*").alias("n")).collect()
+                n_seed = sum(r["n"] for r in cnts if r["s"])
+                n_new = sum(r["n"] for r in cnts if not r["s"])
+            else:
+                n_new = new_blocks.count()
             out = _topk_or(seed_blocks.unionByName(new_blocks),
                            round_to)
             return out, {"blocks_total": n_blocks,

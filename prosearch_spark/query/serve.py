@@ -70,6 +70,19 @@ class ArtifactSearcher:
         df, _stats = self.block.topk_wand(q, k, round_to)
         return df, "wand"
 
+    def warmup(self, queries: list[str], k: int = 2) -> dict[str, float]:
+        """Q11 on the production facade (serve.rs:220-257): run each
+        query once through the ROUTER at small k so every branch's
+        codegen, broadcast caches, and parquet footers are hot; returns
+        per-query seconds keyed by query string."""
+        out = {}
+        for q in queries:
+            t0 = time.perf_counter()
+            hits, _plan = self.route(q, k)
+            hits.collect()
+            out[q] = round(time.perf_counter() - t0, 4)
+        return out
+
     def api(self, q: str, nhits: int = 10) -> dict:
         """The Serp response (serve.rs:301-312): routed hits joined to
         the artifact's doc store, snippets rendered, body dropped (P1),

@@ -302,6 +302,78 @@ def test_multiprobe_clamps_past_plane_count(spark):
     assert all(r["sig"] is not None and len(r["sig"]) == 2 for r in rows)
 
 
+# -- fields x segments --------------------------------------------------------
+
+def test_fielded_over_segment_stacks_matches_flat(spark, corpus, tmp_path):
+    """Per-field segment STACKS (each field its own SegmentedIndex,
+    three commits each; title record:basic, body positional) queried
+    through FieldedBlockSearchEngine via the delete-free union views —
+    scores must bit-match the single-generation fielded artifacts
+    (exact integer pointer totals give the identical avgdl division)."""
+    from prosearch_spark.index.artifact import save_fielded_index
+    from prosearch_spark.index.segments import SegmentedIndex
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    titled = corpus.withColumn(
+        "title", F.concat_ws(" ", F.slice(F.split("content", " "), 1, 4)))
+    stacks = {}
+    for field, col, kw in [
+        ("title", "title", {"record_basic": True}),
+        ("body", "content", {"with_positions": True}),
+    ]:
+        si = SegmentedIndex(spark, str(tmp_path / f"stack_{field}"))
+        for i in range(3):
+            si.commit(titled.filter(F.col("doc_id") % 3 == i),
+                      text_col=col, **kw)
+        stacks[field] = si.as_artifact()
+    flat = save_fielded_index(
+        spark, titled, str(tmp_path / "flat"),
+        {"title": "title", "body": "content"},
+        positional_fields=frozenset({"body"}))
+    stack_eng = FieldedBlockSearchEngine(spark, stacks)
+    flat_eng = FieldedBlockSearchEngine(spark, flat)
+    for q in ["spark", "spark shuffle"]:
+        a = [(r["doc_id"], r["score"])
+             for r in stack_eng.topk(q, 10, round_to=ROUND).collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in flat_eng.topk(q, 10, round_to=ROUND).collect()]
+        assert a == b, q
+    # fielded WAND and the fielded MIXED (phrase) engine run unchanged
+    # over the stacks
+    w, _st = stack_eng.topk_wand("spark", 10, round_to=ROUND)
+    assert [(r["doc_id"], r["score"]) for r in w.collect()] == \
+        [(r["doc_id"], r["score"])
+         for r in flat_eng.topk("spark", 10, round_to=ROUND).collect()]
+    qm = 'spark "the first"'
+    a = [(r["doc_id"], r["score"])
+         for r in stack_eng.mixed_topk(qm, 10, round_to=ROUND).collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in flat_eng.mixed_topk(qm, 10, round_to=ROUND).collect()]
+    assert a == b
+
+
+# -- dedup survivor selection -------------------------------------------------
+
+def test_keep_best_picks_one_canonical_per_cluster(spark):
+    from prosearch_spark.ops import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id long, doc_id2 long")
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2), (99, 7)],
+        "doc_id long, score long")
+    clusters = dd.dup_clusters(pairs)
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dd.keep_best(clusters, docs, "score").collect()}
+    # cluster {1,2,3}: best score 9 tied between 2 and 3 -> lowest id 2
+    assert out[2] == (1, True)
+    assert out[1] == (1, False) and out[3] == (1, False)
+    # cluster {10,11}: 10 wins on score
+    assert out[10] == (10, True) and out[11] == (10, False)
+    # doc 99 is in no cluster -> not in the output (nothing to drop)
+    assert 99 not in out
+
+
 # -- facet counts -------------------------------------------------------------
 
 def test_facet_counts_prefix_semantics(spark, tmp_path):

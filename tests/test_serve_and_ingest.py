@@ -127,6 +127,21 @@ def test_artifact_searcher_routes_by_query_shape(spark, corpus, tmp_path):
         [tuple(r) for r in want.collect()]
 
 
+def test_artifact_searcher_warmup_hits_every_branch(spark, corpus,
+                                                    tmp_path):
+    """Q11 on the production facade: warmup routes each query (term ->
+    WAND, quoted -> mixed) and reports per-query seconds."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    art = save_index(spark, corpus, str(tmp_path / "artw"),
+                     text_col="content", with_positions=True)
+    s = ArtifactSearcher(spark, art, body_col="content")
+    out = s.warmup(["spark", 'python "spark shuffle"'])
+    assert set(out) == {"spark", 'python "spark shuffle"'}
+    assert all(v > 0 for v in out.values())
+
+
 def test_artifact_searcher_api_serp_shape(spark, corpus, tmp_path):
     from prosearch_spark.index.artifact import save_index
     from prosearch_spark.query.serve import ArtifactSearcher
