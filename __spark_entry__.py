@@ -1295,6 +1295,16 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Semantic near-dup dedup END TO END (round 4): banded-LSH kNN
+    self-join pairs at cosine >= 0.45 -> transitive connected
+    components -> min-id canonical survivor per cluster — the
+    embedding-side twin of the lexical minhash->clusters->keep_best
+    pipeline, with every stage recomputed by the SQL oracle."""
+    return sim.semantic_dedup(_emb(spark, sf_dir), k=3, threshold=0.45,
+                              n_planes=6, seed=42, dim=64, n_tables=4)
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Canonical-survivor selection per near-dup cluster (round 4) —
     the step AFTER dup_clusters in a training-data dedup pipeline:
@@ -1391,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fielded_stack_phrase": q_fielded_stack_phrase,
         "serve_routed_fielded_stack": q_serve_routed_fielded_stack,
         "dedup_keep_best": q_dedup_keep_best,
+        "embedding_dedup": q_embedding_dedup,
         # ---- code changed in round 4 (clause threading / count fold /
         # router / fielded engine / segments / multi-probe tie-break) ----
         "bm25_topk_wand": q_bm25_topk_wand,
@@ -1511,6 +1522,9 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": osql.facet_counts_sql(
             Q_SINGLE, "['lang/' || d.lang, 'src/' || d.source]"),
         "search_after_blocks": osql.topk_page2_sql(Q_SINGLE, 10, ROUND),
+        "embedding_dedup": osql.embedding_dedup_sql(
+            k=3, threshold=0.45, n_planes=6, seed=42, dim=64,
+            round_to=ROUND, n_tables=4),
         "terms_stats_agg_blocks": osql.terms_stats_agg_sql(
             Q_SINGLE, "lang", "n_chars"),
         "phrase_prefix_blocks": osql.phrase_prefix_topk_sql(

@@ -279,6 +279,39 @@ def _banded_sigs(vec: Column | str, planes: list[list[float]],
     return F.array(*entries)
 
 
+def semantic_dedup(emb: DataFrame, k: int = 3, threshold: float = 0.45,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_planes: int = 6, seed: int = 42, dim: int = 64,
+                   n_tables: int = 1, probes: int = 1) -> DataFrame:
+    """(vec_id, cluster_id, keep): embedding-side near-dup dedup END
+    TO END — the semantic twin of the lexical minhash -> clusters ->
+    keep_best pipeline: banded-LSH kNN self-join (never all-pairs),
+    cosine >= ``threshold`` pairs, transitive connected components,
+    one canonical survivor per cluster (the min-id member — the
+    cluster label IS the min id, so the survivor rule costs nothing).
+
+    Pair semantics inherit knn_join's per-left top-``k`` truncation
+    (rank by cosine DESC, r_id ASC) — a deliberately deterministic
+    candidate rule both engines and the SQL oracle replicate exactly.
+    Scale: LSH buckets bound candidates, CC is one shuffle per
+    diameter round, the survivor flag is a projection."""
+    from prosearch_spark.ops.dedup import dup_clusters
+
+    pairs = knn_join(emb, emb, k=k, id_col=id_col, vec_col=vec_col,
+                     n_planes=n_planes, seed=seed, dim=dim,
+                     n_tables=n_tables, probes=probes)
+    nd = pairs.filter(
+        (F.col("cosine") >= F.lit(threshold))
+        & (F.col("l_id") < F.col("r_id"))
+    ).select(F.col("l_id").alias("doc_id"),
+             F.col("r_id").alias("doc_id2"))
+    cl = dup_clusters(nd)
+    return cl.select(
+        F.col("node").alias(id_col), "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 6, seed: int = 42, dim: int = 64,

@@ -1137,6 +1137,41 @@ def facet_counts_sql(q: str, facet_array_sql: str) -> str:
     )
 
 
+def embedding_dedup_sql(k: int = 3, threshold: float = 0.45,
+                        n_planes: int = 6, seed: int = 42, dim: int = 64,
+                        round_to: int = 6, n_tables: int = 1,
+                        probes: int = 1) -> str:
+    """DuckDB twin of ops/similarity.semantic_dedup: the knn_join_lsh
+    pair query (same per-left top-k truncation) filtered to
+    cosine >= threshold undirected pairs, a recursive-CTE connected
+    components with min-label canonicalization, and the min-id
+    survivor flag (the cluster label IS the min id)."""
+    inner = knn_join_lsh_sql(k=k, n_planes=n_planes, seed=seed, dim=dim,
+                             round_to=round_to, n_tables=n_tables,
+                             probes=probes)
+    return f"""
+WITH RECURSIVE base AS ({inner}),
+nd AS (
+    SELECT l_id AS doc_id, r_id AS doc_id2 FROM base
+    WHERE cosine >= {threshold!r} AND l_id < r_id
+),
+edges AS (
+    SELECT doc_id AS a, doc_id2 AS b FROM nd
+    UNION
+    SELECT doc_id2 AS a, doc_id AS b FROM nd
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+)
+SELECT node AS vec_id, min(r)::BIGINT AS cluster_id,
+       (node = min(r)) AS keep
+FROM reach GROUP BY node
+"""
+
+
 def stats_agg_sql(q: str, value_col: str) -> str:
     cte, _ = _scored_docs_cte_qualified(q)
     return (

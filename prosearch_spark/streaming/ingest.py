@@ -131,6 +131,7 @@ class SegmentedStreamingIndexer:
 
     def __init__(self, spark: SparkSession, root: str,
                  merge_factor: int = 8, compact_inline: bool = True,
+                 merge_size_by: str = "n_docs",
                  text_col: str = "text", id_col: str = "doc_id",
                  lang_col: str = "lang", analyzer: str = "white_lower",
                  n_buckets: int = 8):
@@ -138,6 +139,10 @@ class SegmentedStreamingIndexer:
 
         self.index = SegmentedIndex(spark, root, merge_factor=merge_factor)
         self.compact_inline = compact_inline
+        # "bytes" buckets merge candidates by on-disk size instead of
+        # doc counts (LogByteSizeMergePolicy — better when batch docs
+        # vary wildly in length); pointer/manifest metadata only
+        self.merge_size_by = merge_size_by
         self.text_col = text_col
         self.id_col = id_col
         self.lang_col = lang_col
@@ -165,7 +170,7 @@ class SegmentedStreamingIndexer:
             # pointer-swap protocol makes either placement safe. When
             # no bucket holds merge_factor segments this is a pointer
             # read only.
-            self.index.merge_once()
+            self.index.merge_once(size_by=self.merge_size_by)
 
     def attach(self, stream: DataFrame, checkpoint: str,
                trigger_available_now: bool = True):
