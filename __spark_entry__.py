@@ -906,6 +906,31 @@ def q_terms_stats_agg_blocks(spark, sf_dir):
         Q_SINGLE, "lang", "n_chars")
 
 
+def q_range_agg(spark, sf_dir):
+    """ES/Tantivy RANGE aggregation over the committed artifact's
+    fast fields (round 4): half-open [lo, hi) buckets with ES overlap
+    semantics — each bucket is its own conditional sum over one scan
+    of the match set; unbounded ends via None."""
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _agg_art(spark, sf_dir)
+    return BlockSearchEngine(spark, art).range_agg(
+        Q_SINGLE, "n_chars", [(None, 200.0), (200.0, 350.0),
+                              (300.0, None)])
+
+
+def q_percentiles_agg(spark, sf_dir):
+    """Percentiles aggregation over the committed artifact's fast
+    fields (round 4): EXACT linear-interpolated percentiles (Spark
+    percentile == DuckDB quantile_cont, rank = p*(n-1)); at 100 TB
+    the approx sketch replaces it and the gate drops to rows-only."""
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _agg_art(spark, sf_dir)
+    return BlockSearchEngine(spark, art).percentiles_agg(
+        Q_SINGLE, "n_chars", [0.25, 0.5, 0.75, 0.95], round_to=ROUND)
+
+
 def q_phrase_prefix_blocks(spark, sf_dir):
     """Phrase-prefix autocomplete over a COMMITTED positional artifact
     (round 4, r3 verdict item 4): the prefix expansion reads the
@@ -1397,6 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "search_after_blocks": q_search_after_blocks,
         "terms_stats_agg_blocks": q_terms_stats_agg_blocks,
+        "range_agg": q_range_agg,
+        "percentiles_agg": q_percentiles_agg,
         "phrase_prefix_blocks": q_phrase_prefix_blocks,
         "fielded_stack_phrase": q_fielded_stack_phrase,
         "serve_routed_fielded_stack": q_serve_routed_fielded_stack,
@@ -1527,6 +1554,11 @@ def oracle_sql() -> dict[str, str]:
             round_to=ROUND, n_tables=4),
         "terms_stats_agg_blocks": osql.terms_stats_agg_sql(
             Q_SINGLE, "lang", "n_chars"),
+        "range_agg": osql.range_agg_sql(
+            Q_SINGLE, "n_chars", [(None, 200.0), (200.0, 350.0),
+                                  (300.0, None)]),
+        "percentiles_agg": osql.percentiles_agg_sql(
+            Q_SINGLE, "n_chars", [0.25, 0.5, 0.75, 0.95], ROUND),
         "phrase_prefix_blocks": osql.phrase_prefix_topk_sql(
             "join", "s", 10, ROUND),
         # fields x segments: the union views must not change scores —

@@ -715,6 +715,21 @@ class BlockSearchEngine:
         return self._engine(q).terms_stats_agg(
             q, self.artifact.doc_stats(), group_col, value_col)
 
+    def range_agg(self, q: str, value_col: str,
+                  ranges: list[tuple[float | None, float | None]]
+                  ) -> DataFrame:
+        """ES/Tantivy range aggregation over the artifact's fast
+        fields (half-open [lo, hi) buckets, ES overlap semantics)."""
+        return self._engine(q).range_agg(
+            q, self.artifact.doc_stats(), value_col, ranges)
+
+    def percentiles_agg(self, q: str, value_col: str,
+                        ps: list[float] | None = None,
+                        round_to: int = 6) -> DataFrame:
+        """Percentiles aggregation over the artifact's fast fields."""
+        return self._engine(q).percentiles_agg(
+            q, self.artifact.doc_stats(), value_col, ps, round_to)
+
     def date_histogram(self, q: str, date_col: str) -> DataFrame:
         """Per-month date histogram over a Date fast field (Tantivy
         DateHistogramAggregation): pruned match set joined to the

@@ -312,6 +312,65 @@ class SearchEngine:
             )
         return rank_topk(d, k, round_to)
 
+    def range_agg(self, q: str, docs: DataFrame, value_col: str,
+                  ranges: list[tuple[float | None, float | None]]
+                  ) -> DataFrame:
+        """Q9: ES/Tantivy ``range`` aggregation over matches — one doc
+        count per half-open bucket [lo, hi); ``None`` = unbounded end.
+        Buckets may overlap (a doc counts in every bucket it falls in,
+        the ES rule), so each range is its own conditional sum over ONE
+        scan of the matched rows — no explode, no second shuffle."""
+        m = self.match_scan(q)
+        j = docs.join(m, "doc_id")
+        v = F.col(value_col)
+        aggs = []
+        for lo, hi in ranges:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (v >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (v < F.lit(hi))
+            lo_k = "*" if lo is None else f"{lo:g}"
+            hi_k = "*" if hi is None else f"{hi:g}"
+            key = f"{lo_k}-{hi_k}"
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                        .cast("long").alias(key))
+        out = j.agg(*aggs)
+        # long form (range_key, doc_count), ordered by key — the
+        # driver-compare-friendly shape
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("range_key"),
+                     F.col(c).alias("doc_count"))
+            for c in out.columns
+        ])
+        return (out.select(F.explode(pairs).alias("r"))
+                .select("r.range_key", "r.doc_count")
+                .orderBy("range_key"))
+
+    def percentiles_agg(self, q: str, docs: DataFrame, value_col: str,
+                        ps: list[float] | None = None,
+                        round_to: int = 6) -> DataFrame:
+        """Q9: ``percentiles`` aggregation over matches (ES/Tantivy
+        shape) — EXACT linear-interpolated percentiles via Spark's
+        ``percentile`` (not the approx sketch: the oracle gate needs
+        the deterministic value; at 100 TB swap in percentile_approx
+        and drop the oracle to rows-only). Long form (p, value)."""
+        ps = ps or [0.25, 0.5, 0.75, 0.95]
+        m = self.match_scan(q)
+        j = docs.join(m, "doc_id")
+        out = j.agg(*[
+            F.round(F.expr(f"percentile({value_col}, {p!r})"),
+                    round_to).alias(f"p{i}")
+            for i, p in enumerate(ps)
+        ])
+        pairs = F.array(*[
+            F.struct(F.lit(p).alias("p"),
+                     F.col(f"p{i}").alias("value"))
+            for i, p in enumerate(ps)
+        ])
+        return (out.select(F.explode(pairs).alias("r"))
+                .select("r.p", "r.value").orderBy("p"))
+
     def histogram_agg(self, q: str, docs: DataFrame, value_col: str,
                       interval: float) -> DataFrame:
         """Q9: ``histogram`` aggregation over matches."""

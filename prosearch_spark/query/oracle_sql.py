@@ -1114,6 +1114,58 @@ SELECT l_id, r_id, cosine, rank FROM (
 """
 
 
+def range_agg_sql(q: str, value_col: str,
+                  ranges: list[tuple[float | None, float | None]]) -> str:
+    """ES range-aggregation oracle — twin of SearchEngine.range_agg:
+    one conditional count per half-open [lo, hi) bucket (None =
+    unbounded), long form (range_key, doc_count) ordered by key."""
+    cte, _ = _scored_docs_cte_qualified(q)
+    parts = []
+    for lo, hi in ranges:
+        conds = []
+        if lo is not None:
+            conds.append(f"d.{value_col} >= {lo!r}")
+        if hi is not None:
+            conds.append(f"d.{value_col} < {hi!r}")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        lo_k = "*" if lo is None else f"{lo:g}"
+        hi_k = "*" if hi is None else f"{hi:g}"
+        parts.append(
+            f"SELECT '{lo_k}-{hi_k}' AS range_key,\n"
+            f"       sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT"
+            " AS doc_count\n"
+            "    FROM documents d JOIN docs_scored m USING (doc_id)"
+        )
+    union = "\n    UNION ALL\n    ".join(parts)
+    return (
+        f"WITH {cte}\n"
+        f"SELECT range_key, doc_count FROM (\n    {union}\n)\n"
+        "ORDER BY range_key"
+    )
+
+
+def percentiles_agg_sql(q: str, value_col: str,
+                        ps: list[float] | None = None,
+                        round_to: int = 6) -> str:
+    """Percentiles-aggregation oracle: DuckDB quantile_cont uses the
+    same linear-interpolation definition (rank = p*(n-1)) as Spark's
+    exact ``percentile``; both sides round before compare."""
+    ps = ps or [0.25, 0.5, 0.75, 0.95]
+    cte, _ = _scored_docs_cte_qualified(q)
+    parts = [
+        f"SELECT {p!r}::DOUBLE AS p,\n"
+        f"       round(quantile_cont(d.{value_col}, {p!r}), {round_to})"
+        " AS value\n"
+        "    FROM documents d JOIN docs_scored m USING (doc_id)"
+        for p in ps
+    ]
+    union = "\n    UNION ALL\n    ".join(parts)
+    return (
+        f"WITH {cte}\n"
+        f"SELECT p, value FROM (\n    {union}\n) ORDER BY p"
+    )
+
+
 def facet_counts_sql(q: str, facet_array_sql: str) -> str:
     """FacetCollector oracle — twin of BlockSearchEngine.facet_counts:
     per facet path prefix, the count of matched docs with >= 1 facet
