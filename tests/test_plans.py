@@ -66,6 +66,64 @@ def test_flat_engine_same_properties(spark, corpus):
     assert "partial_count" in plan
 
 
+def test_fielded_scored_plan_is_broadcast_single_shuffle(
+        spark, corpus, tmp_path_factory):
+    """Round-4 fielded disjunction/mixed term fragment: every
+    dimension join broadcast, exactly ONE Exchange (the per-doc score
+    aggregate), per-field scans bucket-pruned (PLANS.md §9)."""
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.index.artifact import save_fielded_index
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    titled = corpus.withColumn(
+        "title", F.concat_ws(" ", F.slice(F.split("content", " "), 1, 4)))
+    arts = save_fielded_index(
+        spark, titled, str(tmp_path_factory.mktemp("fplan")),
+        {"title": "title", "body": "content"},
+        positional_fields=frozenset({"body"}))
+    eng = FieldedBlockSearchEngine(spark, arts)
+    plan = _plan(eng._engine("spark shuffle")
+                 ._docs_scored_or("spark shuffle"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PartitionFilters: [tb" in plan
+    # one real shuffle: the score aggregation (broadcast exchanges
+    # are not Exchange hashpartitioning nodes)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_round4_agg_plans_have_no_nested_loop(spark, corpus,
+                                              tmp_path_factory):
+    """facet_counts / range_agg / percentiles_agg over the committed
+    artifact: no CartesianProduct or shuffle join anywhere; the only
+    BroadcastNestedLoopJoin allowed is the engine's 1-ROW collection-
+    stats crossJoin (a broadcast of (n_docs, avgdl) — the intended
+    scalar join, documented since round 1)."""
+    from pyspark.sql import functions as F
+
+    docs = corpus.withColumn(
+        "facets", F.array(F.concat(F.lit("lang/"), F.col("lang")))
+    ).withColumn("size", F.length("content").cast("long"))
+    art = save_index(spark, docs, str(tmp_path_factory.mktemp("aplan")),
+                     text_col="content",
+                     fast_fields={"facets": "facets", "size": "size"})
+    eng = BlockSearchEngine(spark, art)
+    for df in [
+        eng.facet_counts("spark", "facets"),
+        eng.range_agg("spark", "size", [(None, 100.0), (100.0, None)]),
+        eng.percentiles_agg("spark", "size", [0.5]),
+    ]:
+        plan = _plan(df)
+        assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row stats
+        assert "CartesianProduct" not in plan
+        # NB: a SortMergeJoin of doc_stats against the MATCH SET is
+        # allowed (and correct): an aggregation's match set can be
+        # corpus-sized, so the shuffle join is the scale-right plan —
+        # unlike top-k paths, nothing here may assume a small side.
+
+
 def test_tokenize_stays_in_codegen(spark, corpus):
     from prosearch_spark.index.build import tokens
 
