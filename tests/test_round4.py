@@ -352,6 +352,99 @@ def test_fielded_over_segment_stacks_matches_flat(spark, corpus, tmp_path):
     assert a == b
 
 
+# -- round-4 edge cases -------------------------------------------------------
+
+def test_fielded_mixed_two_phrases(spark, fielded_pos_arts):
+    """Two phrase clauses AND a term clause: every clause must hit
+    (distinct clause ids), phrases both score body-only."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    _docs, arts = fielded_pos_arts
+    eng = FieldedBlockSearchEngine(spark, arts)
+    # doc0 body: "gamma delta epsilon zeta" holds both phrases
+    rows = eng.mixed_topk('"gamma delta" "epsilon zeta"', 10,
+                          round_to=ROUND).collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    avgdl_body = (4 + 3 + 3) / 3
+    exp = (bm25_py(1, 2, 4, 3, avgdl_body)      # "gamma delta" df=2
+           + bm25_py(1, 1, 4, 3, avgdl_body))   # "epsilon zeta" df=1
+    assert rows[0]["score"] == pytest.approx(round(exp, ROUND),
+                                             abs=10 ** -ROUND)
+
+
+def test_wand_clauses_with_predicate(spark, corpus, tmp_path):
+    """clauses override + fast-field predicate combined: the filtered
+    WAND must equal the filtered flat engine under the same parsed
+    clause list."""
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.analyzer import parse_query_lenient
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = corpus.withColumn("size", F.length("content").cast("long"))
+    art = save_index(spark, docs, str(tmp_path / "wcp"),
+                     text_col="content", fast_fields={"size": "size"})
+    eng = BlockSearchEngine(spark, art)
+    clauses = [c for kind, c in parse_query_lenient('"spark" shuffle')
+               if kind == "term"]
+    pred = "size >= 120"
+    a, _st = eng.topk_wand("ignored", 10, round_to=ROUND,
+                           min_prune_blocks=0, predicate=pred,
+                           clauses=clauses)
+    b = eng.topk_filtered("ignored", pred, 10, round_to=ROUND,
+                          clauses=clauses)
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in a.collect()] \
+        == [(r["rank"], r["doc_id"], r["score"]) for r in b.collect()]
+
+
+def test_range_agg_unbounded_and_overlap(spark, corpus, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    docs = corpus.withColumn("size", F.length("content").cast("long"))
+    art = save_index(spark, docs, str(tmp_path / "ra"),
+                     text_col="content", fast_fields={"size": "size"})
+    eng = BlockSearchEngine(spark, art)
+    n_match = eng.count("spark").collect()[0]["hits"]
+    got = {r["range_key"]: r["doc_count"]
+           for r in eng.range_agg(
+               "spark", "size",
+               [(None, None), (None, 150.0), (100.0, None)]).collect()}
+    # unbounded bucket counts every match; overlapping buckets both
+    # count docs in [100, 150)
+    assert got["*-*"] == n_match
+    assert got["*-150"] + got["100-*"] >= n_match
+
+
+def test_semantic_dedup_probes_and_clusters(spark):
+    """semantic_dedup with multi-probe signatures: clusters are
+    label-consistent (cluster_id = min member id; exactly one keep
+    per cluster)."""
+    import math
+
+    from prosearch_spark.ops.similarity import semantic_dedup
+
+    # three copies of one direction + two of an orthogonal one
+    vecs = [(i, [1.0, 0.01 * i] + [0.0] * 6) for i in range(3)]
+    vecs += [(10 + i, [0.0] * 6 + [1.0, 0.01 * i]) for i in range(2)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, k=3, threshold=0.9, n_planes=4, seed=7,
+                         dim=8, n_tables=4, probes=2).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["vec_id"] for m in members)
+        assert sum(m["keep"] for m in members) == 1
+    # the two orthogonal groups never merge
+    ids = {frozenset(m["vec_id"] for m in ms)
+           for ms in by_cluster.values()}
+    assert ids == {frozenset({0, 1, 2}), frozenset({10, 11})}
+
+
 # -- dedup survivor selection -------------------------------------------------
 
 def test_keep_best_picks_one_canonical_per_cluster(spark):
