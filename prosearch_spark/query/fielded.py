@@ -236,14 +236,19 @@ class FieldedBlockSearchEngine:
         decoded outside docs can never pass the clause-count filter.
         Returns (result, stats with blocks_total/blocks_decoded).
 
-        KNOWN LIMIT of the range algebra: a field where the driver
+        Sparse-field mitigation (round 4): a field where the driver
         term is SPARSE (e.g. scattered background mentions in titles)
-        yields blocks spanning huge docid ranges; such a range overlaps
-        everything, its bound collects the global maxima, and pruning
-        degenerates to a full decode (still exact). Pruning pays off
-        when the query terms are dense in each field (narrow spans)
-        with skewed tf — the shape tests/test_fielded_and_snippet.py
-        pins; the cost cutoff short-circuits the degenerate case.
+        yields blocks spanning huge docid ranges; bounding those
+        ranges whole collects the GLOBAL maxima and pruning
+        degenerates to a full decode (the r3 known limit — measured
+        1577/1579 decoded at 800k). Wide driver ranges therefore
+        SUBDIVIDE into at most 64 fixed-stride chunks before the
+        bounds pass: chunks partition each range exactly, so the
+        soundness proof holds verbatim with "chunk" for "range",
+        while each chunk's bound collects only LOCAL overlapping
+        maxima — 48% of blocks prune on the same corpus (BENCH.md
+        §2e). Narrow (healthy) driver blocks stay whole
+        (MIN_STRIDE).
         """
         from prosearch_spark.index.blocks import (
             BLOCK_SIZE,
@@ -370,11 +375,52 @@ class FieldedBlockSearchEngine:
                              "blocks_final": n_blocks - n_seed,
                              "bounds_skipped": True}
 
-            # bound per driver range: sum_t w_t * sum_f max_f(wub)
-            r_ranges = rmeta.select(
-                F.col("first_doc").alias("rf"),
-                F.col("last_doc").alias("rl"),
-            ).dropDuplicates()
+            # bound per driver CHUNK: sum_t w_t * sum_f max_f(wub).
+            # Round 4: wide-span driver ranges are SUBDIVIDED into at
+            # most CHUNKS_PER_RANGE fixed strides before bounding —
+            # a sparse-field driver block spanning the whole docid
+            # space previously made every bound collect the GLOBAL
+            # maxima (pruning degenerated to a full decode, the
+            # documented r3 limit; BENCH.md §2e measured 1577/1579
+            # decoded at 800k). Chunks partition each driver range
+            # exactly, so the soundness argument is unchanged with
+            # "chunk" substituted for "range": every posting block of
+            # a doc inside a chunk overlaps that chunk, hence the
+            # chunk bound dominates the doc's score, and all blocks
+            # overlapping a surviving chunk decode. Pure column math
+            # (no extra driver job); ≤ 64 chunks per driver block
+            # keeps the bounds join metadata-sized.
+            CHUNKS_PER_RANGE = 64
+            # narrow (healthy) driver blocks stay ~whole: only spans
+            # well past a block's worth of docids subdivide
+            MIN_STRIDE = BLOCK_SIZE * 16
+            span = F.col("rl") - F.col("rf") + F.lit(1)
+            stride = F.greatest(
+                F.ceil(span / F.lit(CHUNKS_PER_RANGE)).cast("long"),
+                F.lit(MIN_STRIDE).cast("long"))
+            r_ranges = (
+                rmeta.select(
+                    F.col("first_doc").alias("rf"),
+                    F.col("last_doc").alias("rl"),
+                ).dropDuplicates()
+                .select(
+                    "rf", "rl", stride.alias("stride"),
+                    F.explode(F.sequence(
+                        F.lit(0).cast("long"),
+                        F.floor((span - F.lit(1)) / stride).cast("long"),
+                    )).alias("i"),
+                )
+                .select(
+                    (F.col("rf") + F.col("i") * F.col("stride"))
+                    .alias("rf"),
+                    F.least(
+                        F.col("rf") + (F.col("i") + F.lit(1))
+                        * F.col("stride") - F.lit(1),
+                        F.col("rl"),
+                    ).alias("rl"),
+                )
+                .dropDuplicates()
+            )
             w_expr = None
             for t in terms:
                 e = (F.when(F.col("term") == t, F.lit(weights[t]))
