@@ -669,7 +669,9 @@ class FieldedBlockSearchEngine:
 
     def mixed_topk(self, q: str, k: int = 10,
                    round_to: int | None = None,
-                   body_field: str = "body") -> DataFrame:
+                   body_field: str = "body",
+                   return_stats: bool = False
+                   ) -> DataFrame | tuple[DataFrame, dict]:
         """Lenient mixed query over a FIELDED deployment — the round-3
         routing gap: the reference parses EVERY user query (quoted or
         not) with one lenient parser over the default fields
@@ -695,10 +697,37 @@ class FieldedBlockSearchEngine:
           (countDistinct(clause_id) == n_clauses — a term clause can
           emit one row per field, so row counting would overcount).
 
-        Pruning: term-clause postings decode bucket/term-pruned per
-        field; phrase terms decode only the phrase terms' body blocks.
-        Collection stats come from manifests — nothing re-tokenizes.
+        Pruning (round 4, mirroring the single-field mixed engine's
+        staged pruning):
+
+        - PHRASE-term body blocks decode only where they overlap the
+          block ranges of the phrase's RAREST term (by body df) — a
+          doc containing the phrase contains every phrase term, so
+          its postings all sit in overlapping blocks; phrase df stays
+          exact because every doc that could contain the phrase
+          survives.
+        - TERM-clause blocks (both fields) decode only where they
+          overlap the FIRST PHRASE'S MATCH doc ranges — every final
+          match matches every phrase, so a dropped term row belongs
+          to a doc that cannot pass the clause conjunction. Match ids
+          are collected capped at SEED_BLOCK_CAP and merged into
+          intervals; an over-cap phrase falls back to the full
+          bucket/term-pruned term decode (exact either way).
+
+        Per-field df comes from the artifacts' manifest-era
+        term_stats, so pruning postings never perturbs the BM25
+        stats. Collection stats come from manifests — nothing
+        re-tokenizes.
+
+        ``return_stats=True`` additionally returns
+        {blocks_total, blocks_decoded} over every touched structure
+        (phrase-term body blocks + term-clause blocks of all fields)
+        — the pruning evidence (costs two extra metadata count jobs;
+        the serving path skips them).
         """
+        from functools import reduce
+
+        from prosearch_spark.index.blocks import decode_blocks
         from prosearch_spark.index.positions import (
             phrase_matches,
             phrase_scores,
@@ -709,26 +738,163 @@ class FieldedBlockSearchEngine:
             rank_topk,
         )
 
+        def _ret(df: DataFrame, stats: dict):
+            return (df, stats) if return_stats else df
+
+        def _overlap_semi(side: DataFrame, ranges: DataFrame) -> DataFrame:
+            return side.join(
+                F.broadcast(ranges),
+                (F.col("first_doc") <= F.col("rl"))
+                & (F.col("last_doc") >= F.col("rf")),
+                "left_semi",
+            )
+
         clauses = parse_query_lenient(q)
         if not clauses:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
+            return _ret(self.spark.createDataFrame([], TOPK_SCHEMA),
+                        {"blocks_total": 0, "blocks_decoded": 0})
         n_clauses = len(clauses)
         term_clauses = [(i, c) for i, (kind, c) in enumerate(clauses)
                         if kind == "term"]
         phrase_clauses = [(i, c) for i, (kind, c) in enumerate(clauses)
                           if kind == "phrase"]
+        terms = sorted({t for _, (t, _b) in term_clauses})
+
+        # lazily built; counted only under return_stats
+        totals: list[DataFrame] = []
+        decoded: list[DataFrame] = []
+
+        def _stats() -> dict:
+            if not return_stats:
+                return {}
+            key = ["field", "term", "first_doc"]
+            tot = reduce(lambda a, b: a.unionByName(b),
+                         [t.select(*key) for t in totals]) \
+                .dropDuplicates(key) if totals else None
+            dec = reduce(lambda a, b: a.unionByName(b),
+                         [d.select(*key) for d in decoded]) \
+                .dropDuplicates(key) if decoded else None
+            return {"blocks_total": tot.count() if tot is not None else 0,
+                    "blocks_decoded": dec.count() if dec is not None else 0}
+
+        def _tagged_term_blocks() -> DataFrame:
+            tagged = None
+            for field, art in sorted(self.artifacts.items()):
+                b = art.blocks(terms).select(
+                    F.lit(field).alias("field"), "term",
+                    "first_doc", "last_doc", "n", "max_tf",
+                    "min_dl", "docs", "tfs", "dls")
+                tagged = b if tagged is None else tagged.unionByName(b)
+            return tagged
 
         persisted: list[DataFrame] = []
         try:
             scored_parts: list[DataFrame] = []
+            # -- phrase clauses FIRST: their matches drive the
+            # term-clause block pruning ---------------------------------
+            m_first = None
+            pp = None
+            if phrase_clauses:
+                body_art = self.artifacts[body_field]
+                body_boost = float(self.field_boosts.get(body_field, 1.0))
+                body_stats = body_art.stats()
+                p_terms = sorted({t for _, tp in phrase_clauses
+                                  for t in tp})
+                pblocks = body_art.blocks(p_terms)
+                if "positions" not in pblocks.columns:
+                    raise ValueError(
+                        f"field '{body_field}' was not committed with "
+                        "positions (save_fielded_index positional_fields)")
+                pblocks = pblocks.withColumn("field", F.lit(body_field))
+                totals.append(pblocks)
+                dfs_p = {r["term"]: int(r["df"])
+                         for r in body_art.term_stats(p_terms).collect()}
+                if any(t not in dfs_p for t in p_terms):
+                    # a phrase term absent from body: conjunction dead
+                    if term_clauses:
+                        totals.append(_tagged_term_blocks())
+                    return _ret(self.spark.createDataFrame([], TOPK_SCHEMA),
+                                _stats())
+                pieces: list[DataFrame] = []
+                for _, terms_p in phrase_clauses:
+                    tp = sorted(set(terms_p))
+                    side = pblocks.filter(F.col("term").isin(tp))
+                    if len(tp) > 1:
+                        rarest_p = min(tp, key=lambda t: (dfs_p[t], t))
+                        rng = pblocks.filter(
+                            F.col("term") == rarest_p
+                        ).select(F.col("first_doc").alias("rf"),
+                                 F.col("last_doc").alias("rl"))
+                        side = _overlap_semi(side, rng)
+                    pieces.append(side)
+                ph_needed = reduce(lambda a, b: a.unionByName(b), pieces) \
+                    .dropDuplicates(["term", "first_doc"])
+                decoded.append(ph_needed)
+                dec = decode_blocks(ph_needed.drop("field"))
+                deletes = body_art.deletes()
+                if deletes is not None:
+                    dec = dec.join(F.broadcast(deletes), "doc_id",
+                                   "left_anti")
+                pp = dec.persist()
+                persisted.append(pp)
+            for ci, terms_p in phrase_clauses:
+                m = phrase_matches(pp, list(terms_p)).persist()
+                persisted.append(m)
+                if m_first is None:
+                    m_first = m
+                phrase_df = m.count()
+                if phrase_df == 0:
+                    # conjunction dead: one clause matches nothing
+                    if term_clauses:
+                        totals.append(_tagged_term_blocks())
+                    return _ret(self.spark.createDataFrame([], TOPK_SCHEMA),
+                                _stats())
+                s = phrase_scores(m, phrase_df, body_stats)
+                if body_boost != 1.0:
+                    s = s.withColumn("s", F.col("s") * F.lit(body_boost))
+                scored_parts.append(
+                    s.select(F.lit(ci).cast("int").alias("clause_id"),
+                             "doc_id", "s"))
             if term_clauses:
                 qdf = self.spark.createDataFrame(
                     [(i, t, b) for i, (t, b) in term_clauses],
                     "clause_id int, term string, boost double",
                 )
-                terms = sorted({t for _, (t, _b) in term_clauses})
-                idx = fielded_index_from_artifacts(self.artifacts, q,
-                                                   terms=terms)
+                tagged = _tagged_term_blocks()
+                totals.append(tagged)
+                need = tagged
+                if m_first is not None:
+                    # staged pruning: term-clause blocks decode only
+                    # around the first phrase's MATCH doc ranges (the
+                    # single-field mixed engine's capped-collect +
+                    # interval-merge, applied across fields)
+                    from prosearch_spark.index.blocks import BLOCK_SIZE
+                    from prosearch_spark.query.block_engine import (
+                        SEED_BLOCK_CAP,
+                    )
+
+                    ids = [
+                        r["doc_id"]
+                        for r in m_first.select("doc_id").orderBy("doc_id")
+                        .limit(SEED_BLOCK_CAP + 1).collect()
+                    ]
+                    if ids and len(ids) <= SEED_BLOCK_CAP:
+                        ranges: list[tuple[int, int]] = []
+                        lo = prev = ids[0]
+                        for d_ in ids[1:]:
+                            if d_ - prev > BLOCK_SIZE:
+                                ranges.append((lo, prev))
+                                lo = d_
+                            prev = d_
+                        ranges.append((lo, prev))
+                        ranges_df = self.spark.createDataFrame(
+                            ranges, "rf long, rl long")
+                        need = _overlap_semi(tagged, ranges_df)
+                decoded.append(need)
+                # _engine_on_blocks supplies the artifacts'
+                # manifest-era per-field df/N/avgdl, so the pruned
+                # decode scores byte-identically to the full one
+                idx = self._engine_on_blocks(need, terms).index
                 fb = None
                 for field, boost in self.field_boosts.items():
                     cond = F.when(F.col("field") == field,
@@ -744,30 +910,6 @@ class FieldedBlockSearchEngine:
                     .withColumn("s", fb * F.expr(SCORE_EXPR))
                     .select("clause_id", "doc_id", "s")
                 )
-            if phrase_clauses:
-                body_art = self.artifacts[body_field]
-                body_boost = float(self.field_boosts.get(body_field, 1.0))
-                body_stats = body_art.stats()
-            for ci, terms_p in phrase_clauses:
-                pp = body_art.postings(sorted(set(terms_p)))
-                if "positions" not in pp.columns:
-                    raise ValueError(
-                        f"field '{body_field}' was not committed with "
-                        "positions (save_fielded_index positional_fields)")
-                m = phrase_matches(pp, list(terms_p)).persist()
-                persisted.append(m)
-                phrase_df = m.count()
-                if phrase_df == 0:
-                    # conjunction dead: one clause matches nothing
-                    return self.spark.createDataFrame([], TOPK_SCHEMA)
-                s = phrase_scores(m, phrase_df, body_stats)
-                if body_boost != 1.0:
-                    s = s.withColumn("s", F.col("s") * F.lit(body_boost))
-                scored_parts.append(
-                    s.select(F.lit(ci).cast("int").alias("clause_id"),
-                             "doc_id", "s"))
-            from functools import reduce
-
             scored = reduce(lambda a, b: a.unionByName(b), scored_parts)
             d = (
                 scored.groupBy("doc_id")
@@ -776,7 +918,9 @@ class FieldedBlockSearchEngine:
                 .filter(F.col("nmatch") == n_clauses)
                 .drop("nmatch")
             )
-            return materialize_topk(self.spark, rank_topk(d, k, round_to))
+            return _ret(materialize_topk(self.spark,
+                                         rank_topk(d, k, round_to)),
+                        _stats())
         finally:
             for df in persisted:
                 df.unpersist()

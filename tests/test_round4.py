@@ -352,6 +352,46 @@ def test_fielded_over_segment_stacks_matches_flat(spark, corpus, tmp_path):
     assert a == b
 
 
+def test_fielded_mixed_prunes_and_stays_exact(spark, tmp_path):
+    """Staged pruning over a fielded positional Zipf artifact: phrase
+    term body blocks outside the rarest phrase term's ranges AND
+    term-clause blocks (both fields) outside the first phrase's match
+    doc ranges skip decode — result identical to the independent
+    DuckDB twin (fielded_mixed_topk_sql over the raw corpus), scores
+    at the round_to=6 cross-plan contract."""
+    import duckdb
+
+    from prosearch_spark.corpus import zipf_corpus
+    from prosearch_spark.index.artifact import save_fielded_index
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+    from prosearch_spark.query.oracle_sql import fielded_mixed_topk_sql
+
+    docs = zipf_corpus(spark, n_docs=6000, n_topics=8, region=512).cache()
+    pq = str(tmp_path / "fmix_docs")
+    docs.select("doc_id", F.col("content").alias("text")) \
+        .coalesce(1).write.parquet(pq)
+    titled = docs.withColumn(
+        "title", F.concat_ws(" ", F.slice(F.split("content", " "), 1, 4)))
+    arts = save_fielded_index(
+        spark, titled, str(tmp_path / "fmix_idx"),
+        {"title": "title", "body": "content"},
+        positional_fields=frozenset({"body"}),
+    )
+    eng = FieldedBlockSearchEngine(spark, arts)
+    q = 'z3_1 "z3_2 z3_3"'
+    got, stats = eng.mixed_topk(q, 10, round_to=ROUND, return_stats=True)
+    assert stats["blocks_decoded"] < stats["blocks_total"], stats
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    exp = con.execute(fielded_mixed_topk_sql(q, 10, ROUND)).df()
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == [
+        (int(d), pytest.approx(float(s), abs=10 ** -ROUND))
+        for d, s in zip(exp["doc_id"], exp["score"])
+    ]
+    docs.unpersist()
+
+
 # -- round-4 edge cases -------------------------------------------------------
 
 def test_fielded_mixed_two_phrases(spark, fielded_pos_arts):

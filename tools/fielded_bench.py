@@ -83,10 +83,12 @@ def main() -> None:
         # round 4: quoted query on the fielded deployment (phrase
         # scores body-only, term clause keeps title 1.5 / body 1.0)
         t0 = time.perf_counter()
-        hits = blk.mixed_topk('z3_1 "z3_2 z3_3"', 10, round_to=6)
+        hits, mstats = blk.mixed_topk('z3_1 "z3_2 z3_3"', 10, round_to=6,
+                                      return_stats=True)
         n_hits = hits.count()
         out["q_fielded_mixed_phrase"] = round(time.perf_counter() - t0, 2)
         out["fielded_mixed_hits"] = n_hits
+        out["fielded_mixed_stats"] = mstats
         # round 4: fielded disjunctive WAND, ladder forced
         t0 = time.perf_counter()
         r, st = blk.topk_wand_or("z3_1 z3_2", 10, round_to=6,
