@@ -43,6 +43,10 @@ Q_TERM_QUOTED = '"spark" join'
 # to a term clause, dangling quote content dropped -> parses to exactly
 # the same clauses as Q_MIXED_PHRASE plus the 'dup' term
 Q_LENIENT_JUNK = '"" spark "dup" "join hash" "dangling tail'
+# msearch batch: single / AND2 / rare / AND3 / duplicated-term /
+# zero-hit — one job must serve them all (engine.py multi_topk)
+MSEARCH_QUERIES = [Q_SINGLE, Q_AND2, Q_RARE, Q_AND3, Q_DUPTERMS,
+                   Q_NOMATCH]
 
 ROUND = 6
 
@@ -297,6 +301,25 @@ def q_bm25_topk_blocks(spark, sf_dir):
         spark, _docs(spark, sf_dir),
         tempfile.mkdtemp(prefix="prosearch_blocks_"), text_col="text"))
     return BlockSearchEngine(spark, art).topk(Q_AND2, 10, round_to=ROUND)
+
+
+def q_msearch_topk(spark, sf_dir):
+    """Batched _msearch-style serving (round 4): the whole
+    MSEARCH_QUERIES batch — single term, conjunctions, a duplicated
+    term, a zero-hit query — scores in ONE plan over ONE bucket/term-
+    pruned postings fetch (engine.py multi_topk; per-query semantics
+    identical to topk). Sequential-vs-batched amortization evidence:
+    tools/msearch_bench.py / BENCH.md."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_blocks_"), text_col="text"))
+    return BlockSearchEngine(spark, art).multi_topk(
+        MSEARCH_QUERIES, 10, round_to=ROUND)
 
 
 def q_search_snippet(spark, sf_dir):
@@ -1414,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round.
     return {
         # ---- new in round 4 ----
+        "msearch_topk": q_msearch_topk,
         "bm25_topk_fielded_phrase": q_bm25_topk_fielded_phrase,
         "serve_routed_fielded_phrase": q_serve_routed_fielded_phrase,
         "bm25_topk_fielded_or": q_bm25_topk_fielded_or,
@@ -1534,6 +1558,7 @@ _TOKS = osql.INDEX_CTES  # toks/tf/postings/term_stats/stats CTEs
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
         # ---- round 4 ----
+        "msearch_topk": osql.multi_topk_sql(MSEARCH_QUERIES, 10, ROUND),
         "bm25_topk_fielded_phrase": osql.fielded_mixed_topk_sql(
             Q_MIXED_PHRASE, 10, ROUND),
         "serve_routed_fielded_phrase": osql.fielded_mixed_topk_sql(

@@ -116,6 +116,36 @@ class BlockSearchEngine:
         delegation verbatim, never a re-analysis of joined text)."""
         return self._engine(q, clauses).topk(q, k, round_to, clauses)
 
+    def multi_topk(self, queries: list[str], k: int = 10,
+                   round_to: int | None = None) -> DataFrame:
+        """Batched multi-query top-k over the committed artifact
+        (SearchEngine.multi_topk's semantics): the UNION of every
+        query's analyzed terms drives ONE bucket/term-pruned block
+        fetch + decode, then the whole batch scores, conjoins, and
+        ranks per query in a single plan — N queries, one job, one
+        postings scan. The amortization evidence lives in
+        tools/msearch_bench.py / BENCH.md.
+
+        NB: deliberately NOT _pruned_blocks — its rarest-term range
+        pruning encodes ONE query's conjunction (and empties the set
+        when any term is absent); the batch's queries are independent,
+        so only bucket/term pruning applies here."""
+        terms = sorted({t for q in queries for t, _ in analyze_query(q)})
+        if not terms:
+            from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA
+
+            return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
+        postings = decode_blocks(self.artifact.blocks(terms))
+        deletes = self.artifact.deletes()
+        if deletes is not None:
+            postings = postings.join(F.broadcast(deletes), "doc_id",
+                                     "left_anti")
+        idx = InvertedIndex(postings=postings,
+                            term_stats=self.artifact.term_stats(terms),
+                            stats=self.artifact.stats())
+        return SearchEngine(self.spark, idx).multi_topk(queries, k,
+                                                        round_to)
+
     def _engine_on_blocks(self, blocks: DataFrame, terms: list[str],
                           predicate: str | None = None) -> SearchEngine:
         """Decode the given block rows (tombstones applied) and wrap a

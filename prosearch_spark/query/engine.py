@@ -44,6 +44,7 @@ def rank_topk(d: DataFrame, k: int, round_to: int | None) -> DataFrame:
 
 
 TOPK_SCHEMA = "rank int, doc_id long, score double"
+MULTI_TOPK_SCHEMA = "query_id int, rank int, doc_id long, score double"
 
 
 def materialize_topk(spark: SparkSession, ranked: DataFrame) -> DataFrame:
@@ -141,6 +142,61 @@ class SearchEngine:
         clause list instead of text.
         """
         return rank_topk(self._docs_scored(q, clauses), k, round_to)
+
+    def multi_topk(self, queries: list[str], k: int = 10,
+                   round_to: int | None = None) -> DataFrame:
+        """Batched multi-query top-k (the Elasticsearch ``_msearch``
+        shape): score EVERY query of the batch in ONE declarative plan
+        — (query_id, rank, doc_id, score), query_id = list position.
+
+        Why this exists: a Spark job carries a fixed scheduling cost
+        (~0.1-0.5 s in local mode, more on a real cluster), so
+        serving N queries as N sequential ``topk`` jobs pays that cost
+        N times over the SAME postings scan. Batching joins one
+        broadcast (query_id, term, boost) relation against ONE
+        bucket/term-pruned postings fetch, shuffles once on
+        (query_id, doc_id), and ranks per query with a PARTITIONED
+        window (WindowGroupLimit: per-task partial top-k, no global
+        sort) — the batch costs one job regardless of N.
+
+        Per-query semantics are identical to :meth:`topk` (conjunction
+        over analyzed clauses, round-before-rank, (score DESC, doc_id
+        ASC) tie-break); a query that analyzes to zero clauses
+        contributes no rows."""
+        parsed = [(qi, analyze_query(q)) for qi, q in enumerate(queries)]
+        rows = [(qi, t, b) for qi, cl in parsed for t, b in cl]
+        if not rows:
+            return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
+        qdf = self.spark.createDataFrame(
+            rows, "query_id int, term string, boost double")
+        ndf = self.spark.createDataFrame(
+            [(qi, len(cl)) for qi, cl in parsed if cl],
+            "query_id int, n_clauses int")
+        terms = sorted({t for _qi, t, _b in rows})
+        ts = self.index.term_stats.filter(F.col("term").isin(terms))
+        scored = (
+            self.index.postings
+            .join(F.broadcast(qdf), "term")
+            .join(F.broadcast(ts), "term")
+            .crossJoin(F.broadcast(self.index.stats))
+            .withColumn("s", F.expr(SCORE_EXPR))
+        )
+        d = (
+            scored.groupBy("query_id", "doc_id")
+            .agg(F.sum("s").alias("score"), F.count("*").alias("nmatch"))
+            .join(F.broadcast(ndf), "query_id")
+            .filter(F.col("nmatch") == F.col("n_clauses"))
+        )
+        if round_to is not None:
+            d = d.withColumn("score", F.round("score", round_to))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        return (
+            d.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+            .orderBy("query_id", "rank")
+        )
 
     def topk_not(self, q: str, exclude: str, k: int = 10,
                  round_to: int | None = None) -> DataFrame:

@@ -153,6 +153,57 @@ def topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
     return _rank_tail(cte, k, round_to)
 
 
+def multi_topk_sql(queries: list[str], k: int = 10,
+                   round_to: int = 6) -> str:
+    """Batched multi-query oracle — twin of
+    SearchEngine/BlockSearchEngine.multi_topk: one (query_id, term,
+    boost) relation joined against the shared postings CTE, per-query
+    conjunction via the clause count, per-query round-before-rank with
+    the (score DESC, doc_id ASC) tie-break. A query that analyzes to
+    zero clauses contributes no rows (it is simply absent from the
+    VALUES lists)."""
+    parsed = [(qi, analyze_query(q)) for qi, q in enumerate(queries)]
+    rows = [(qi, t, b) for qi, cl in parsed for t, b in cl]
+    if not rows:
+        return ("SELECT NULL::INT AS query_id, NULL::INT AS rank, "
+                "NULL::BIGINT AS doc_id, NULL::DOUBLE AS score WHERE false")
+    score = _qualify(SCORE_EXPR)
+    qvals = ", ".join(f"({qi}, {_sql_str(t)}, {b!r}::DOUBLE)"
+                      for qi, t, b in rows)
+    nvals = ", ".join(f"({qi}, {len(cl)})" for qi, cl in parsed if cl)
+    return (
+        f"WITH {INDEX_CTES},\n"
+        f"qterms(query_id, term, boost) AS (SELECT * FROM (VALUES {qvals})),\n"
+        f"qn(query_id, n_clauses) AS (SELECT * FROM (VALUES {nvals})),\n"
+        "scored AS (\n"
+        f"    SELECT q.query_id, p.doc_id AS doc_id, {score} AS s\n"
+        "    FROM qterms q\n"
+        "    JOIN postings p ON p.term = q.term\n"
+        "    JOIN term_stats t ON t.term = q.term\n"
+        "    CROSS JOIN stats\n"
+        "),\n"
+        "docs_scored AS (\n"
+        "    SELECT query_id, doc_id, sum(s) AS score, count(*) AS nmatch\n"
+        "    FROM scored GROUP BY query_id, doc_id\n"
+        "),\n"
+        "kept AS (\n"
+        "    SELECT d.query_id, d.doc_id,\n"
+        f"           round(d.score, {round_to}) AS score\n"
+        "    FROM docs_scored d JOIN qn USING (query_id)\n"
+        "    WHERE d.nmatch = qn.n_clauses\n"
+        "),\n"
+        "ranked AS (\n"
+        "    SELECT query_id,\n"
+        "           row_number() OVER (PARTITION BY query_id\n"
+        "               ORDER BY score DESC, doc_id ASC)::INT AS rank,\n"
+        "           doc_id, score\n"
+        "    FROM kept\n"
+        ")\n"
+        f"SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}\n"
+        "ORDER BY query_id, rank"
+    )
+
+
 def expanded_topk_sql(where_sql: str, k: int = 10, round_to: int = 6,
                       max_expansions: int = 50) -> str:
     """Prefix/fuzzy/regex oracle: qterms comes from the DERIVED

@@ -70,6 +70,16 @@ class ArtifactSearcher:
         df, _stats = self.block.topk_wand(q, k, round_to)
         return df, "wand"
 
+    def msearch(self, queries: list[str], k: int = 10,
+                round_to: int | None = None) -> DataFrame:
+        """Batched serving (the Elasticsearch ``_msearch`` analog): N
+        unquoted queries score in ONE job over one bucket/term-pruned
+        postings fetch (BlockSearchEngine.multi_topk) — the throughput
+        path when requests can be micro-batched; per-query semantics
+        identical to topk. Quoted/fielded queries still go through
+        ``route`` one at a time (their plans are per-query)."""
+        return self.block.multi_topk(queries, k, round_to)
+
     def warmup(self, queries: list[str], k: int = 2) -> dict[str, float]:
         """Q11 on the production facade (serve.rs:220-257): run each
         query once through the ROUTER at small k so every branch's

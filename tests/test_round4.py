@@ -392,6 +392,44 @@ def test_fielded_mixed_prunes_and_stays_exact(spark, tmp_path):
     docs.unpersist()
 
 
+# -- batched msearch ----------------------------------------------------------
+
+def test_multi_topk_matches_sequential(spark, corpus, tmp_path):
+    """One batched job must reproduce each query's topk EXACTLY (same
+    conjunction, round-before-rank, tie-break); a zero-hit query and a
+    duplicated-term query ride along without perturbing the others."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = save_index(spark, corpus, str(tmp_path / "ms"),
+                     text_col="content")
+    blk = BlockSearchEngine(spark, art)
+    queries = ["spark", "spark shuffle", "zzz qqq", "spark spark"]
+    got = blk.multi_topk(queries, 5, round_to=ROUND).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qi, q in enumerate(queries):
+        exp = [(r["rank"], r["doc_id"], r["score"])
+               for r in blk.topk(q, 5, round_to=ROUND).collect()]
+        assert by_q.get(qi, []) == exp, q
+
+
+def test_multi_topk_empty_and_junk(spark, corpus):
+    """An empty batch and a batch of only zero-clause queries return
+    empty frames with the msearch schema."""
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA, SearchEngine
+
+    eng = SearchEngine(spark, build_index(corpus, text_col="content"))
+    empty = eng.multi_topk([], 5)
+    assert empty.count() == 0
+    assert empty.schema == spark.createDataFrame(
+        [], MULTI_TOPK_SCHEMA).schema
+    assert eng.multi_topk(["", "   "], 5).count() == 0
+
+
 # -- round-4 edge cases -------------------------------------------------------
 
 def test_fielded_mixed_two_phrases(spark, fielded_pos_arts):
