@@ -100,6 +100,19 @@ def main() -> None:
     _, wand_stats = blk.topk_wand("spark", 10)
     queries["q_wand_single"] = round(time.perf_counter() - t0, 4)
 
+    # -- batched msearch over the committed artifact (round 4): 16
+    # queries, ONE job — the sequential-vs-batched comparison is in
+    # tools/msearch_bench.py (12.4x at 32 queries); this key tracks
+    # the batch latency per round without inflating the bench total
+    # with 16 sequential jobs.
+    words = ["spark", "join", "hash", "dup", "table", "the", "scan",
+             "index"]
+    ms_queries = words + [f"{a} {b}" for a, b in zip(words, words[1:])] \
+        + ["spark table"]
+    t0 = time.perf_counter()
+    blk.multi_topk(ms_queries, 10, round_to=6).collect()
+    queries["q_msearch16"] = round(time.perf_counter() - t0, 4)
+
     # -- WAND pruning on a realistic Zipf corpus ------------------------------
     # The driver corpus has a uniform vocabulary (every term hot in
     # every block -> block-max bounds can't fire). Real pruning

@@ -260,3 +260,20 @@ def test_top_hits_group_window_is_group_limited(spark, corpus):
     plan = _plan(eng.top_hits_by_group("spark", corpus.withColumnRenamed(
         "repo", "grp"), "grp", 3, round_to=6))
     assert "WindowGroupLimit" in plan
+
+
+def test_multi_topk_plan_is_partitioned_and_broadcast(spark, corpus):
+    """The msearch batch must rank per query through a PARTITIONED
+    window (WindowGroupLimit partial top-k — never one unpartitioned
+    global window over every query's candidates) and join the query
+    relation + dimension sides by broadcast (no shuffle join against
+    postings)."""
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, build_index(corpus, text_col="content"))
+    plan = _plan(eng.multi_topk(["spark", "spark shuffle", "the"], 10,
+                                round_to=6))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
