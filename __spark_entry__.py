@@ -472,6 +472,18 @@ def q_title_fallback_len(spark, sf_dir):
     )
 
 
+def q_msearch_fielded(spark, sf_dir):
+    """Batched msearch on a FIELDED deployment (round 4): the batch
+    keeps title 1.5 / body 1.0 semantics per query — one per-field
+    bucket/term-pruned decode serves the whole batch
+    (fielded.FieldedBlockSearchEngine.multi_topk)."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    arts = _fielded_arts(spark, sf_dir)
+    return FieldedBlockSearchEngine(spark, arts).multi_topk(
+        MSEARCH_QUERIES, 10, round_to=ROUND)
+
+
 def _fielded_arts(spark, sf_dir):
     """Per-field committed artifacts (title record:basic, body
     record:position — the reference's exact field options,
@@ -1438,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- new in round 4 ----
         "msearch_topk": q_msearch_topk,
+        "msearch_fielded": q_msearch_fielded,
         "bm25_topk_fielded_phrase": q_bm25_topk_fielded_phrase,
         "serve_routed_fielded_phrase": q_serve_routed_fielded_phrase,
         "bm25_topk_fielded_or": q_bm25_topk_fielded_or,
@@ -1559,6 +1572,8 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
         # ---- round 4 ----
         "msearch_topk": osql.multi_topk_sql(MSEARCH_QUERIES, 10, ROUND),
+        "msearch_fielded": osql.fielded_multi_topk_sql(
+            MSEARCH_QUERIES, 10, ROUND),
         "bm25_topk_fielded_phrase": osql.fielded_mixed_topk_sql(
             Q_MIXED_PHRASE, 10, ROUND),
         "serve_routed_fielded_phrase": osql.fielded_mixed_topk_sql(

@@ -112,6 +112,63 @@ class FieldedSearchEngine:
     def match_scan(self, q: str) -> DataFrame:
         return self._docs_scored(q).select("doc_id")
 
+    def multi_topk(self, queries: list[str], k: int = 10,
+                   round_to: int | None = None) -> DataFrame:
+        """Batched fielded msearch — SearchEngine.multi_topk's shape
+        with the fielded algebra: every query's clauses join as ONE
+        broadcast (query_id, clause_id, term, boost) relation against
+        the field-tagged postings, per-(clause, field) scores sum per
+        (query_id, doc_id), and the per-query conjunction counts
+        DISTINCT clause ids (a clause matched in both fields is one
+        clause). One postings scan, one shuffle, a partitioned-window
+        rank — N fielded queries, one job."""
+        from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA
+
+        parsed = [(qi, analyze_query(q)) for qi, q in enumerate(queries)]
+        rows = [(qi, ci, t, b) for qi, cl in parsed
+                for ci, (t, b) in enumerate(cl)]
+        if not rows:
+            return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
+        qdf = self.spark.createDataFrame(
+            rows, "query_id int, clause_id int, term string, boost double")
+        ndf = self.spark.createDataFrame(
+            [(qi, len(cl)) for qi, cl in parsed if cl],
+            "query_id int, n_clauses int")
+        terms = sorted({t for _qi, _ci, t, _b in rows})
+        ts = self.index.term_stats.filter(F.col("term").isin(terms))
+
+        fb = None
+        for field, boost in self.field_boosts.items():
+            cond = F.when(F.col("field") == field, F.lit(float(boost)))
+            fb = cond if fb is None else fb.when(
+                F.col("field") == field, F.lit(float(boost)))
+        fb = fb.otherwise(F.lit(1.0))
+
+        scored = (
+            self.index.postings
+            .join(F.broadcast(qdf), "term")
+            .join(F.broadcast(ts), ["field", "term"])
+            .join(F.broadcast(self.index.stats), "field")
+            .withColumn("s", fb * F.expr(SCORE_EXPR))
+        )
+        d = (
+            scored.groupBy("query_id", "doc_id")
+            .agg(F.sum("s").alias("score"),
+                 F.countDistinct("clause_id").alias("nmatch"))
+            .join(F.broadcast(ndf), "query_id")
+            .filter(F.col("nmatch") == F.col("n_clauses"))
+        )
+        if round_to is not None:
+            d = d.withColumn("score", F.round("score", round_to))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        return (
+            d.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+            .orderBy("query_id", "rank")
+        )
+
 
 def fielded_index_from_artifacts(artifacts: dict, q: str,
                                  terms: list[str] | None = None
@@ -171,6 +228,23 @@ class FieldedBlockSearchEngine:
 
     def match_scan(self, q: str) -> DataFrame:
         return self._engine(q).match_scan(q)
+
+    def multi_topk(self, queries: list[str], k: int = 10,
+                   round_to: int | None = None) -> DataFrame:
+        """Batched fielded msearch over the committed per-field
+        artifacts: the UNION of every query's terms drives one
+        bucket/term-pruned decode per field, then the whole batch
+        scores in FieldedSearchEngine.multi_topk's single plan."""
+        terms = sorted({t for q in queries for t, _ in analyze_query(q)})
+        if not terms:
+            from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA
+
+            return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
+        idx = fielded_index_from_artifacts(self.artifacts, "",
+                                           terms=terms)
+        return FieldedSearchEngine(
+            self.spark, idx, self.field_boosts
+        ).multi_topk(queries, k, round_to)
 
     # -- fielded Block-Max WAND ------------------------------------------------
 

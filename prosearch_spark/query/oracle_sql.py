@@ -387,6 +387,115 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def fielded_multi_topk_sql(queries: list[str], k: int = 10,
+                           round_to: int = 6,
+                           title_tokens: int = 4) -> str:
+    """Batched fielded msearch oracle — twin of
+    FieldedSearchEngine/FieldedBlockSearchEngine.multi_topk: one
+    (query_id, clause_id, term, boost) relation against the per-field
+    postings CTEs, per-(clause, field) scores summed per
+    (query_id, doc_id), conjunction over DISTINCT clause ids per
+    query, per-query round-before-rank."""
+    parsed = [(qi, analyze_query(q)) for qi, q in enumerate(queries)]
+    rows = [(qi, ci, t, b) for qi, cl in parsed
+            for ci, (t, b) in enumerate(cl)]
+    if not rows:
+        return ("SELECT NULL::INT AS query_id, NULL::INT AS rank, "
+                "NULL::BIGINT AS doc_id, NULL::DOUBLE AS score WHERE false")
+    score = _qualify(SCORE_EXPR)
+    qvals = ", ".join(
+        f"({qi}, {ci}, {_sql_str(t)}, {b!r}::DOUBLE)"
+        for qi, ci, t, b in rows
+    )
+    nvals = ", ".join(f"({qi}, {len(cl)})" for qi, cl in parsed if cl)
+    per_field = []
+    for field, fb, tf_expr in [
+        ("title", 1.5, "1"),            # record:"basic" -> tf==1
+        ("body", 1.0, "p.tf"),
+    ]:
+        s = score.replace("p.tf", tf_expr) if tf_expr != "p.tf" else score
+        per_field.append(
+            f"SELECT q.query_id, q.clause_id, p.doc_id, {fb!r} * ({s}) AS s\n"
+            f"    FROM qterms q\n"
+            f"    JOIN postings_{field} p ON p.term = q.term\n"
+            f"    JOIN df_{field} t ON t.term = q.term\n"
+            f"    CROSS JOIN stats_{field} stats"
+        )
+    scored_union = "\n    UNION ALL\n    ".join(per_field)
+    return f"""
+WITH docs2 AS (
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, {title_tokens}), ' ') AS title,
+           text AS body
+    FROM documents
+),
+toks_title AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(title), '\\s+')) AS term
+        FROM docs2
+    ) WHERE term <> ''
+),
+toks_body AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(body), '\\s+')) AS term
+        FROM docs2
+    ) WHERE term <> ''
+),
+tf_title AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks_title GROUP BY 1, 2
+),
+tf_body AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks_body GROUP BY 1, 2
+),
+postings_title AS (
+    SELECT term, doc_id, tf,
+           sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS dl
+    FROM tf_title
+),
+postings_body AS (
+    SELECT term, doc_id, tf,
+           sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS dl
+    FROM tf_body
+),
+df_title AS (SELECT term, count(*)::BIGINT AS df FROM tf_title GROUP BY term),
+df_body AS (SELECT term, count(*)::BIGINT AS df FROM tf_body GROUP BY term),
+stats_title AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+           (SELECT count(*) FROM toks_title) * 1.0
+               / (SELECT count(*) FROM documents) AS avgdl
+),
+stats_body AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+           (SELECT count(*) FROM toks_body) * 1.0
+               / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms(query_id, clause_id, term, boost) AS (SELECT * FROM (VALUES {qvals})),
+qn(query_id, n_clauses) AS (SELECT * FROM (VALUES {nvals})),
+scored AS (
+    {scored_union}
+),
+docs_scored AS (
+    SELECT query_id, doc_id, sum(s) AS score,
+           count(DISTINCT clause_id) AS nmatch
+    FROM scored GROUP BY query_id, doc_id
+),
+kept AS (
+    SELECT d.query_id, d.doc_id, round(d.score, {round_to}) AS score
+    FROM docs_scored d JOIN qn USING (query_id)
+    WHERE d.nmatch = qn.n_clauses
+),
+ranked AS (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC)::INT AS rank,
+           doc_id, score
+    FROM kept
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def _query_clause_cte_fielded(q: str) -> tuple[str, int]:
     clauses = analyze_query(q)
     vals = ", ".join(

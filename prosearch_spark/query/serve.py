@@ -74,10 +74,13 @@ class ArtifactSearcher:
                 round_to: int | None = None) -> DataFrame:
         """Batched serving (the Elasticsearch ``_msearch`` analog): N
         unquoted queries score in ONE job over one bucket/term-pruned
-        postings fetch (BlockSearchEngine.multi_topk) — the throughput
-        path when requests can be micro-batched; per-query semantics
-        identical to topk. Quoted/fielded queries still go through
-        ``route`` one at a time (their plans are per-query)."""
+        postings fetch — the throughput path when requests can be
+        micro-batched; per-query semantics identical to the deployment
+        schema's topk (fielded boosts kept when ``fielded`` is
+        configured). Quoted queries still go through ``route`` one at
+        a time (phrase plans are per-query)."""
+        if self.fielded is not None:
+            return self.fielded.multi_topk(queries, k, round_to)
         return self.block.multi_topk(queries, k, round_to)
 
     def warmup(self, queries: list[str], k: int = 2) -> dict[str, float]:

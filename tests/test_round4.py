@@ -416,6 +416,25 @@ def test_multi_topk_matches_sequential(spark, corpus, tmp_path):
         assert by_q.get(qi, []) == exp, q
 
 
+def test_fielded_multi_topk_matches_sequential(spark, fielded_pos_arts):
+    """The fielded batch must reproduce each query's fielded topk
+    (title 1.5 / body 1.0, DISTINCT-clause conjunction) exactly."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    _docs, arts = fielded_pos_arts
+    eng = FieldedBlockSearchEngine(spark, arts)
+    queries = ["gamma", "zeta eta", "nosuchterm", "delta gamma"]
+    got = eng.multi_topk(queries, 5, round_to=ROUND).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qi, q in enumerate(queries):
+        exp = [(r["rank"], r["doc_id"], r["score"])
+               for r in eng.topk(q, 5, round_to=ROUND).collect()]
+        assert by_q.get(qi, []) == exp, q
+
+
 def test_multi_topk_empty_and_junk(spark, corpus):
     """An empty batch and a batch of only zero-clause queries return
     empty frames with the msearch schema."""
