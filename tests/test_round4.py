@@ -350,6 +350,14 @@ def test_fielded_over_segment_stacks_matches_flat(spark, corpus, tmp_path):
     b = [(r["doc_id"], r["score"])
          for r in flat_eng.mixed_topk(qm, 10, round_to=ROUND).collect()]
     assert a == b
+    # batched msearch runs unchanged over the stacks too
+    a = [(r["query_id"], r["rank"], r["doc_id"], r["score"])
+         for r in stack_eng.multi_topk(["spark", "spark shuffle"], 5,
+                                       round_to=ROUND).collect()]
+    b = [(r["query_id"], r["rank"], r["doc_id"], r["score"])
+         for r in flat_eng.multi_topk(["spark", "spark shuffle"], 5,
+                                      round_to=ROUND).collect()]
+    assert a == b
 
 
 def test_fielded_mixed_prunes_and_stays_exact(spark, tmp_path):
