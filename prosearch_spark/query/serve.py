@@ -72,16 +72,46 @@ class ArtifactSearcher:
 
     def msearch(self, queries: list[str], k: int = 10,
                 round_to: int | None = None) -> DataFrame:
-        """Batched serving (the Elasticsearch ``_msearch`` analog): N
-        unquoted queries score in ONE job over one bucket/term-pruned
-        postings fetch — the throughput path when requests can be
-        micro-batched; per-query semantics identical to the deployment
-        schema's topk (fielded boosts kept when ``fielded`` is
-        configured). Quoted queries still go through ``route`` one at
-        a time (phrase plans are per-query)."""
-        if self.fielded is not None:
-            return self.fielded.multi_topk(queries, k, round_to)
-        return self.block.multi_topk(queries, k, round_to)
+        """Batched serving (the Elasticsearch ``_msearch`` analog):
+        (query_id, rank, doc_id, score) for every query of the batch,
+        query_id = list position.
+
+        The batch SPLITS by plan shape: every unquoted query scores in
+        ONE job over one bucket/term-pruned postings fetch
+        (multi_topk — fielded boosts kept when ``fielded`` is
+        configured), while quoted members route one at a time through
+        the phrase engines (their n-way position joins are genuinely
+        per-query) and union into the same frame. A 32-query batch
+        with two phrase queries costs 3 jobs, not 32."""
+        from functools import reduce
+
+        from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA
+
+        term_idx = [i for i, q in enumerate(queries) if '"' not in q]
+        quoted_idx = [i for i, q in enumerate(queries) if '"' in q]
+        parts: list[DataFrame] = []
+        if term_idx:
+            eng = self.fielded if self.fielded is not None else self.block
+            batch = eng.multi_topk([queries[i] for i in term_idx], k,
+                                   round_to)
+            if term_idx != list(range(len(queries))):
+                # remap the sub-batch's positional ids to the original
+                # list positions
+                mapping = self.spark.createDataFrame(
+                    list(enumerate(term_idx)), "query_id int, orig int")
+                batch = batch.join(F.broadcast(mapping), "query_id") \
+                    .select(F.col("orig").alias("query_id"), "rank",
+                            "doc_id", "score")
+            parts.append(batch)
+        for i in quoted_idx:
+            hits, _plan = self.route(queries[i], k, round_to)
+            parts.append(hits.select(
+                F.lit(i).cast("int").alias("query_id"), "rank", "doc_id",
+                "score"))
+        if not parts:
+            return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
+        return reduce(lambda a, b: a.unionByName(b), parts) \
+            .orderBy("query_id", "rank")
 
     def warmup(self, queries: list[str], k: int = 2) -> dict[str, float]:
         """Q11 on the production facade (serve.rs:220-257): run each

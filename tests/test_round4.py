@@ -443,6 +443,34 @@ def test_fielded_multi_topk_matches_sequential(spark, fielded_pos_arts):
         assert by_q.get(qi, []) == exp, q
 
 
+def test_serve_msearch_mixed_batch(spark, corpus, tmp_path):
+    """ArtifactSearcher.msearch splits a batch by plan shape: unquoted
+    members ride the ONE multi_topk job, the quoted member routes
+    through the mixed engine — query_ids keep the ORIGINAL list
+    positions and every sub-result matches its per-query twin."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    art = save_index(spark, corpus, str(tmp_path / "msv"),
+                     text_col="content", with_positions=True)
+    s = ArtifactSearcher(spark, art, body_col="content")
+    queries = ["spark", 'spark "the first"', "spark shuffle"]
+    got = s.msearch(queries, 5, round_to=ROUND).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    blk = s.block
+    for qi, q in enumerate(queries):
+        if '"' in q:
+            exp = blk.mixed_topk(q, 5, round_to=ROUND)
+        else:
+            exp = blk.topk(q, 5, round_to=ROUND)
+        assert by_q.get(qi, []) == [
+            (r["rank"], r["doc_id"], r["score"]) for r in exp.collect()
+        ], q
+
+
 def test_multi_topk_empty_and_junk(spark, corpus):
     """An empty batch and a batch of only zero-clause queries return
     empty frames with the msearch schema."""
