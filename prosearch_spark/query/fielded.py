@@ -27,6 +27,17 @@ from prosearch_spark.query.bm25 import SCORE_EXPR
 DEFAULT_FIELD_BOOSTS = {"title": 1.5, "body": 1.0}
 
 
+def field_boost_expr(field_boosts: dict[str, float]):
+    """CASE column mapping ``field`` -> its boost (1.0 otherwise) —
+    the one place the boost table becomes a Spark expression."""
+    fb = None
+    for field, boost in field_boosts.items():
+        cond = F.when(F.col("field") == field, F.lit(float(boost)))
+        fb = cond if fb is None else fb.when(
+            F.col("field") == field, F.lit(float(boost)))
+    return F.lit(1.0) if fb is None else fb.otherwise(F.lit(1.0))
+
+
 class FieldedSearchEngine:
     def __init__(self, spark: SparkSession, index: InvertedIndex,
                  field_boosts: dict[str, float] | None = None):
@@ -43,15 +54,7 @@ class FieldedSearchEngine:
         )
         terms = sorted({t for t, _ in clauses})
         ts = self.index.term_stats.filter(F.col("term").isin(terms))
-
-        fb = None
-        for field, boost in self.field_boosts.items():
-            cond = F.when(F.col("field") == field, F.lit(float(boost)))
-            fb = cond if fb is None else fb.when(
-                F.col("field") == field, F.lit(float(boost))
-            )
-        fb = fb.otherwise(F.lit(1.0))
-
+        fb = field_boost_expr(self.field_boosts)
         scored = (
             self.index.postings
             .join(F.broadcast(qdf), "term")
@@ -136,14 +139,7 @@ class FieldedSearchEngine:
             "query_id int, n_clauses int")
         terms = sorted({t for _qi, _ci, t, _b in rows})
         ts = self.index.term_stats.filter(F.col("term").isin(terms))
-
-        fb = None
-        for field, boost in self.field_boosts.items():
-            cond = F.when(F.col("field") == field, F.lit(float(boost)))
-            fb = cond if fb is None else fb.when(
-                F.col("field") == field, F.lit(float(boost)))
-        fb = fb.otherwise(F.lit(1.0))
-
+        fb = field_boost_expr(self.field_boosts)
         scored = (
             self.index.postings
             .join(F.broadcast(qdf), "term")
@@ -969,13 +965,7 @@ class FieldedBlockSearchEngine:
                 # manifest-era per-field df/N/avgdl, so the pruned
                 # decode scores byte-identically to the full one
                 idx = self._engine_on_blocks(need, terms).index
-                fb = None
-                for field, boost in self.field_boosts.items():
-                    cond = F.when(F.col("field") == field,
-                                  F.lit(float(boost)))
-                    fb = cond if fb is None else fb.when(
-                        F.col("field") == field, F.lit(float(boost)))
-                fb = fb.otherwise(F.lit(1.0))
+                fb = field_boost_expr(self.field_boosts)
                 scored_parts.append(
                     idx.postings
                     .join(F.broadcast(qdf), "term")

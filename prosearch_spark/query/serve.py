@@ -113,6 +113,40 @@ class ArtifactSearcher:
         return reduce(lambda a, b: a.unionByName(b), parts) \
             .orderBy("query_id", "rank")
 
+    def profile(self, q: str, k: int = 10) -> dict:
+        """Per-query diagnostics — the reference's timer tree analog
+        (serve.rs:412-419 wraps every search in a timer and ships it
+        on the Serp): dispatch ``q`` exactly like ``route`` but with
+        each branch's stats surfaced, and report the chosen plan, wall
+        seconds, hit count, and the pruning counters
+        (blocks_total/blocks_decoded/...) where the branch produces
+        them. Diagnostic endpoint: hits are collected and discarded."""
+        t0 = time.perf_counter()
+        stats: dict = {}
+        if '"' in q:
+            if self.fielded is not None:
+                hits, stats = self.fielded.mixed_topk(
+                    q, k, round_to=6, return_stats=True)
+                plan = "fielded_mixed"
+            else:
+                hits, stats = self.block.mixed_topk(
+                    q, k, round_to=6, return_stats=True)
+                plan = "mixed"
+        elif self.fielded is not None:
+            hits, stats = self.fielded.topk_wand(q, k, round_to=6)
+            plan = "fielded_wand"
+        else:
+            hits, stats = self.block.topk_wand(q, k, round_to=6)
+            plan = "wand"
+        n = len(hits.collect())
+        return {
+            "q": q,
+            "plan": plan,
+            "num_hits": n,
+            "sec": round(time.perf_counter() - t0, 4),
+            "stats": stats,
+        }
+
     def warmup(self, queries: list[str], k: int = 2) -> dict[str, float]:
         """Q11 on the production facade (serve.rs:220-257): run each
         query once through the ROUTER at small k so every branch's

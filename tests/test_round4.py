@@ -471,6 +471,26 @@ def test_serve_msearch_mixed_batch(spark, corpus, tmp_path):
         ], q
 
 
+def test_serve_profile_reports_plan_and_stats(spark, corpus, tmp_path):
+    """profile() dispatches like route() but surfaces each branch's
+    pruning counters (the reference wraps every search in a timer
+    tree, serve.rs:412-419)."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    art = save_index(spark, corpus, str(tmp_path / "prof"),
+                     text_col="content", with_positions=True)
+    s = ArtifactSearcher(spark, art, body_col="content")
+    p = s.profile('spark "the first"', 5)
+    assert p["plan"] == "mixed"
+    assert {"blocks_total", "blocks_decoded"} <= set(p["stats"])
+    assert p["sec"] > 0
+    p2 = s.profile("spark", 5)
+    assert p2["plan"] == "wand"
+    assert p2["num_hits"] > 0
+    assert {"blocks_total", "blocks_decoded"} <= set(p2["stats"])
+
+
 def test_multi_topk_empty_and_junk(spark, corpus):
     """An empty batch and a batch of only zero-clause queries return
     empty frames with the msearch schema."""
