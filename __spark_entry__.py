@@ -1329,6 +1329,27 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing, oracle-gated end-to-end: document
+    bytes stand in for video payloads; the Arrow kernel fans each
+    asset out to every 3rd full 32-byte 'frame'. The corpus is ASCII,
+    so DuckDB's char-slice sha256 recomputes the byte-slice hashes
+    exactly. pts (float) is pytest-covered; the gate projects the
+    exact columns."""
+    from prosearch_spark.ops import multimodal as mm
+
+    assets = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("media"),
+    )
+    frames = mm.sample_frames(assets, frame_bytes=32, every=3)
+    return frames.select(
+        "asset_id", "frame_idx",
+        F.sha2(F.col("frame"), 256).alias("frame_sha256"),
+        F.length("frame").cast("long").alias("n_bytes"),
+    )
+
+
 def q_knn_join_lsh_probe(spark, sf_dir):
     """Multi-probe banded kNN join (round 3): per table the LEFT side
     also matches with its lowest-|margin| bit flipped — the recall
@@ -1451,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 4 ----
         "msearch_topk": q_msearch_topk,
         "msearch_fielded": q_msearch_fielded,
+        "frame_sample": q_frame_sample,
         "bm25_topk_fielded_phrase": q_bm25_topk_fielded_phrase,
         "serve_routed_fielded_phrase": q_serve_routed_fielded_phrase,
         "bm25_topk_fielded_or": q_bm25_topk_fielded_or,
@@ -1574,6 +1596,28 @@ def oracle_sql() -> dict[str, str]:
         "msearch_topk": osql.multi_topk_sql(MSEARCH_QUERIES, 10, ROUND),
         "msearch_fielded": osql.fielded_multi_topk_sql(
             MSEARCH_QUERIES, 10, ROUND),
+        "frame_sample": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id AS asset_id, text FROM documents
+            ),
+            idx(i) AS (
+                SELECT 0
+                UNION ALL
+                SELECT i + 1 FROM idx
+                WHERE i + 1 < (SELECT CAST(floor(max(length(text)) / 32.0)
+                               AS BIGINT) FROM documents)
+            ),
+            fr AS (
+                SELECT asset_id, i::BIGINT AS frame_idx,
+                       substr(text, (i * 32 + 1)::INT, 32) AS fs
+                FROM base CROSS JOIN idx
+                WHERE i < CAST(floor(length(text) / 32.0) AS BIGINT)
+                  AND i % 3 = 0
+            )
+            SELECT asset_id, frame_idx, sha256(fs) AS frame_sha256,
+                   octet_length(encode(fs))::BIGINT AS n_bytes
+            FROM fr
+        """,
         "bm25_topk_fielded_phrase": osql.fielded_mixed_topk_sql(
             Q_MIXED_PHRASE, 10, ROUND),
         "serve_routed_fielded_phrase": osql.fielded_mixed_topk_sql(

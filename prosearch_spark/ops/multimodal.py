@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -90,6 +92,100 @@ def extract_features(assets: DataFrame, strict: bool = False) -> DataFrame:
 
     return assets.select("asset_id", "kind", "media").mapInPandas(
         kernel, FEATURE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("pts", DoubleType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+RESIZE_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("media", BinaryType(), True),
+    StructField("width", LongType(), False),
+    StructField("height", LongType(), False),
+])
+
+
+def sample_frames(assets: DataFrame, frame_bytes: int = 32,
+                  every: int = 3, fps: float = 30.0,
+                  strict: bool = False) -> DataFrame:
+    """Frame sampling plumbing: ONE input row -> MANY output rows
+    inside the Arrow batch kernel (the shape a real ffmpeg-backed
+    sampler needs — per-asset fan-out without exploding on the
+    driver). The STUB 'demuxer' treats the payload as consecutive
+    ``frame_bytes``-sized full frames (trailing partial dropped) and
+    emits every ``every``-th with its presentation timestamp
+    ``frame_idx / fps``. Real deployment: replace the slicing with an
+    ffmpeg/pyav call in this same kernel; schema, fan-out, and
+    partitioning stay as tested."""
+    if every < 1 or frame_bytes < 1:
+        raise ValueError("every and frame_bytes must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, pts, frames = [], [], [], []
+            for asset_id, payload in zip(b["asset_id"], b["media"]):
+                if strict:
+                    raise MediaDecodeUnavailable(
+                        "no demuxer in this environment")
+                payload = bytes(payload) if payload is not None else b""
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, every):
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    pts.append(round(i / fps, 6))
+                    frames.append(
+                        payload[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "pts": pd.Series(pts, dtype="float64"),
+                "frame": pd.Series(frames, dtype="object"),
+            })
+
+    return assets.select("asset_id", "media").mapInPandas(
+        kernel, FRAME_SCHEMA
+    )
+
+
+def resize_media(assets: DataFrame, width: int, height: int,
+                 strict: bool = False) -> DataFrame:
+    """Resize plumbing: per-asset payload rewrite + typed size
+    metadata, Arrow-batched. The STUB 'resampler' emits a
+    deterministic ``width*height*3``-byte payload (the target RGB
+    buffer size) derived from sha256(payload || 'WxH') so tests can
+    assert exact bytes; a real deployment swaps in PIL/torchvision
+    inside the same kernel."""
+    target = width * height * 3
+    if target <= 0:
+        raise ValueError("width/height must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for payload in b["media"]:
+                if strict:
+                    raise MediaDecodeUnavailable(
+                        "no resampler in this environment")
+                payload = bytes(payload) if payload is not None else b""
+                seed = hashlib.sha256(
+                    payload + f"{width}x{height}".encode()).digest()
+                out.append((seed * (target // len(seed) + 1))[:target])
+            yield pd.DataFrame({
+                "asset_id": b["asset_id"],
+                "kind": b["kind"],
+                "media": pd.Series(out, dtype="object"),
+                "width": pd.Series([width] * len(out), dtype="int64"),
+                "height": pd.Series([height] * len(out), dtype="int64"),
+            })
+
+    return assets.select("asset_id", "kind", "media").mapInPandas(
+        kernel, RESIZE_SCHEMA
     )
 
 

@@ -38,3 +38,53 @@ def test_strict_mode_raises(spark):
     with pytest.raises(Exception) as ei:
         extract_features(assets, strict=True).collect()
     assert "no codec for kind" in str(ei.value)
+
+def test_frame_sampling_fanout(spark):
+    """One asset row fans out to every 3rd full 32-byte frame with
+    exact slices and pts = idx/fps; short payloads emit nothing."""
+    from prosearch_spark.ops.multimodal import sample_frames
+
+    assets = synth_assets(spark, n=9)
+    payloads = {r["asset_id"]: bytes(r["media"]) for r in assets.collect()}
+    rows = sample_frames(assets, frame_bytes=32, every=3).collect()
+    got = {(r["asset_id"], r["frame_idx"]): r for r in rows}
+    for aid, p in payloads.items():
+        n_frames = len(p) // 32
+        exp_idx = list(range(0, n_frames, 3))
+        have = sorted(i for a, i in got if a == aid)
+        assert have == exp_idx, aid
+        for i in exp_idx:
+            r = got[(aid, i)]
+            assert bytes(r["frame"]) == p[i * 32:(i + 1) * 32]
+            assert r["pts"] == pytest.approx(round(i / 30.0, 6))
+
+
+def test_resize_media_deterministic(spark):
+    """Resize emits exactly width*height*3 deterministic bytes per
+    asset (the target RGB buffer), keyed by payload AND target dims."""
+    from prosearch_spark.ops.multimodal import resize_media
+
+    assets = synth_assets(spark, n=6)
+    payloads = {r["asset_id"]: bytes(r["media"]) for r in assets.collect()}
+    rows = {r["asset_id"]: r
+            for r in resize_media(assets, 8, 4).collect()}
+    assert len(rows) == 6
+    for aid, r in rows.items():
+        assert (r["width"], r["height"]) == (8, 4)
+        seed = hashlib.sha256(payloads[aid] + b"8x4").digest()
+        exp = (seed * (96 // 32 + 1))[:96]
+        assert bytes(r["media"]) == exp
+    # different target dims -> different bytes
+    r2 = {r["asset_id"]: bytes(r["media"])
+          for r in resize_media(assets, 4, 8).collect()}
+    assert all(r2[a] != bytes(rows[a]["media"]) for a in r2)
+
+
+def test_frame_and_resize_strict_raise(spark):
+    from prosearch_spark.ops.multimodal import resize_media, sample_frames
+
+    assets = synth_assets(spark, n=2)
+    with pytest.raises(Exception, match="no demuxer"):
+        sample_frames(assets, strict=True).collect()
+    with pytest.raises(Exception, match="no resampler"):
+        resize_media(assets, 4, 4, strict=True).collect()
