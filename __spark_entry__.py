@@ -1329,6 +1329,29 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_pipeline_clean_search(spark, sf_dir):
+    """The training-data pipeline END-TO-END (round 4 capstone):
+    Gopher-rule quality filter -> MinHash near-dup clusters ->
+    keep-best survivor selection -> inverted index over the survivors
+    -> BM25 top-k. Every stage is the already-gated operator; this
+    entry proves they COMPOSE (the oracle recomputes the whole chain
+    in one DuckDB query, stats derived from the survivor corpus)."""
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.engine import SearchEngine
+
+    docs = _docs(spark, sf_dir)
+    qf = ts.quality_filter(F.col("text"))
+    kept = docs.filter(qf["keep"])
+    pairs = dd.minhash_dedup_pairs(kept, content_col="text", n=3,
+                                   num_hashes=16, bands=4, threshold=0.5)
+    clusters = dd.dup_clusters(pairs)
+    dropped = dd.keep_best(clusters, docs, "n_chars") \
+        .filter(~F.col("keep")).select("doc_id")
+    survivors = kept.join(dropped, "doc_id", "left_anti")
+    idx = build_index(survivors, text_col="text")
+    return SearchEngine(spark, idx).topk(Q_SINGLE, 10, round_to=ROUND)
+
+
 def q_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing, oracle-gated end-to-end: document
     bytes stand in for video payloads; the Arrow kernel fans each
@@ -1473,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msearch_topk": q_msearch_topk,
         "msearch_fielded": q_msearch_fielded,
         "frame_sample": q_frame_sample,
+        "pipeline_clean_search": q_pipeline_clean_search,
         "bm25_topk_fielded_phrase": q_bm25_topk_fielded_phrase,
         "serve_routed_fielded_phrase": q_serve_routed_fielded_phrase,
         "bm25_topk_fielded_or": q_bm25_topk_fielded_or,
@@ -1596,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         "msearch_topk": osql.multi_topk_sql(MSEARCH_QUERIES, 10, ROUND),
         "msearch_fielded": osql.fielded_multi_topk_sql(
             MSEARCH_QUERIES, 10, ROUND),
+        "pipeline_clean_search": _pipeline_sql(Q_SINGLE, 10, ROUND),
         "frame_sample": """
             WITH RECURSIVE base AS (
                 SELECT doc_id AS asset_id, text FROM documents
@@ -2121,6 +2146,68 @@ sh AS (
 # -> banded buckets -> exact-Jaccard verify -> recursive connected
 # components with min-label canonicalization. Shared by the
 # dedup_clusters and dedup_keep_best oracles.
+def _pipeline_sql(q: str, k: int, round_to: int) -> str:
+    """Composed oracle for q_pipeline_clean_search: quality keep
+    predicate (the quality_filter oracle's rules) -> the MinHash
+    cluster CTE rebased onto the kept docs -> survivor selection (the
+    keep_best window) -> the standard BM25 topk CTEs rebased onto the
+    survivors, so n_docs/avgdl/df all derive from the cleaned
+    corpus exactly like build_index(survivors) does."""
+    quality = """qdocs AS (SELECT doc_id, text FROM documents),
+qtoks AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM qdocs
+    ) WHERE term <> ''
+),
+per_tok AS (
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN term IN ('the','a') THEN 1 ELSE 0 END) AS n_stop,
+           sum(length(term))::BIGINT AS tok_chars
+    FROM qtoks GROUP BY doc_id
+),
+qr AS (
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           round(coalesce(p.n_stop, 0) * 1.0
+                 / greatest(coalesce(p.n_tokens, 0), 1), 6) AS stop_r,
+           round((length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                 * 1.0 / greatest(length(d.text), 1), 6) AS punct_r,
+           round(coalesce(p.tok_chars, 0) * 1.0
+                 / greatest(coalesce(p.n_tokens, 0), 1), 6) AS avg_l
+    FROM documents d LEFT JOIN per_tok p USING (doc_id)
+),
+qkept AS (
+    SELECT d.doc_id, d.text
+    FROM documents d JOIN qr USING (doc_id)
+    WHERE NOT (qr.n_tokens < 5 OR qr.stop_r > 0.6 OR qr.punct_r > 0.2
+               OR qr.avg_l < 2.0 OR qr.avg_l > 12.0)
+)"""
+    clusters = _CLUSTERS_CTE.replace("FROM documents", "FROM qkept")
+    survivors = """scored_cl AS (
+    SELECT c.doc_id, c.cluster_id, d.n_chars
+    FROM clusters c JOIN documents d USING (doc_id)
+),
+dropped AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM scored_cl
+    ) WHERE rn > 1
+),
+survivors AS (
+    SELECT kq.doc_id, kq.text FROM qkept kq
+    WHERE kq.doc_id NOT IN (SELECT doc_id FROM dropped)
+)"""
+    body, _n = osql._scored_docs_cte_qualified(q)
+    body = body.replace("FROM documents", "FROM survivors")
+    cte = ",\n".join([quality, clusters, survivors, body])
+    return osql._rank_tail(cte, k, round_to).replace(
+        "WITH ", "WITH RECURSIVE ", 1)
+
+
 _CLUSTERS_CTE = """
 d AS (
     SELECT doc_id,
