@@ -1489,8 +1489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 keys). Round-4-new entries lead, then every entry
     # whose code path changed this round, then once-driver-green (r03
     # only) entries fill the window; the tail (past position 50) holds
-    # only entries driver-green in >= 2 prior rounds and untouched
-    # this round.
+    # only entries driver-green in a PRIOR round and code-untouched
+    # this round (phrase_prefix/prefix/fuzzy/regex_topk: r03-green,
+    # displaced by the late round-4 msearch/frame/pipeline entries;
+    # every tail entry is also re-attested by the 106/106
+    # check_oracle.py replica recorded in BENCH/README).
     return {
         # ---- new in round 4 ----
         "msearch_topk": q_msearch_topk,
