@@ -122,7 +122,13 @@ def sample_frames(assets: DataFrame, frame_bytes: int = 32,
     emits every ``every``-th with its presentation timestamp
     ``frame_idx / fps``. Real deployment: replace the slicing with an
     ffmpeg/pyav call in this same kernel; schema, fan-out, and
-    partitioning stay as tested."""
+    partitioning stay as tested.
+
+    Scale note: output volume = input x (frames kept / asset), and
+    mapInPandas preserves the input partitioning — at 100 TB,
+    repartition the asset table by total payload bytes (or lower
+    spark.sql.files.maxPartitionBytes) BEFORE sampling so the
+    fanned-out partitions still fit executor memory."""
     if every < 1 or frame_bytes < 1:
         raise ValueError("every and frame_bytes must be >= 1")
 
