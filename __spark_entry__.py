@@ -567,6 +567,59 @@ def q_segmented_upsert_search(spark, sf_dir):
     return si.topk(Q_AND2, 10, round_to=ROUND)
 
 
+def _live_stack(spark, sf_dir):
+    """TOMBSTONED segment stack, NOT compacted: every 6th doc is first
+    committed with stale placeholder text across the three base
+    segments, then upserted with its true row — the upsert tombstones
+    the stale version in its base segment and seals the re-adds as a
+    fourth segment. ``as_artifact()`` over this stack is the round-5
+    live serving view (per-segment alive bitsets, serve.rs:535)."""
+    import tempfile
+
+    from prosearch_spark.index.segments import SegmentedIndex
+
+    def build():
+        root = tempfile.mkdtemp(prefix="prosearch_seglive_")
+        si = SegmentedIndex(spark, root, merge_factor=8)
+        docs = _docs(spark, sf_dir)
+        stale = F.col("doc_id") % 6 == 0
+        staled = docs.withColumn(
+            "text",
+            F.when(stale, F.lit("stale placeholder body"))
+            .otherwise(F.col("text")),
+        )
+        for i in range(3):
+            si.commit(staled.filter(F.col("doc_id") % 3 == i),
+                      text_col="text")
+        si.upsert(docs.filter(stale), text_col="text")
+        assert any(s.deletes() is not None for s in si.segments())
+        return si
+
+    return _memo_artifact("segmented_live", sf_dir, build)
+
+
+def q_segmented_wand_live(spark, sf_dir):
+    """Round 5: Block-Max WAND over a LIVE tombstoned stack — queries
+    never wait for a merge (the reference serves over per-segment
+    alive bitsets, serve.rs:535; Lucene/Tantivy model). The view tags
+    each block with its segment, the decode carries the tag per
+    posting, and tombstones anti-join on (seg, doc_id) so the upserted
+    doc's dead OLD postings die while its re-add survives. Collection
+    stats and per-term df are recomputed over ALIVE rows (exact
+    integer sums), so live scores hash-match compact-then-WAND — and
+    therefore the ordinary flat oracle over the true corpus.
+    min_prune_blocks=0 forces the full pruning ladder (the seg-keyed
+    seed anti-join is what round 5 added)."""
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    si = _live_stack(spark, sf_dir)
+    view = si.as_artifact()
+    assert view.deletes() is not None  # live, not compacted
+    df, _stats = BlockSearchEngine(spark, view).topk_wand(
+        Q_AND2, 10, round_to=ROUND, min_prune_blocks=0)
+    return df
+
+
 def q_bm25_topk_or(spark, sf_dir):
     """Disjunctive (match-ANY) top-k — BooleanQuery should-clause
     scoring (engine.topk_or); oracle = the conjunction CTE minus the
@@ -1016,6 +1069,64 @@ def _fielded_stacks(spark, sf_dir):
     return _memo_artifact("fielded_stacks", sf_dir, build)
 
 
+def _fielded_stream_stacks(spark, sf_dir):
+    """Fielded stacks built through the STREAMING sink (round 5):
+    FieldedSegmentedStreamingIndexer.process_batch seals one segment
+    per field per micro-batch (the foreachBatch hook invoked directly
+    — deterministic batch boundaries, same code path as the wired
+    stream). Three waves partition the corpus with every 5th doc
+    staled; a fourth wave upserts the true rows, so the stacks carry
+    LIVE tombstones and serve through the round-5 alive-bitset views —
+    scores must still hash-match the flat fielded oracles over the
+    true corpus."""
+    import tempfile
+
+    from prosearch_spark.streaming.ingest import (
+        FieldedSegmentedStreamingIndexer,
+    )
+
+    def build():
+        root = tempfile.mkdtemp(prefix="prosearch_fstream_")
+        docs = _docs(spark, sf_dir).withColumn(
+            "title", F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
+        )
+        stale = F.col("doc_id") % 5 == 0
+        staled = docs.withColumn(
+            "text",
+            F.when(stale, F.lit("stale placeholder body"))
+            .otherwise(F.col("text")),
+        ).withColumn(
+            "title",
+            F.when(stale, F.lit("stale title")).otherwise(F.col("title")),
+        )
+        ix = FieldedSegmentedStreamingIndexer(
+            spark, root, {"title": "title", "body": "text"},
+            positional_fields=frozenset({"body"}))
+        for i in range(3):
+            ix.process_batch(staled.filter(F.col("doc_id") % 3 == i), i)
+        ix.process_batch(docs.filter(stale), 3)
+        arts = ix.artifacts()
+        assert any(a.deletes() is not None for a in arts.values())
+        return arts
+
+    return _memo_artifact("fielded_stream_stacks", sf_dir, build)
+
+
+def q_fielded_stream_phrase(spark, sf_dir):
+    """Round 5 deepest combination: fields x segments x positions x
+    phrases x LIVE TOMBSTONES, ingested through the streaming sink —
+    a quoted mixed query over stream-built per-field stacks whose
+    upsert wave has NOT been compacted. Per-segment tombstones
+    anti-join on (seg, doc_id) inside each field's union view and
+    alive-recomputed stats keep scores bit-matching the flat fielded
+    mixed oracle over the true corpus."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    stacks = _fielded_stream_stacks(spark, sf_dir)
+    return FieldedBlockSearchEngine(spark, stacks).mixed_topk(
+        Q_MIXED_PHRASE, 10, round_to=ROUND)
+
+
 def q_fielded_stack_phrase(spark, sf_dir):
     """Fields x segments x positions x phrases — the deepest layout
     combination: a quoted mixed query over PER-FIELD SEGMENT STACKS
@@ -1427,7 +1538,10 @@ def q_serve_routed_fielded_stack(spark, sf_dir):
     """The router on a FIELDED deployment whose per-field indexes are
     SEGMENT STACKS (fields x segments, the reference's full shape):
     a quoted query routes to the fielded mixed engine over the union
-    views and must hash-match the flat fielded mixed oracle."""
+    views and must hash-match the flat fielded mixed oracle. Round 5
+    re-gates this over stacks built through the STREAMING sink with a
+    live (uncompacted) upsert wave — the reference's continuous-ingest
+    serving loop (serve.rs:503-525) end-to-end."""
     import tempfile
 
     from prosearch_spark.index.artifact import save_index
@@ -1438,7 +1552,7 @@ def q_serve_routed_fielded_stack(spark, sf_dir):
         tempfile.mkdtemp(prefix="prosearch_rfs_"), text_col="text",
         with_positions=True))
     s = ArtifactSearcher(spark, art,
-                         fielded=_fielded_stacks(spark, sf_dir))
+                         fielded=_fielded_stream_stacks(spark, sf_dir))
     df, plan = s.route(Q_MIXED_PHRASE, 10, round_to=ROUND)
     assert plan == "fielded_mixed"
     return df
@@ -1495,6 +1609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every tail entry is also re-attested by the 106/106
     # check_oracle.py replica recorded in BENCH/README).
     return {
+        # ---- new in round 5 ----
+        "segmented_wand_live": q_segmented_wand_live,
+        "fielded_stream_phrase": q_fielded_stream_phrase,
         # ---- new in round 4 ----
         "msearch_topk": q_msearch_topk,
         "msearch_fielded": q_msearch_fielded,
@@ -1619,6 +1736,14 @@ _TOKS = osql.INDEX_CTES  # toks/tf/postings/term_stats/stats CTEs
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
+        # ---- round 5 ----
+        # live tombstoned-stack WAND must equal compact-then-query,
+        # i.e. the ordinary flat oracle over the true corpus
+        "segmented_wand_live": osql.topk_sql(Q_AND2, 10, ROUND),
+        # stream-built live fielded stacks must score like a flat
+        # fielded build of the true corpus
+        "fielded_stream_phrase": osql.fielded_mixed_topk_sql(
+            Q_MIXED_PHRASE, 10, ROUND),
         # ---- round 4 ----
         "msearch_topk": osql.multi_topk_sql(MSEARCH_QUERIES, 10, ROUND),
         "msearch_fielded": osql.fielded_multi_topk_sql(

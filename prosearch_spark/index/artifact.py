@@ -50,6 +50,30 @@ def term_bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+def apply_deletes(postings: DataFrame, deletes: DataFrame | None) -> DataFrame:
+    """Anti-join tombstones out of decoded postings — the ONE rule for
+    every decode site (flat artifact, live segment-stack view, fielded
+    engines).
+
+    Flat artifacts tombstone by ``doc_id``. The live segment-stack view
+    (SegmentedIndex.as_artifact over a tombstoned stack) tombstones by
+    ``(seg, doc_id)``: a delete kills the doc's postings in THAT
+    segment only, so an upserted doc's live re-add in a later segment
+    survives while its dead old version dies — the per-segment alive
+    bitset (serve.rs:535; the Lucene/Tantivy model). The transient
+    ``seg`` tag is dropped after the join: downstream scoring is
+    segment-blind."""
+    if deletes is not None:
+        on = ["seg", "doc_id"] if "seg" in deletes.columns else ["doc_id"]
+        if "seg" in deletes.columns and "seg" not in postings.columns:
+            raise ValueError(
+                "segment-scoped deletes require seg-tagged postings")
+        postings = postings.join(F.broadcast(deletes), on, "left_anti")
+    if "seg" in postings.columns:
+        postings = postings.drop("seg")
+    return postings
+
+
 _BUCKET_MEMO: dict[tuple[str, int], int] = {}
 
 
@@ -110,11 +134,8 @@ class IndexArtifact:
 
     def postings(self, terms: list[str] | None = None) -> DataFrame:
         """Decoded flat postings, with tombstones anti-joined out."""
-        p = decode_blocks(self.blocks(terms))
-        deletes = self.deletes()
-        if deletes is not None:
-            p = p.join(F.broadcast(deletes), "doc_id", "left_anti")
-        return p
+        return apply_deletes(decode_blocks(self.blocks(terms)),
+                             self.deletes())
 
     def term_stats(self, terms: list[str] | None = None) -> DataFrame:
         df = self.spark.read.parquet(os.path.join(self.path, "term_stats"))

@@ -212,11 +212,16 @@ def _decode_np(buf: bytes) -> "np.ndarray":
 def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for batch in batches:
         with_pos = "positions" in batch.columns
+        # `seg` is an opaque per-block passthrough tag (the live
+        # segment-stack view labels each block with its source segment
+        # so per-segment tombstones can anti-join after decode)
+        with_seg = "seg" in batch.columns
         terms: list = []
         docs: list = []
         tfs: list = []
         dls: list = []
         poss: list = []
+        segs: list = []
         for r in batch.itertuples(index=False):
             deltas = _decode_np(r.docs)
             # first stored delta is 0, so cumsum + first_doc restores
@@ -226,6 +231,8 @@ def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             tfs.append(tf_arr)
             dls.append(_decode_np(r.dls))
             terms.append(np.repeat(np.array([r.term], dtype=object), r.n))
+            if with_seg:
+                segs.append(np.repeat(np.array([r.seg], dtype=object), r.n))
             if with_pos:
                 stream = _decode_np(r.positions)
                 off = 0
@@ -237,6 +244,8 @@ def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             cols = {"term": [], "doc_id": [], "tf": [], "dl": []}
             if with_pos:
                 cols["positions"] = []
+            if with_seg:
+                cols["seg"] = []
             yield pd.DataFrame(cols)
             continue
         out = {
@@ -247,6 +256,8 @@ def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         }
         if with_pos:
             out["positions"] = poss
+        if with_seg:
+            out["seg"] = np.concatenate(segs)
         yield pd.DataFrame(out)
 
 
@@ -270,9 +281,17 @@ def encode_blocks(postings: DataFrame, num_partitions: int | None = None) -> Dat
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Block rows -> (term, doc_id, tf, dl[, positions])."""
+    """Block rows -> (term, doc_id, tf, dl[, positions][, seg]).
+
+    A ``seg`` column on the input passes through per decoded posting
+    (each posting tagged with its block's segment) — the hook the live
+    segment-stack view uses to apply per-segment tombstones after
+    decode (apply_deletes, index/artifact.py)."""
     with_pos = "positions" in blocks.columns
     schema = POSTING_SCHEMA_POS if with_pos else POSTING_SCHEMA
+    if "seg" in blocks.columns:
+        schema = StructType(
+            schema.fields + [StructField("seg", StringType(), False)])
     return blocks.mapInPandas(_decode_partition, schema)
 
 

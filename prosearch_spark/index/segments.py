@@ -236,10 +236,18 @@ class SegmentedIndex:
     def as_index(self, terms: list[str] | None = None) -> InvertedIndex:
         """The union view: per-segment pruned postings unioned, df
         summed per term, N / total-dl summed from the manifests —
-        BM25-identical to a single-artifact build of the same corpus."""
+        BM25-identical to a single-artifact build of the same corpus.
+        A TOMBSTONED stack routes through the live artifact view so
+        df/n_docs/avgdl are the alive-only values — flat and block
+        engines agree, and both hash-match compact-then-query."""
         segs = self.segments()
         if not segs:
             raise ValueError("no committed segments")
+        if any(s.deletes() is not None for s in segs):
+            v = self.as_artifact()
+            return InvertedIndex(postings=v.postings(terms),
+                                 term_stats=v.term_stats(terms),
+                                 stats=v.stats())
         postings = reduce(
             lambda a, b: a.unionByName(b),
             [s.postings(terms) for s in segs],
@@ -275,27 +283,27 @@ class SegmentedIndex:
         (overlapping ranges across segments only weaken pruning, never
         correctness).
 
-        Requires a DELETE-FREE stack: per-segment tombstones cannot be
-        applied as one global anti-join (an upserted doc's live
-        re-add in a later segment would be killed alongside its dead
-        old version). That is Lucene/Tantivy's model too — per-segment
-        delete bitsets, merged away before bulk readers. Tombstoned
-        stacks query through topk()/as_index() (which apply each
-        segment's deletes to that segment only) or compact first.
-        """
+        TOMBSTONED stacks serve LIVE (round 5; the reference's
+        per-segment alive-bitset model, serve.rs:535 — queries never
+        wait for a merge): deletes are applied SEGMENT-LOCALLY, never
+        as one global anti-join (an upserted doc's live re-add in a
+        later segment must survive its dead old version). The view
+        tags each block with its segment, the decode carries the tag
+        per posting, and apply_deletes anti-joins on (seg, doc_id).
+        Collection stats and per-term df are recomputed over ALIVE
+        docs/postings (exact integer sums -> the identical float
+        division a compaction performs), so live scores hash-match
+        compact-then-query. WAND pruning stays sound: block max_tf /
+        min_dl still cover the dead postings, so every bound can only
+        be LOOSER than the alive-only bound — pruning weakens, never
+        breaks."""
         segs = self.segments()
         if not segs:
             raise ValueError("no committed segments")
-        names = [e["name"] for e in self._pointer()["segments"]]
-        dirty = [n for n, s in zip(names, segs) if s.deletes() is not None]
-        if dirty:
-            raise ValueError(
-                "segments carry tombstones (%s): run compact()/"
-                "force_merge() first, or query via topk()/as_index()"
-                % ", ".join(dirty))
         p = self._pointer()
+        names = [e["name"] for e in p["segments"]]
         return SegmentedArtifactView(
-            self.spark, segs,
+            self.spark, segs, names=names,
             n_docs=sum(e["n_docs"] for e in p["segments"]),
             total_dl=sum(e["total_dl"] for e in p["segments"]))
 
@@ -458,7 +466,7 @@ class SegmentedIndex:
 
 
 class SegmentedArtifactView:
-    """The read-side union of a delete-free segment stack, exposing the
+    """The read-side union of a segment stack, exposing the
     IndexArtifact query surface (blocks/term_stats/doc_stats/postings/
     stats/deletes) so BlockSearchEngine needs no segment awareness.
 
@@ -466,14 +474,35 @@ class SegmentedArtifactView:
     union, so a term lookup touches n_segments x one bucket directory —
     the fan-out the merge policy exists to bound. df sums across
     segments; n_docs/avgdl come from the pointer's exact integer
-    totals (identical float division to a single build)."""
+    totals (identical float division to a single build).
+
+    TOMBSTONED stacks (round 5): blocks carry a ``seg`` tag (recovered
+    from ``_metadata.file_path`` on the multi-path scan — no extra
+    column is stored), ``deletes()`` is the (seg, doc_id) union of
+    per-segment tombstones, and every consumer applies them through
+    ``apply_deletes`` — the per-segment alive-bitset serving model
+    (serve.rs:535): an upsert-heavy deployment keeps WAND, the router
+    and msearch between compactions. Collection stats and per-term df
+    are recomputed over ALIVE rows so results hash-match a compaction;
+    the extra cost on the query path is one alive doc-stats aggregate
+    (memoized per view) plus a decode of the DIRTY segments' blocks
+    for the query terms — both bounded by tombstone churn, zero when
+    the stack is clean."""
 
     def __init__(self, spark: SparkSession, segments: list[IndexArtifact],
-                 n_docs: int, total_dl: int):
+                 names: list[str], n_docs: int, total_dl: int):
         self._spark = spark
         self._segments = segments
+        self._names = names
         self._n_docs = n_docs
         self._total_dl = total_dl
+        # per-segment tombstones, keyed by segment name (empty on a
+        # clean stack — every live-path branch below is then dead code)
+        self._del_map = {
+            n: d for n, s in zip(names, segments)
+            if (d := s.deletes()) is not None
+        }
+        self._alive: tuple[int, int] | None = None  # memoized (n, dl)
         # homogeneous stacks (the commit path's normal output) read all
         # segment trees in ONE multi-path parquet scan instead of
         # n_segments unioned scans: the measured 2.3x query latency on
@@ -487,6 +516,14 @@ class SegmentedArtifactView:
 
     def _union(self, frames: list[DataFrame]) -> DataFrame:
         return reduce(lambda a, b: a.unionByName(b), frames)
+
+    @staticmethod
+    def _seg_tag(sub: str):
+        """Segment name from the scan's file path (the upsert probe's
+        trick, see SegmentedIndex.upsert) — tags multi-path reads
+        without storing a column."""
+        return F.regexp_extract(F.col("_metadata.file_path"),
+                                rf"segments/([^/]+)/{sub}", 1).alias("seg")
 
     def _bucket_read(self, sub: str,
                      terms: list[str] | None) -> DataFrame | None:
@@ -519,8 +556,14 @@ class SegmentedArtifactView:
         if self._uniform:
             df = self._bucket_read("blocks", terms)
             if df is not None:
+                if self._del_map:
+                    df = df.withColumn("seg", self._seg_tag("blocks"))
                 return df
-        return self._union([s.blocks(terms) for s in self._segments])
+        frames = [s.blocks(terms) for s in self._segments]
+        if self._del_map:
+            frames = [f.withColumn("seg", F.lit(n))
+                      for n, f in zip(self._names, frames)]
+        return self._union(frames)
 
     def term_stats(self, terms: list[str] | None = None) -> DataFrame:
         per_seg = self._bucket_read("term_stats", terms) \
@@ -530,38 +573,107 @@ class SegmentedArtifactView:
         else:
             per_seg = self._union(
                 [s.term_stats(terms) for s in self._segments])
-        return per_seg.groupBy("term").agg(F.sum("df").alias("df"))
+        stored = per_seg.groupBy("term").agg(F.sum("df").alias("df"))
+        if not self._del_map or terms is None:
+            # full-vocabulary walks (dictionary expansion) tolerate df
+            # drift under tombstones, like Lucene's reader stats; every
+            # SCORING path passes its term list and gets exact df below
+            return stored
+        # exact alive df for the query terms: stored df minus the
+        # dead-posting count, counted by decoding ONLY the dirty
+        # segments' (bucket/term-pruned) blocks — bounded by churn
+        from prosearch_spark.index.blocks import decode_blocks
+
+        dirty = [
+            s.blocks(terms).withColumn("seg", F.lit(n))
+            for n, s in zip(self._names, self._segments)
+            if n in self._del_map
+        ]
+        dead = (
+            decode_blocks(self._union(dirty))
+            .join(F.broadcast(self.deletes()), ["seg", "doc_id"],
+                  "left_semi")
+            .groupBy("term").agg(F.count("*").alias("dead"))
+        )
+        return (
+            stored.join(dead, "term", "left")
+            .select("term", (F.col("df") - F.coalesce("dead", F.lit(0)))
+                    .alias("df"))
+            .filter(F.col("df") > 0)  # fully-dead terms vanish, as in
+            # a compaction's recomputed term_stats
+        )
 
     def doc_stats(self) -> DataFrame:
         # plain (unpartitioned) parquet trees: multi-path read is safe
-        return self._spark.read.parquet(
+        df = self._spark.read.parquet(
             *[os.path.join(s.path, "doc_stats") for s in self._segments])
+        if self._del_map:
+            from prosearch_spark.index.artifact import apply_deletes
+
+            df = apply_deletes(
+                df.withColumn("seg", self._seg_tag("doc_stats")),
+                self.deletes())
+        return df
 
     def postings(self, terms: list[str] | None = None) -> DataFrame:
         if self._uniform:
+            from prosearch_spark.index.artifact import apply_deletes
             from prosearch_spark.index.blocks import decode_blocks
 
-            # the view is delete-free by construction, so decoding the
-            # single-scan blocks IS the postings union
-            return decode_blocks(self.blocks(terms))
+            # single-scan decode; per-segment tombstones (if any)
+            # anti-join on the decoded rows' seg tag
+            return apply_deletes(decode_blocks(self.blocks(terms)),
+                                 self.deletes())
         return self._union([s.postings(terms) for s in self._segments])
 
     def deletes(self) -> DataFrame | None:
-        # the view refuses tombstoned stacks at construction
-        return None
+        """(seg, doc_id) tombstones across the stack — segment-scoped
+        so apply_deletes kills a doc's postings in the tombstoning
+        segment ONLY (its upserted re-add in a later segment lives)."""
+        if not self._del_map:
+            return None
+        return self._union([
+            d.select(F.lit(n).alias("seg"),
+                     F.col("doc_id").cast("long").alias("doc_id"))
+            for n, d in self._del_map.items()
+        ])
+
+    def _alive_totals(self) -> tuple[int, int]:
+        if self._alive is None:
+            agg = self.doc_stats().agg(
+                F.count("*").alias("n"), F.sum("dl").alias("t")
+            ).collect()[0]
+            self._alive = (int(agg["n"] or 0), int(agg["t"] or 0))
+        return self._alive
 
     def stats(self) -> DataFrame:
-        avgdl = self._total_dl / self._n_docs if self._n_docs else 0.0
+        if self._del_map:
+            # exact ALIVE integer totals -> the identical float
+            # division merge_once performs after applying tombstones,
+            # so live scores hash-match compact-then-query
+            n_docs, total_dl = self._alive_totals()
+        else:
+            n_docs, total_dl = self._n_docs, self._total_dl
+        avgdl = total_dl / n_docs if n_docs else 0.0
         return self._spark.createDataFrame(
-            [(self._n_docs, float(avgdl))], "n_docs long, avgdl double")
+            [(n_docs, float(avgdl))], "n_docs long, avgdl double")
 
     def doc_store(self) -> DataFrame | None:
-        """Union of the per-segment doc stores (S4). Every alive
-        segment must carry one, else the stack has no store."""
+        """Union of the per-segment doc stores (S4), minus each
+        segment's tombstoned rows (an upserted doc's stored fields come
+        from its live re-add only). Every alive segment must carry one,
+        else the stack has no store."""
         stores = [s.doc_store() for s in self._segments]
         if any(st is None for st in stores):
             return None
-        return self._union(stores)
+        if not self._del_map:
+            return self._union(stores)
+        from prosearch_spark.index.artifact import apply_deletes
+
+        return apply_deletes(
+            self._union([st.withColumn("seg", F.lit(n))
+                         for n, st in zip(self._names, stores)]),
+            self.deletes())
 
     def fetch_docs(self, hits: DataFrame) -> DataFrame:
         """S5/J3 over the stack: broadcast the k hits against each

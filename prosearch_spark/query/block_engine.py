@@ -26,10 +26,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prosearch_spark.analyzer import analyze_query
-from prosearch_spark.index.artifact import IndexArtifact
+from prosearch_spark.index.artifact import IndexArtifact, apply_deletes
 from prosearch_spark.index.blocks import decode_blocks
 from prosearch_spark.index.build import InvertedIndex
 from prosearch_spark.query.engine import SearchEngine
+
+
+def block_key(df: DataFrame, *lead: str) -> list[str]:
+    """The unique block identity for joins/dedups: (term, first_doc)
+    within one artifact — per-term ranges are disjoint by the
+    range-partitioned writer — PLUS the ``seg`` tag when the frame
+    comes from a live (tombstoned) segment stack: an upserted doc
+    keeps its doc_id, so two segments can hold blocks with identical
+    (term, first_doc) and only the segment disambiguates them."""
+    return [*lead, "term", "first_doc"] + (
+        ["seg"] if "seg" in df.columns else [])
 
 
 # WAND seed bound: the grow-4x retry loop collects at most this many
@@ -94,10 +105,8 @@ class BlockSearchEngine:
                   ) -> InvertedIndex:
         terms = sorted({t for t, _ in (clauses if clauses is not None
                                        else analyze_query(q))})
-        postings = decode_blocks(self._pruned_blocks(terms))
-        deletes = self.artifact.deletes()
-        if deletes is not None:
-            postings = postings.join(F.broadcast(deletes), "doc_id", "left_anti")
+        postings = apply_deletes(decode_blocks(self._pruned_blocks(terms)),
+                                 self.artifact.deletes())
         return InvertedIndex(
             postings=postings,
             term_stats=self.artifact.term_stats(terms),
@@ -135,11 +144,8 @@ class BlockSearchEngine:
             from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA
 
             return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
-        postings = decode_blocks(self.artifact.blocks(terms))
-        deletes = self.artifact.deletes()
-        if deletes is not None:
-            postings = postings.join(F.broadcast(deletes), "doc_id",
-                                     "left_anti")
+        postings = apply_deletes(decode_blocks(self.artifact.blocks(terms)),
+                                 self.artifact.deletes())
         idx = InvertedIndex(postings=postings,
                             term_stats=self.artifact.term_stats(terms),
                             stats=self.artifact.stats())
@@ -153,14 +159,12 @@ class BlockSearchEngine:
         engine/oracle regardless of which blocks were pruned.
         ``predicate`` restricts matches to qualifying fast-field docs
         (semi-join, like topk_filtered); BM25 stats stay corpus-global."""
-        postings = decode_blocks(blocks.select(
-            "term", "first_doc", "last_doc", "n", "max_tf", "min_dl",
-            "docs", "tfs", "dls",
-        ))
-        deletes = self.artifact.deletes()
-        if deletes is not None:
-            postings = postings.join(F.broadcast(deletes), "doc_id",
-                                     "left_anti")
+        cols = ["term", "first_doc", "last_doc", "n", "max_tf", "min_dl",
+                "docs", "tfs", "dls"]
+        if "seg" in blocks.columns:
+            cols.append("seg")
+        postings = apply_deletes(decode_blocks(blocks.select(*cols)),
+                                 self.artifact.deletes())
         if predicate is not None:
             qualifying = self.artifact.doc_stats().filter(
                 F.expr(predicate)
@@ -448,12 +452,14 @@ class BlockSearchEngine:
             )
             # blocks already decoded for the seed are not decoded again:
             # the final scoring set = seed blocks + surviving blocks the
-            # seed did not cover ((term, first_doc) is a unique block
-            # key — ranges per term are disjoint). Extra seed blocks are
+            # seed did not cover (block_key: (term, first_doc), plus seg
+            # on a live stack view — an upserted doc keeps its id, so
+            # the seed anti-join must not conflate same-keyed blocks
+            # from different segments). Extra seed blocks are
             # harmless: their docs score complete and below theta.
+            key = block_key(seed_blocks)
             new_blocks = survivors.join(
-                seed_blocks.select("term", "first_doc"),
-                ["term", "first_doc"], "left_anti",
+                seed_blocks.select(*key), key, "left_anti",
             )
             if n_seed is None:
                 # ONE tagged count job for both stats figures
@@ -658,12 +664,16 @@ class BlockSearchEngine:
             )
             # decode set = the surviving BLOCKS themselves (unlike the
             # conjunctive ladder there is no driver-range expansion —
-            # every qualifying doc's blocks each survive on their own)
+            # every qualifying doc's blocks each survive on their own).
+            # On a live stack the (term, first_doc) semi-join may keep
+            # a same-keyed sibling from another segment — conservative
+            # (extra decode), never unsound; the seed ANTI-join keys on
+            # the full block_key so no distinct block is dropped.
             survivors = meta.join(F.broadcast(surviving),
                                   ["term", "first_doc"], "left_semi")
+            key = block_key(seed_blocks)
             new_blocks = survivors.join(
-                seed_blocks.select("term", "first_doc"),
-                ["term", "first_doc"], "left_anti",
+                seed_blocks.select(*key), key, "left_anti",
             )
             if n_seed is None:
                 cnts = seed_blocks.select(F.lit(True).alias("s")) \
@@ -926,11 +936,8 @@ class BlockSearchEngine:
             return _ret(out, wstats)
 
         def _decode(needed: DataFrame) -> DataFrame:
-            p = decode_blocks(needed)
-            deletes = self.artifact.deletes()
-            if deletes is not None:
-                p = p.join(F.broadcast(deletes), "doc_id", "left_anti")
-            return p
+            return apply_deletes(decode_blocks(needed),
+                                 self.artifact.deletes())
 
         # -- phrase coverage (exact phrase df preserved) ------------------
         pieces: list[DataFrame] = []
@@ -944,9 +951,9 @@ class BlockSearchEngine:
         ph_needed = pieces[0]
         for p in pieces[1:]:
             ph_needed = ph_needed.unionByName(p)
-        # (term, first_doc) is the unique block key (per-term ranges
-        # are disjoint by the range-partitioned writer)
-        ph_needed = ph_needed.dropDuplicates(["term", "first_doc"])
+        # unique block key (per-term ranges are disjoint by the
+        # range-partitioned writer; + seg on a live stack view)
+        ph_needed = ph_needed.dropDuplicates(block_key(ph_needed))
         pp = _decode(ph_needed).persist()
         persisted = [pp]
         try:
@@ -1003,7 +1010,7 @@ class BlockSearchEngine:
             if return_stats:
                 needed = (ph_needed if tc_needed is None else
                           ph_needed.unionByName(tc_needed)
-                          .dropDuplicates(["term", "first_doc"]))
+                          .dropDuplicates(block_key(ph_needed)))
                 stats = {"blocks_total": blocks.count(),
                          "blocks_decoded": needed.count()}
             return _ret(_mixed(

@@ -27,6 +27,22 @@ from prosearch_spark.query.bm25 import SCORE_EXPR
 DEFAULT_FIELD_BOOSTS = {"title": 1.5, "body": 1.0}
 
 
+def _align_seg(frames: list[DataFrame]) -> list[DataFrame]:
+    """Align per-field block frames on the optional ``seg`` tag before
+    unionByName: a live (tombstoned) segment-stack field tags its
+    blocks with the source segment while a clean field does not — the
+    clean side gets seg='' (matches no tombstone; apply_deletes drops
+    the column after the anti-join)."""
+    if not any("seg" in f.columns for f in frames):
+        return frames
+    return [f if "seg" in f.columns else f.withColumn("seg", F.lit(""))
+            for f in frames]
+
+
+def _seg_cols(df: DataFrame) -> list[str]:
+    return ["seg"] if "seg" in df.columns else []
+
+
 def field_boost_expr(field_boosts: dict[str, float]):
     """CASE column mapping ``field`` -> its boost (1.0 otherwise) —
     the one place the boost table becomes a Spark expression."""
@@ -252,16 +268,15 @@ class FieldedBlockSearchEngine:
         unpruned fielded path regardless of which blocks were pruned."""
         from prosearch_spark.index.blocks import decode_blocks
 
+        from prosearch_spark.index.artifact import apply_deletes
+
         postings = term_stats = stats = None
         for field, art in sorted(self.artifacts.items()):
             fb = blocks.filter(F.col("field") == field).select(
                 "term", "first_doc", "last_doc", "n", "max_tf", "min_dl",
-                "docs", "tfs", "dls",
+                "docs", "tfs", "dls", *_seg_cols(blocks),
             )
-            p = decode_blocks(fb)
-            deletes = art.deletes()
-            if deletes is not None:
-                p = p.join(F.broadcast(deletes), "doc_id", "left_anti")
+            p = apply_deletes(decode_blocks(fb), art.deletes())
             p = p.select(F.lit(field).alias("field"), "term", "doc_id",
                          "tf", "dl")
             t = art.term_stats(terms).select(
@@ -348,17 +363,19 @@ class FieldedBlockSearchEngine:
             ts = art.term_stats(terms)
             for r in ts.collect():
                 dfs_total[r["term"]] += int(r["df"])
+            fblocks = art.blocks(terms)
             m = (
-                art.blocks(terms)
+                fblocks
                 .join(F.broadcast(ts), "term")
                 .join(F.broadcast(art.stats()))
                 .withColumn("wub",
                             F.lit(boost) * F.expr(block_upper_bound_expr()))
                 .select(F.lit(field).alias("field"), "term", "first_doc",
                         "last_doc", "n", "max_tf", "min_dl", "docs", "tfs",
-                        "dls", "wub")
+                        "dls", "wub", *_seg_cols(fblocks))
             )
             metas.append(m)
+        metas = _align_seg(metas)
         if any(dfs_total[t] == 0 for t in terms):
             # a clause with zero postings in EVERY field: conjunction
             # is empty by the same rule as the flat engine
@@ -527,9 +544,12 @@ class FieldedBlockSearchEngine:
                 & (F.col("last_doc") >= F.col("rf")),
                 "left_semi",
             )
+            # block key includes seg on a live stack view (an upserted
+            # doc keeps its id, so same-keyed blocks can exist in two
+            # segments and the seed anti-join must not conflate them)
+            key = ["field", "term", "first_doc"] + _seg_cols(seed_blocks)
             new_blocks = survivors.join(
-                seed_blocks.select("field", "term", "first_doc"),
-                ["field", "term", "first_doc"], "left_anti",
+                seed_blocks.select(*key), key, "left_anti",
             )
             n_new = new_blocks.count()
             out = self._engine_on_blocks(
@@ -599,8 +619,9 @@ class FieldedBlockSearchEngine:
         metas = []
         for field, art in sorted(self.artifacts.items()):
             boost = float(self.field_boosts.get(field, 1.0))
+            fblocks = art.blocks(terms)
             m = (
-                art.blocks(terms)
+                fblocks
                 .join(F.broadcast(art.term_stats(terms)), "term")
                 .join(F.broadcast(art.stats()))
                 .withColumn(
@@ -609,9 +630,10 @@ class FieldedBlockSearchEngine:
                     * F.expr(block_upper_bound_expr()))
                 .select(F.lit(field).alias("field"), "term", "first_doc",
                         "last_doc", "n", "max_tf", "min_dl", "docs",
-                        "tfs", "dls", "wub")
+                        "tfs", "dls", "wub", *_seg_cols(fblocks))
             )
             metas.append(m)
+        metas = _align_seg(metas)
         meta = metas[0]
         for m in metas[1:]:
             meta = meta.unionByName(m)
@@ -720,12 +742,17 @@ class FieldedBlockSearchEngine:
                         F.col("rt").alias("term"),
                         F.col("rf").alias("first_doc"))
             )
+            # live-stack note: the survival semi-join on (field, term,
+            # first_doc) may keep a same-keyed sibling block from
+            # another segment — conservative (extra decode); the seed
+            # ANTI-join keys on the full block key so no distinct
+            # block is ever dropped
             survivors = meta.join(F.broadcast(surviving),
                                   ["field", "term", "first_doc"],
                                   "left_semi")
+            key = ["field", "term", "first_doc"] + _seg_cols(seed_blocks)
             new_blocks = survivors.join(
-                seed_blocks.select("field", "term", "first_doc"),
-                ["field", "term", "first_doc"], "left_anti",
+                seed_blocks.select(*key), key, "left_anti",
             )
             n_new = new_blocks.count()
             out = _topk_or(seed_blocks.unionByName(new_blocks), round_to)
@@ -837,25 +864,29 @@ class FieldedBlockSearchEngine:
         def _stats() -> dict:
             if not return_stats:
                 return {}
-            key = ["field", "term", "first_doc"]
+
+            def _key(f: DataFrame) -> list[str]:
+                return ["field", "term", "first_doc"] + _seg_cols(f)
+
             tot = reduce(lambda a, b: a.unionByName(b),
-                         [t.select(*key) for t in totals]) \
-                .dropDuplicates(key) if totals else None
+                         [t.select(*_key(t)) for t in _align_seg(totals)])\
+                .dropDuplicates() if totals else None
             dec = reduce(lambda a, b: a.unionByName(b),
-                         [d.select(*key) for d in decoded]) \
-                .dropDuplicates(key) if decoded else None
+                         [d.select(*_key(d)) for d in _align_seg(decoded)])\
+                .dropDuplicates() if decoded else None
             return {"blocks_total": tot.count() if tot is not None else 0,
                     "blocks_decoded": dec.count() if dec is not None else 0}
 
         def _tagged_term_blocks() -> DataFrame:
-            tagged = None
+            frames = []
             for field, art in sorted(self.artifacts.items()):
-                b = art.blocks(terms).select(
+                fb = art.blocks(terms)
+                frames.append(fb.select(
                     F.lit(field).alias("field"), "term",
                     "first_doc", "last_doc", "n", "max_tf",
-                    "min_dl", "docs", "tfs", "dls")
-                tagged = b if tagged is None else tagged.unionByName(b)
-            return tagged
+                    "min_dl", "docs", "tfs", "dls", *_seg_cols(fb)))
+            return reduce(lambda a, b: a.unionByName(b),
+                          _align_seg(frames))
 
         persisted: list[DataFrame] = []
         try:
@@ -897,15 +928,14 @@ class FieldedBlockSearchEngine:
                                  F.col("last_doc").alias("rl"))
                         side = _overlap_semi(side, rng)
                     pieces.append(side)
+                from prosearch_spark.index.artifact import apply_deletes
+
                 ph_needed = reduce(lambda a, b: a.unionByName(b), pieces) \
-                    .dropDuplicates(["term", "first_doc"])
+                    .dropDuplicates(["term", "first_doc",
+                                     *_seg_cols(pieces[0])])
                 decoded.append(ph_needed)
-                dec = decode_blocks(ph_needed.drop("field"))
-                deletes = body_art.deletes()
-                if deletes is not None:
-                    dec = dec.join(F.broadcast(deletes), "doc_id",
-                                   "left_anti")
-                pp = dec.persist()
+                pp = apply_deletes(decode_blocks(ph_needed.drop("field")),
+                                   body_art.deletes()).persist()
                 persisted.append(pp)
             for ci, terms_p in phrase_clauses:
                 m = phrase_matches(pp, list(terms_p)).persist()

@@ -181,3 +181,103 @@ class SegmentedStreamingIndexer:
         if trigger_available_now:
             w = w.trigger(availableNow=True)
         return w.start()
+
+
+class FieldedSegmentedStreamingIndexer:
+    """foreachBatch sink for a FIELDED deployment: each micro-batch
+    seals one new segment PER FIELD (round 5 — the last reference-shape
+    gap: the live serve loop continuously ingests into the one fielded
+    schema, serve.rs:503-525 + meta.json:7-47, title record:basic /
+    body record:position).
+
+    Spark shape: one SegmentedIndex per field under
+    ``<root>/field=<name>/``, all fed from the same batch rows — the
+    per-field analyzers/record options are fixed at construction, like
+    the reference's index schema. Queries go through the existing
+    fields-over-stacks views (``artifacts()`` -> per-field
+    SegmentedArtifactView, duck-typing the artifacts the
+    FieldedBlockSearchEngine / ArtifactSearcher already take), and the
+    round-5 live-tombstone views mean an upsert-heavy stream serves
+    fielded WAND/mixed continuously, no compaction barrier.
+
+    Idempotency under at-least-once delivery is PER FIELD, same
+    protocol as the flat sink (segment name = batch id): a re-delivered
+    batch skips fields already in their pointer, adopt() completes a
+    field whose segment wrote fully but crashed before its pointer
+    swap, and only the genuinely-missing fields re-run the upsert.
+    Cross-field visibility: the per-field pointer swaps are not one
+    atomic step, so between them a reader can see batch N in one field
+    and N-1 in another — the same transient skew the reference's
+    ReloadPolicy delay admits (serve.rs:353-355); foreachBatch
+    serializes triggers, so the skew window is within one commit, and
+    every field converges before the next batch starts.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 fields: dict[str, str],
+                 positional_fields: frozenset[str] = frozenset({"body"}),
+                 merge_factor: int = 8, compact_inline: bool = True,
+                 merge_size_by: str = "n_docs",
+                 id_col: str = "doc_id", lang_col: str = "lang",
+                 analyzer: str = "white_lower", n_buckets: int = 8):
+        from prosearch_spark.index.segments import SegmentedIndex
+
+        self.fields = dict(fields)  # field name -> source column
+        self.positional_fields = positional_fields
+        self.indexes = {
+            f: SegmentedIndex(spark, os.path.join(root, f"field={f}"),
+                              merge_factor=merge_factor)
+            for f in self.fields
+        }
+        self.compact_inline = compact_inline
+        self.merge_size_by = merge_size_by
+        self.id_col = id_col
+        self.lang_col = lang_col
+        self.analyzer = analyzer
+        self.n_buckets = n_buckets
+
+    def _field_kwargs(self, field: str) -> dict:
+        # the reference's exact per-field options (meta.json:7-47):
+        # positional fields store positions (phrase-capable); the rest
+        # are record:basic (tf capped at 1 on the title path is the
+        # engine's scoring rule, encoded at build via record_basic)
+        if field in self.positional_fields:
+            return {"with_positions": True}
+        return {"record_basic": True}
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        name = f"seg-b{batch_id:09d}"
+        for field, col in sorted(self.fields.items()):
+            si = self.indexes[field]
+            if si.has_segment(name):
+                continue
+            seg_dir = os.path.join(si.root, "segments", name)
+            if os.path.exists(os.path.join(seg_dir, "manifest.json")):
+                si.adopt(name, meta={"batch_id": batch_id})
+            else:
+                si.upsert(batch, name=name,
+                          meta={"batch_id": batch_id},
+                          text_col=col, id_col=self.id_col,
+                          analyzer=self.analyzer,
+                          lang_col=self.lang_col,
+                          n_buckets=self.n_buckets,
+                          **self._field_kwargs(field))
+            if self.compact_inline:
+                si.merge_once(size_by=self.merge_size_by)
+
+    def artifacts(self) -> dict:
+        """Per-field union views for the fielded engines — resolved
+        per call, so readers see each field's latest pointer (Q12)."""
+        return {f: si.as_artifact() for f, si in self.indexes.items()}
+
+    def attach(self, stream: DataFrame, checkpoint: str,
+               trigger_available_now: bool = True):
+        w = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()

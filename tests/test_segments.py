@@ -235,21 +235,89 @@ def test_segmented_wand_matches_flat_wand(spark, corpus, stacked):
     assert stats["blocks_total"] > 0
 
 
-def test_stack_view_refuses_tombstones(spark, corpus, tmp_path):
-    """Per-segment deletes cannot be applied globally (an upserted
-    doc's re-add would die with its old version) — the view refuses
-    and points at compaction; post-merge it works."""
-    import pytest as _pytest
+def test_stack_view_serves_tombstones_live(spark, corpus, tmp_path):
+    """Round 5: a TOMBSTONED stack serves LIVE through the artifact
+    view (per-segment alive bitsets, serve.rs:535 — queries never wait
+    for a merge). Deletes apply segment-locally: the upserted doc's
+    dead OLD postings die while its re-add in the later segment
+    survives; alive-recomputed stats make live WAND hash-match
+    compact-then-WAND, and the flat topk()/as_index() path agrees."""
+    from prosearch_spark.query.block_engine import BlockSearchEngine
 
     root = str(tmp_path / "segroot6")
     si = SegmentedIndex(spark, root, merge_factor=8)
-    si.commit(corpus.filter(F.col("doc_id") % 2 == 0), text_col="content")
-    si.upsert(corpus.filter(F.col("doc_id") % 2 == 0).limit(2),
-              text_col="content")
-    with _pytest.raises(ValueError, match="tombstones"):
-        si.as_artifact()
-    assert si.force_merge()
-    si.as_artifact()  # delete-free after physical merge
+    stale = F.col("doc_id") % 5 == 0
+    si.commit(
+        corpus.withColumn(
+            "content",
+            F.when(stale, F.lit("stale placeholder"))
+            .otherwise(F.col("content")),
+        ),
+        text_col="content",
+    )
+    si.upsert(corpus.filter(stale), text_col="content")
+    view = si.as_artifact()
+    assert view.deletes() is not None  # live, not compacted
+
+    def pairs(df):
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+    live_eng = BlockSearchEngine(spark, view)
+    live = {}
+    for q in ["spark shuffle", "the python"]:
+        got, stats = live_eng.topk_wand(q, 10, round_to=6,
+                                        min_prune_blocks=0)
+        live[q] = pairs(got)
+        assert stats["blocks_total"] > 0
+        # flat engine over the same live stack agrees (as_index routes
+        # through the view's alive stats under tombstones)
+        assert pairs(si.topk(q, 10, round_to=6)) == live[q]
+    # "stale" must only hit docs that still carry it — i.e. none
+    assert live_eng.topk("placeholder", 10, round_to=6).count() == 0
+
+    assert si.force_merge()  # physical compaction
+    compact_eng = BlockSearchEngine(spark, si.as_artifact())
+    for q in ["spark shuffle", "the python"]:
+        got, _ = compact_eng.topk_wand(q, 10, round_to=6,
+                                       min_prune_blocks=0)
+        assert pairs(got) == live[q], q
+
+
+def test_live_stack_serves_api_and_msearch(spark, corpus, tmp_path):
+    """Router + doc-store fetch + batched msearch over a live
+    (tombstoned) stack: the upserted doc's stored fields come from its
+    re-add only (one row per hit), and the msearch batch matches the
+    per-query routes."""
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    root = str(tmp_path / "segroot6b")
+    si = SegmentedIndex(spark, root, merge_factor=8)
+    stale = F.col("doc_id") % 4 == 0
+    si.commit(
+        corpus.withColumn(
+            "content",
+            F.when(stale, F.lit("stale placeholder"))
+            .otherwise(F.col("content")),
+        ).withColumn("repo", F.when(stale, F.lit("old-repo"))
+                     .otherwise(F.col("repo"))),
+        text_col="content", store_cols=["content", "repo", "lang"],
+    )
+    si.upsert(corpus.filter(stale), text_col="content",
+              store_cols=["content", "repo", "lang"])
+    s = ArtifactSearcher(spark, si.as_artifact(), body_col="content")
+    serp = s.api("spark shuffle", nhits=5)
+    assert serp["plan"] == "wand" and serp["num_hits"] > 0
+    # every upserted hit shows its NEW stored fields exactly once
+    docs = [h["doc"] for h in serp["hits"]]
+    assert len({d["doc_id"] for d in docs}) == len(docs)
+    assert all(d["repo"] != "old-repo" for d in docs)
+
+    batch = s.msearch(["spark shuffle", "python"], k=5,
+                      round_to=6).collect()
+    single = s.route("spark shuffle", 5, round_to=6)[0].collect()
+    assert [(r["doc_id"], r["score"]) for r in batch
+            if r["query_id"] == 0] == \
+        [(r["doc_id"], r["score"]) for r in single]
 
 
 def test_stack_serves_api_with_doc_store_and_gc(spark, corpus, tmp_path):

@@ -188,3 +188,80 @@ def test_windowed_watermark_drops_late_events(spark, tmp_path):
     # 10:15 straggler was dropped, not re-aggregated into new state
     assert rows.count((10, 2)) == 1, rows
     assert all(h != 10 or n == 2 for h, n in rows), rows
+
+
+def test_fielded_streaming_ingest_live_serving(spark, tmp_path):
+    """Round 5: per-FIELD segment-per-batch ingest (the reference's
+    continuous /index into the one fielded schema, serve.rs:503-525)
+    with LIVE tombstone serving — an upsert batch is queryable through
+    the fielded engines immediately, no compaction barrier. Also
+    pins the per-field idempotency protocol: re-delivery no-ops,
+    a field that crashed before its pointer swap adopts, and a field
+    that already published skips."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+    from prosearch_spark.streaming.ingest import (
+        FieldedSegmentedStreamingIndexer,
+    )
+
+    schema = "doc_id long, title string, body string, lang string"
+    root = str(tmp_path / "fstream")
+    ix = FieldedSegmentedStreamingIndexer(
+        spark, root, {"title": "title", "body": "body"}, n_buckets=4)
+
+    w1 = spark.createDataFrame(
+        [(0, "alpha report", "alpha beta gamma", "en"),
+         (1, "beta digest", "beta gamma delta", "en")], schema)
+    ix.process_batch(w1, 0)
+    eng = FieldedBlockSearchEngine(spark, ix.artifacts())
+    hits = eng.topk("beta", 5, round_to=6).collect()
+    # title hit (doc 1, boost 1.5) outranks body-only (doc 0)
+    assert [r["doc_id"] for r in hits] == [1, 0]
+
+    # wave 2 upserts doc 1 (title AND body change) + adds doc 2; the
+    # stacks now carry tombstones and must serve LIVE
+    w2 = spark.createDataFrame(
+        [(1, "epsilon digest", "delta epsilon zeta", "en"),
+         (2, "zeta news", "alpha zeta", "en")], schema)
+    ix.process_batch(w2, 1)
+    arts = ix.artifacts()
+    assert any(a.deletes() is not None for a in arts.values())
+    eng = FieldedBlockSearchEngine(spark, arts)
+    got = {r["doc_id"] for r in eng.topk("beta", 5, round_to=6).collect()}
+    assert got == {0}  # doc 1's old title+body are dead
+    got = {r["doc_id"] for r in eng.topk("zeta", 5, round_to=6).collect()}
+    assert got == {1, 2}
+
+    # re-delivery of batch 1 is a per-field no-op
+    before = {f: si._pointer()["gen"] for f, si in ix.indexes.items()}
+    ix.process_batch(w2, 1)
+    assert {f: si._pointer()["gen"] for f, si in ix.indexes.items()} \
+        == before
+
+    # crash sim: batch 2's BODY segment wrote fully (manifest present,
+    # tombstone probe already ran — upsert deletes BEFORE sealing) but
+    # the pointer swap never happened; title never started. The
+    # re-delivered batch adopts body and runs title from scratch.
+    w3 = spark.createDataFrame(
+        [(3, "eta wire", "eta theta", "en")], schema)
+    from prosearch_spark.index.artifact import save_index
+
+    seg_dir = os.path.join(ix.indexes["body"].root, "segments",
+                           "seg-b000000002")
+    save_index(spark, w3, seg_dir, text_col="body", with_positions=True,
+               n_buckets=4)
+    ix.process_batch(w3, 2)
+    names = {f: [e["name"] for e in si._pointer()["segments"]]
+             for f, si in ix.indexes.items()}
+    assert names["body"] == names["title"]
+    assert "seg-b000000002" in names["body"]
+    eng = FieldedBlockSearchEngine(spark, ix.artifacts())
+    assert {r["doc_id"] for r in eng.topk("eta", 5, round_to=6).collect()} \
+        == {3}
+
+    # phrase over the stream-built stack (body is positional)
+    hits = eng.mixed_topk('"delta epsilon"', 5, round_to=6).collect()
+    assert [r["doc_id"] for r in hits] == [1]
