@@ -47,6 +47,13 @@ Q_LENIENT_JUNK = '"" spark "dup" "join hash" "dangling tail'
 # zero-hit — one job must serve them all (engine.py multi_topk)
 MSEARCH_QUERIES = [Q_SINGLE, Q_AND2, Q_RARE, Q_AND3, Q_DUPTERMS,
                    Q_NOMATCH]
+# quoted msearch batch (round 5): bare terms, 2- and 3-term phrases
+# (two phrase SHAPES -> two position-join plans), a dead-phrase member
+# that must not empty the batch, and the lenient-junk torture query —
+# block_engine.multi_mixed_topk serves the whole list in a fixed
+# number of plans
+MSEARCH_MIXED = [Q_SINGLE, Q_MIXED_PHRASE, '"spark dup table" the',
+                 Q_AND2, '"zzz qqq" spark', Q_LENIENT_JUNK]
 
 ROUND = 6
 
@@ -470,6 +477,27 @@ def q_title_fallback_len(spark, sf_dir):
         tx.title_fallback("title", "url").alias("title"),
         tx.content_length(F.coalesce("title", F.lit("")), "text").alias("content_length"),
     )
+
+
+def q_msearch_quoted(spark, sf_dir):
+    """Batched msearch for a MIXED term + quoted-phrase batch
+    (round 5): multi_mixed_topk groups the batch's phrases by LENGTH
+    and runs one position-join plan per length over ONE shared
+    bucket/term-pruned decode — a quoted member no longer costs its
+    own route() job. Per-query results hash-match the single-query
+    mixed oracle; the dead-phrase member returns no rows without
+    emptying the batch."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("positional", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_msq_"), text_col="text",
+        with_positions=True))
+    return BlockSearchEngine(spark, art).multi_mixed_topk(
+        MSEARCH_MIXED, 10, round_to=ROUND)
 
 
 def q_msearch_fielded(spark, sf_dir):
@@ -1612,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 5 ----
         "segmented_wand_live": q_segmented_wand_live,
         "fielded_stream_phrase": q_fielded_stream_phrase,
+        "msearch_quoted": q_msearch_quoted,
         # ---- new in round 4 ----
         "msearch_topk": q_msearch_topk,
         "msearch_fielded": q_msearch_fielded,
@@ -1744,6 +1773,8 @@ def oracle_sql() -> dict[str, str]:
         # fielded build of the true corpus
         "fielded_stream_phrase": osql.fielded_mixed_topk_sql(
             Q_MIXED_PHRASE, 10, ROUND),
+        "msearch_quoted": osql.multi_mixed_topk_sql(
+            MSEARCH_MIXED, 10, ROUND),
         # ---- round 4 ----
         "msearch_topk": osql.multi_topk_sql(MSEARCH_QUERIES, 10, ROUND),
         "msearch_fielded": osql.fielded_multi_topk_sql(

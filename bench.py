@@ -26,11 +26,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _spin_calibration() -> float:
+    """Fixed single-thread integer workload (~1 s idle on this box):
+    its wall seconds scale directly with co-tenant CPU pressure, so a
+    recorded value far above the round-to-round norm marks the whole
+    run as noisy (two rounds of cross-round drift attribution disputes
+    were exactly this missing datum — r04 VERDICT item 3)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    assert x  # keep the loop un-elidable
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    load_before = [round(v, 2) for v in os.getloadavg()]
+    spin_before = _spin_calibration()
 
     from pyspark.sql import functions as F
 
@@ -113,6 +130,10 @@ def main() -> None:
     blk.multi_topk(ms_queries, 10, round_to=6).collect()
     queries["q_msearch16"] = round(time.perf_counter() - t0, 4)
 
+    # mixed 24-term + 8-phrase batch through multi_mixed_topk (round
+    # 5): one plan per phrase SHAPE over one shared decode — needs the
+    # positional artifact built below, so the key is recorded there
+
     # -- WAND pruning on a realistic Zipf corpus ------------------------------
     # The driver corpus has a uniform vocabulary (every term hot in
     # every block -> block-max bounds can't fire). Real pruning
@@ -138,6 +159,77 @@ def main() -> None:
     zout2, zst2 = zblk.topk_wand("z3_1 z3_2", 10, min_prune_blocks=0)
     zout2.collect()
     queries["q_wand_zipf_and2"] = round(time.perf_counter() - t0, 4)
+
+    # -- fielded / mixed / segment-stack serving paths (round 5: the
+    # driver bench was blind to the paths rounds 3-4 built — r04
+    # VERDICT item 2; per-key timings are the round-over-round
+    # record, the bench TOTAL is not comparable to pre-r5 rounds)
+    from prosearch_spark.index.artifact import save_fielded_index
+    from prosearch_spark.index.segments import SegmentedIndex
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    fpath = tempfile.mkdtemp(prefix="prosearch_bench_fld_")
+    fdocs = docs.withColumn(
+        "title", F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4)))
+    t0 = time.perf_counter()
+    farts = save_fielded_index(spark, fdocs, fpath,
+                               {"title": "title", "body": "text"},
+                               positional_fields=frozenset({"body"}))
+    queries["fielded_commit"] = round(time.perf_counter() - t0, 4)
+    feng = FieldedBlockSearchEngine(spark, farts)
+    t0 = time.perf_counter()
+    feng.topk("join hash", 10, round_to=6).collect()
+    queries["q_fielded_and2"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    fw, _ = feng.topk_wand("join hash", 10, round_to=6)
+    fw.collect()
+    queries["q_fielded_wand_and2"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    feng.mixed_topk('spark "join hash"', 10, round_to=6).collect()
+    queries["q_fielded_mixed_phrase"] = round(time.perf_counter() - t0, 4)
+
+    # flat mixed phrase over a positional artifact
+    ppath = tempfile.mkdtemp(prefix="prosearch_bench_pos_")
+    t0 = time.perf_counter()
+    save_index(spark, docs, ppath, text_col="text", with_positions=True)
+    queries["positional_commit"] = round(time.perf_counter() - t0, 4)
+    pblk = BlockSearchEngine(spark, IndexArtifact.load(spark, ppath))
+    t0 = time.perf_counter()
+    pblk.mixed_topk('spark "join hash"', 10, round_to=6).collect()
+    queries["q_mixed_phrase"] = round(time.perf_counter() - t0, 4)
+
+    # 24 term + 8 phrase members (phrase shapes {2, 3}), ONE batch —
+    # the sequential comparison lives in tools/msearch_bench.py
+    mm_batch = [f"{a} {b}" for a in words[:6] for b in words[:4]] \
+        + [f'{a} "{b} {c}"'
+           for a, b, c in zip(words, words[1:], words[2:])][:6] \
+        + ['"spark dup table" the', '"join hash" index']
+    t0 = time.perf_counter()
+    pblk.multi_mixed_topk(mm_batch, 10, round_to=6).collect()
+    queries["q_msearch_mixed32"] = round(time.perf_counter() - t0, 4)
+
+    # segment stack: three commits, WAND over the union view, then an
+    # UNCOMPACTED upsert wave served live (round 5's alive-bitset view)
+    spath = tempfile.mkdtemp(prefix="prosearch_bench_stack_")
+    si = SegmentedIndex(spark, spath, merge_factor=8)
+    t0 = time.perf_counter()
+    for i in range(3):
+        si.commit(docs.filter(F.col("doc_id") % 3 == i), text_col="text")
+    queries["stack_commit3"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    sw, _ = BlockSearchEngine(spark, si.as_artifact()).topk_wand(
+        "join hash", 10, round_to=6)
+    sw.collect()
+    queries["q_stack_wand_and2"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    si.upsert(docs.filter(F.col("doc_id") % 7 == 0), text_col="text")
+    queries["stack_upsert"] = round(time.perf_counter() - t0, 4)
+    live_view = si.as_artifact()
+    t0 = time.perf_counter()
+    lw, _ = BlockSearchEngine(spark, live_view).topk_wand(
+        "join hash", 10, round_to=6)
+    lw.collect()
+    queries["q_stack_wand_live"] = round(time.perf_counter() - t0, 4)
 
     # -- doc-store fetch for the top-10 (bench.rs:79-101 analog) --------------
     hits = eng.topk("join hash", 10)
@@ -254,6 +346,14 @@ def main() -> None:
         "lsh_probe2_pairs": n_probe_pairs,
         "exact_neardup_pairs": n_exact,
         "cpus": cpus,
+        # machine-load context (r04 VERDICT item 3): loadavg straddling
+        # the run + the 1-s spin calibration before/after — spin well
+        # above ~1 s, or a high pre-existing loadavg, marks this
+        # record as co-tenant-noisy before anyone diffs the keys
+        "loadavg_before": load_before,
+        "loadavg_after": [round(v, 2) for v in os.getloadavg()],
+        "spin_sec_before": spin_before,
+        "spin_sec_after": _spin_calibration(),
     }
     print(json.dumps(out))
     spark.stop()

@@ -22,6 +22,8 @@ is byte-identical to the flat engine.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1040,3 +1042,158 @@ class BlockSearchEngine:
             raise ValueError("artifact was not built with_positions=True")
         return _pt(self.spark, postings, self.artifact.stats(), phrase, k,
                    round_to)
+
+    def multi_mixed_topk(self, queries: list[str], k: int = 10,
+                         round_to: int | None = None) -> DataFrame:
+        """Batched msearch for MIXED (term + quoted-phrase) query
+        batches over a positional artifact (round 5): the whole batch
+        runs in a FIXED number of jobs — one decode + one plan per
+        phrase SHAPE — instead of one route() job per quoted member.
+
+        Why per-shape, not per-phrase: a phrase of n terms is an n-way
+        position self-join, so its PLAN depends only on n. Every
+        phrase of the same length across the whole batch shares one
+        join chain, keyed by (query_id, clause_id): slot i's side =
+        the one decoded postings frame semi-joined to a broadcast
+        (query_id, clause_id, term) slot table. A 24-term + 8-phrase
+        batch with phrase lengths {2, 3} costs one term-scoring plan
+        plus two phrase plans, all unioned and ranked in one
+        partitioned window (WindowGroupLimit, never a global sort).
+
+        Per-query semantics are identical to :meth:`mixed_topk`
+        (lenient parse, term BM25 + synthetic-term phrase BM25 with
+        EXACT phrase df, conjunction over ALL clauses, round-before-
+        rank, (score DESC, doc_id ASC)); a query with an unmatched
+        clause simply never reaches its clause count — no per-query
+        early exits, so one dead member cannot empty the batch (the
+        multi_topk rule). Like multi_topk, the batch decodes the UNION
+        of all clause terms' blocks with bucket/term pruning only —
+        one member's conjunction pruning does not compose across a
+        batch."""
+        from prosearch_spark.analyzer import parse_query_lenient
+        from prosearch_spark.query.bm25 import SCORE_EXPR
+        from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA
+
+        parsed = [(qi, parse_query_lenient(q))
+                  for qi, q in enumerate(queries)]
+        term_rows = []     # (query_id, clause_id, term, boost)
+        by_len: dict[int, list] = {}   # n -> [(query_id, clause_id, terms)]
+        for qi, cls in parsed:
+            for ci, (kind, payload) in enumerate(cls):
+                if kind == "term":
+                    term_rows.append((qi, ci, payload[0], payload[1]))
+                else:
+                    by_len.setdefault(len(payload), []).append(
+                        (qi, ci, list(payload)))
+        if not term_rows and not by_len:
+            return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
+
+        all_terms = sorted({t for _q, _c, t, _b in term_rows}
+                           | {t for g in by_len.values()
+                              for _q, _c, ts in g for t in ts})
+        blocks = self.artifact.blocks(all_terms)
+        if by_len and "positions" not in blocks.columns:
+            raise ValueError("artifact was not built with_positions=True")
+        pp = apply_deletes(decode_blocks(blocks),
+                           self.artifact.deletes()).persist()
+        try:
+            stats = self.artifact.stats()
+            parts: list[DataFrame] = []
+            if term_rows:
+                qdf = self.spark.createDataFrame(
+                    term_rows,
+                    "query_id int, clause_id int, term string, "
+                    "boost double")
+                ts = self.artifact.term_stats(
+                    sorted({t for _q, _c, t, _b in term_rows}))
+                parts.append(
+                    pp.select("term", "doc_id", "tf", "dl")
+                    .join(F.broadcast(qdf), "term")
+                    .join(F.broadcast(ts), "term")
+                    .crossJoin(F.broadcast(stats))
+                    .withColumn("s", F.expr(SCORE_EXPR))
+                    .select("query_id", "clause_id", "doc_id", "s")
+                )
+            for n, group in sorted(by_len.items()):
+                slot_rows = [(qi, ci, i, t)
+                             for qi, ci, terms_p in group
+                             for i, t in enumerate(terms_p)]
+                slots = self.spark.createDataFrame(
+                    slot_rows,
+                    "query_id int, clause_id int, slot int, term string")
+                def _shifted(by: int):
+                    # NB: single-parameter lambda — F.transform binds
+                    # a second parameter to the element INDEX
+                    return F.transform("positions",
+                                       lambda p: p - F.lit(by))
+
+                sides = []
+                for i in range(n):
+                    si = slots.filter(F.col("slot") == i) \
+                        .select("query_id", "clause_id", "term")
+                    sides.append(
+                        pp.join(F.broadcast(si), "term").select(
+                            "query_id", "clause_id", "doc_id",
+                            *(["dl"] if i == 0 else []),
+                            _shifted(i).alias(f"p{i}"),
+                        )
+                    )
+                joined = reduce(
+                    lambda a, b: a.join(
+                        b, ["query_id", "clause_id", "doc_id"]),
+                    sides)
+                inter = reduce(
+                    lambda acc, i: F.array_intersect(
+                        acc, F.col(f"p{i}")),
+                    range(1, n), F.col("p0"))
+                matches = (
+                    joined.withColumn("tf",
+                                      F.size(inter).cast("long"))
+                    .filter(F.col("tf") > 0)
+                    .select("query_id", "clause_id", "doc_id", "dl",
+                            "tf")
+                )
+                # exact per-phrase df (one row per matched doc by
+                # construction: each side holds <=1 row per doc)
+                pdf = matches.groupBy("query_id", "clause_id").agg(
+                    F.count("*").alias("df"))
+                parts.append(
+                    matches.join(F.broadcast(pdf),
+                                 ["query_id", "clause_id"])
+                    .crossJoin(F.broadcast(stats))
+                    .withColumn("boost", F.lit(1.0))
+                    .withColumn("s", F.expr(SCORE_EXPR))
+                    .select("query_id", "clause_id", "doc_id", "s")
+                )
+            scored = reduce(lambda a, b: a.unionByName(b), parts)
+            ndf = self.spark.createDataFrame(
+                [(qi, len(cls)) for qi, cls in parsed if cls],
+                "query_id int, n_clauses int")
+            # duplicate clauses carry distinct clause_ids, so the
+            # DISTINCT count equals the clause count exactly when
+            # every clause matched (the fielded-mixed conjunction
+            # rule); their scores still both sum
+            d = (
+                scored.groupBy("query_id", "doc_id")
+                .agg(F.sum("s").alias("score"),
+                     F.countDistinct("clause_id").alias("nmatch"))
+                .join(F.broadcast(ndf), "query_id")
+                .filter(F.col("nmatch") == F.col("n_clauses"))
+            )
+            if round_to is not None:
+                d = d.withColumn("score", F.round("score", round_to))
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id"))
+            out = (
+                d.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "score")
+                .orderBy("query_id", "rank")
+            )
+            from prosearch_spark.query.engine import materialize_topk
+
+            return materialize_topk(self.spark, out, MULTI_TOPK_SCHEMA)
+        finally:
+            pp.unpersist()

@@ -47,12 +47,16 @@ TOPK_SCHEMA = "rank int, doc_id long, score double"
 MULTI_TOPK_SCHEMA = "query_id int, rank int, doc_id long, score double"
 
 
-def materialize_topk(spark: SparkSession, ranked: DataFrame) -> DataFrame:
+def materialize_topk(spark: SparkSession, ranked: DataFrame,
+                     schema=None) -> DataFrame:
     """Collect a ranked top-k into a small local-relation DataFrame so
-    callers that persist inputs can unpersist before returning."""
+    callers that persist inputs can unpersist before returning.
+    ``schema`` defaults to the single-query TOPK_SCHEMA; batched
+    callers pass MULTI_TOPK_SCHEMA."""
+    schema = schema if schema is not None else TOPK_SCHEMA
     rows = ranked.collect()
-    return spark.createDataFrame(rows, TOPK_SCHEMA) if rows else \
-        spark.createDataFrame([], TOPK_SCHEMA)
+    return spark.createDataFrame(rows, schema) if rows else \
+        spark.createDataFrame([], schema)
 
 
 class SearchEngine:

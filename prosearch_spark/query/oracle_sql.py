@@ -1068,6 +1068,34 @@ def mixed_topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
     )
 
 
+def multi_mixed_topk_sql(queries: list[str], k: int = 10,
+                         round_to: int = 6) -> str:
+    """Batched MIXED msearch oracle — twin of
+    BlockSearchEngine.multi_mixed_topk: per-query results identical to
+    the single-query mixed oracle, tagged with the list position. The
+    oracle need not batch (it recomputes ground truth): each member is
+    the full mixed CTE as a subquery, UNION ALL'd. A member that
+    parses to zero clauses contributes no rows, same as the engine."""
+    from prosearch_spark.analyzer import parse_query_lenient
+
+    parts = []
+    for qi, q in enumerate(queries):
+        if not parse_query_lenient(q):
+            continue
+        parts.append(
+            f"SELECT {qi}::INT AS query_id, rank, doc_id, score FROM (\n"
+            f"{mixed_topk_sql(q, k, round_to)}\n)"
+        )
+    if not parts:
+        return ("SELECT NULL::INT AS query_id, NULL::INT AS rank, "
+                "NULL::BIGINT AS doc_id, NULL::DOUBLE AS score WHERE false")
+    body = "\nUNION ALL\n".join(parts)
+    return (
+        "SELECT query_id, rank::INT AS rank, doc_id, score FROM (\n"
+        f"{body}\n) ORDER BY query_id, rank"
+    )
+
+
 def histogram_sql(q: str, value_col: str, interval: float) -> str:
     cte, _ = _scored_docs_cte_qualified(q)
     return (

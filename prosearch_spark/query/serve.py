@@ -79,10 +79,14 @@ class ArtifactSearcher:
         The batch SPLITS by plan shape: every unquoted query scores in
         ONE job over one bucket/term-pruned postings fetch
         (multi_topk — fielded boosts kept when ``fielded`` is
-        configured), while quoted members route one at a time through
-        the phrase engines (their n-way position joins are genuinely
-        per-query) and union into the same frame. A 32-query batch
-        with two phrase queries costs 3 jobs, not 32."""
+        configured). Quoted members batch too on a single-field
+        deployment (round 5): multi_mixed_topk groups their phrases by
+        LENGTH and runs one position-join plan per length over one
+        shared decode, so a 24-term + 8-phrase batch with phrase
+        lengths {2, 3} costs three plans, not 9+. On a FIELDED
+        deployment quoted members still route one at a time (the
+        fielded mixed engine's per-field staged pruning is genuinely
+        per-query) and union into the same frame."""
         from functools import reduce
 
         from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA
@@ -90,24 +94,34 @@ class ArtifactSearcher:
         term_idx = [i for i, q in enumerate(queries) if '"' not in q]
         quoted_idx = [i for i, q in enumerate(queries) if '"' in q]
         parts: list[DataFrame] = []
+
+        def _remap(batch: DataFrame, idx: list[int]) -> DataFrame:
+            if idx == list(range(len(queries))):
+                return batch
+            # remap the sub-batch's positional ids to the original
+            # list positions
+            mapping = self.spark.createDataFrame(
+                list(enumerate(idx)), "query_id int, orig int")
+            return batch.join(F.broadcast(mapping), "query_id") \
+                .select(F.col("orig").alias("query_id"), "rank",
+                        "doc_id", "score")
+
         if term_idx:
             eng = self.fielded if self.fielded is not None else self.block
-            batch = eng.multi_topk([queries[i] for i in term_idx], k,
-                                   round_to)
-            if term_idx != list(range(len(queries))):
-                # remap the sub-batch's positional ids to the original
-                # list positions
-                mapping = self.spark.createDataFrame(
-                    list(enumerate(term_idx)), "query_id int, orig int")
-                batch = batch.join(F.broadcast(mapping), "query_id") \
-                    .select(F.col("orig").alias("query_id"), "rank",
-                            "doc_id", "score")
-            parts.append(batch)
-        for i in quoted_idx:
-            hits, _plan = self.route(queries[i], k, round_to)
-            parts.append(hits.select(
-                F.lit(i).cast("int").alias("query_id"), "rank", "doc_id",
-                "score"))
+            parts.append(_remap(
+                eng.multi_topk([queries[i] for i in term_idx], k,
+                               round_to), term_idx))
+        if quoted_idx and self.fielded is None:
+            parts.append(_remap(
+                self.block.multi_mixed_topk(
+                    [queries[i] for i in quoted_idx], k, round_to),
+                quoted_idx))
+        elif quoted_idx:
+            for i in quoted_idx:
+                hits, _plan = self.route(queries[i], k, round_to)
+                parts.append(hits.select(
+                    F.lit(i).cast("int").alias("query_id"), "rank",
+                    "doc_id", "score"))
         if not parts:
             return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
         return reduce(lambda a, b: a.unionByName(b), parts) \

@@ -7,7 +7,11 @@ bucket/term-pruned decode, one shuffle, a partitioned-window rank).
 This tool measures both paths over a committed Zipf artifact and
 asserts they return byte-identical hits before reporting.
 
-Usage: python tools/msearch_bench.py [cpus] [n_docs] [n_queries]
+Usage: python tools/msearch_bench.py [cpus] [n_docs] [n_queries] [mixed]
+Pass ``mixed`` as the 4th arg to measure the round-5 MIXED batch
+instead: 3/4 bare-term members + 1/4 quoted-phrase members (shapes
+{2, 3}) served by multi_mixed_topk (one position-join plan per phrase
+SHAPE) vs one mixed_topk route per member.
 Prints one JSON line.
 """
 
@@ -26,6 +30,7 @@ def main() -> None:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    mixed = len(sys.argv) > 4 and sys.argv[4] == "mixed"
 
     from prosearch_spark.corpus import zipf_corpus
     from prosearch_spark.index.artifact import save_index
@@ -39,32 +44,49 @@ def main() -> None:
     docs = zipf_corpus(spark, n_docs=n_docs).cache()
     docs.count()
     path = tempfile.mkdtemp(prefix="prosearch_msearch_bench_")
-    art = save_index(spark, docs, path, text_col="content")
+    art = save_index(spark, docs, path, text_col="content",
+                     with_positions=mixed)
     blk = BlockSearchEngine(spark, art)
 
     # deterministic query mix: topic singles + 2-term ANDs across the
-    # Zipf topic vocabulary (every query hits a different hot region)
+    # Zipf topic vocabulary (every query hits a different hot region);
+    # mixed mode swaps every 4th member for a quoted phrase (2- and
+    # 3-term shapes alternating)
     queries = []
     for i in range(n_queries):
         t = i % 16
-        if i % 2 == 0:
+        if mixed and i % 4 == 3:
+            if i % 8 == 3:
+                queries.append(f'z{t}_1 "z{t}_2 z{t}_3"')
+            else:
+                queries.append(f'"z{t}_1 z{t}_2 z{t}_3" z{t}_4')
+        elif i % 2 == 0:
             queries.append(f"z{t}_1")
         else:
             queries.append(f"z{t}_1 z{t}_2")
 
-    out: dict = {"n_docs": n_docs, "cpus": cpus, "n_queries": n_queries}
+    def _single(q):
+        if mixed:
+            return blk.mixed_topk(q, 10, round_to=6)
+        return blk.topk(q, 10, round_to=6)
+
+    out: dict = {"n_docs": n_docs, "cpus": cpus, "n_queries": n_queries,
+                 "mixed": mixed}
     with query_mode(spark):
-        blk.topk(queries[0], 10, round_to=6).collect()  # warm caches
+        _single(queries[0]).collect()  # warm caches
 
         t0 = time.perf_counter()
         seq = {}
         for qi, q in enumerate(queries):
             seq[qi] = [(r["rank"], r["doc_id"], r["score"])
-                       for r in blk.topk(q, 10, round_to=6).collect()]
+                       for r in _single(q).collect()]
         out["sequential_sec"] = round(time.perf_counter() - t0, 2)
 
         t0 = time.perf_counter()
-        rows = blk.multi_topk(queries, 10, round_to=6).collect()
+        if mixed:
+            rows = blk.multi_mixed_topk(queries, 10, round_to=6).collect()
+        else:
+            rows = blk.multi_topk(queries, 10, round_to=6).collect()
         out["batched_sec"] = round(time.perf_counter() - t0, 2)
 
     got: dict[int, list] = {}
