@@ -1512,6 +1512,26 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_frame_dedup(spark, sf_dir):
+    """Frame-level near-dup (round 5): sample frames -> per-frame
+    locality-preserving hash (the pHash stub seam — window byte-sums
+    packed into 32-bit nibbles) -> pigeonhole Hamming blocking, never
+    all-pairs. DuckDB recomputes the frame slices, the window-sum
+    hash (ASCII char==byte parity), the SAME chunk equi-join
+    (pigeonhole is exact for hamming<blocks, so blocking loses no
+    pair), and the XOR popcount."""
+    from prosearch_spark.ops import multimodal as mm
+
+    assets = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("media"),
+    )
+    frames = mm.sample_frames(assets, frame_bytes=32, every=3)
+    return mm.frame_near_dup(mm.frame_phash(frames, frame_bytes=32),
+                             max_hamming=3, blocks=4) \
+        .select("fid", "fid2", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_knn_join_lsh_probe(spark, sf_dir):
     """Multi-probe banded kNN join (round 3): per table the LEFT side
     also matches with its lowest-|margin| bit flipped — the recall
@@ -1641,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmented_wand_live": q_segmented_wand_live,
         "fielded_stream_phrase": q_fielded_stream_phrase,
         "msearch_quoted": q_msearch_quoted,
+        "frame_dedup": q_frame_dedup,
         # ---- new in round 4 ----
         "msearch_topk": q_msearch_topk,
         "msearch_fielded": q_msearch_fielded,
@@ -1775,6 +1796,50 @@ def oracle_sql() -> dict[str, str]:
             Q_MIXED_PHRASE, 10, ROUND),
         "msearch_quoted": osql.multi_mixed_topk_sql(
             MSEARCH_MIXED, 10, ROUND),
+        "frame_dedup": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id AS asset_id, text FROM documents
+            ),
+            idx(i) AS (
+                SELECT 0
+                UNION ALL
+                SELECT i + 1 FROM idx
+                WHERE i + 1 < (SELECT CAST(floor(max(length(text)) / 32.0)
+                               AS BIGINT) FROM documents)
+            ),
+            fr AS (
+                SELECT asset_id, i::BIGINT AS frame_idx,
+                       substr(text, (i * 32 + 1)::INT, 32) AS fs
+                FROM base CROSS JOIN idx
+                WHERE i < CAST(floor(length(text) / 32.0) AS BIGINT)
+                  AND i % 3 = 0
+            ),
+            hashed AS (
+                SELECT (asset_id * (1::BIGINT << 20) + frame_idx) AS fid,
+                       list_sum(list_transform(range(0, 8), w ->
+                           ((list_sum(list_transform(range(1, 5), k ->
+                               ascii(substr(fs, (w * 4 + k)::INT, 1))))
+                             % 16) * (1::BIGINT << (4 * w)))))::BIGINT
+                           AS phash
+                FROM fr
+            ),
+            chunked AS (
+                SELECT fid, phash, t.blk,
+                       ((phash >> (t.blk * 8)) & 255) AS chunk
+                FROM hashed, unnest(generate_series(0, 3)) t(blk)
+            ),
+            cand AS (
+                SELECT DISTINCT a.fid AS fid, a.phash AS phash,
+                       b.fid AS fid2, b.phash AS phash2
+                FROM chunked a JOIN chunked b
+                  ON a.blk = b.blk AND a.chunk = b.chunk
+                 AND a.fid < b.fid
+            )
+            SELECT fid, fid2,
+                   bit_count(xor(phash, phash2))::INT AS hamming
+            FROM cand
+            WHERE bit_count(xor(phash, phash2)) <= 3
+        """,
         # ---- round 4 ----
         "msearch_topk": osql.multi_topk_sql(MSEARCH_QUERIES, 10, ROUND),
         "msearch_fielded": osql.fielded_multi_topk_sql(

@@ -195,6 +195,84 @@ def resize_media(assets: DataFrame, width: int, height: int,
     )
 
 
+PHASH_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("phash", LongType(), False),
+])
+
+PHASH_WINDOWS = 8  # 8 x 4-bit nibbles -> 32-bit signature
+
+
+def frame_phash(frames: DataFrame, frame_bytes: int = 32,
+                strict: bool = False) -> DataFrame:
+    """Perceptual-hash plumbing over sampled frames (round 5): the
+    frame-level analog of the text dedup ladder's SimHash. Real pHash
+    is DCT-over-decoded-pixels — codec territory, so the STUB kernel
+    computes a deterministic locality-preserving fake from the raw
+    bytes instead: the frame splits into PHASH_WINDOWS equal windows
+    and nibble_i = (sum of window i's bytes) mod 16, packed little-
+    nibble-first into a 32-bit signature. A single changed byte
+    perturbs exactly one window => Hamming distance <= 4, so
+    near-identical frames land near each other — the property the
+    downstream Hamming blocking exploits, same as a real pHash. Swap
+    the window-sum for a DCT inside this same kernel in a real
+    deployment; schema and partitioning stay as tested.
+
+    Arrow-batched mapInPandas, partition-preserving — at 100 TB the
+    repartition-by-payload-bytes rule from sample_frames applies
+    upstream; this stage adds one long per row."""
+    if frame_bytes % PHASH_WINDOWS:
+        raise ValueError("frame_bytes must divide into PHASH_WINDOWS")
+    width = frame_bytes // PHASH_WINDOWS
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            hashes = []
+            for payload in b["frame"]:
+                if strict:
+                    raise MediaDecodeUnavailable(
+                        "no pixel decoder in this environment")
+                payload = bytes(payload) if payload is not None else b""
+                h = 0
+                for i in range(PHASH_WINDOWS):
+                    win = payload[i * width:(i + 1) * width]
+                    h |= (sum(win) % 16) << (4 * i)
+                hashes.append(h)
+            yield pd.DataFrame({
+                "asset_id": b["asset_id"],
+                "frame_idx": b["frame_idx"],
+                "phash": pd.Series(hashes, dtype="int64"),
+            })
+
+    return frames.select("asset_id", "frame_idx", "frame").mapInPandas(
+        kernel, PHASH_SCHEMA
+    )
+
+
+def frame_near_dup(hashed: DataFrame, max_hamming: int = 3,
+                   blocks: int = 4) -> DataFrame:
+    """Frame-level near-duplicate pairs: pigeonhole Hamming blocking
+    over the 32-bit frame signatures (EXACT for max_hamming < blocks —
+    any pair within the distance shares at least one exact chunk), the
+    same banded equi-join as ops.dedup.simhash_near_pairs, never
+    all-pairs. Frames key as fid = asset_id * 2^20 + frame_idx (one
+    long, frame_idx < 2^20 by the sampler's fan-out bound).
+
+    Returns (fid, fid2, hamming), fid < fid2."""
+    from prosearch_spark.ops.dedup import simhash_near_pairs
+
+    sig = hashed.select(
+        (F.col("asset_id") * F.lit(1 << 20) + F.col("frame_idx"))
+        .alias("doc_id"),
+        F.col("phash").alias("simhash"),
+    )
+    pairs = simhash_near_pairs(sig, max_hamming=max_hamming, bits=32,
+                               blocks=blocks)
+    return pairs.select(F.col("doc_id").alias("fid"),
+                        F.col("doc_id2").alias("fid2"), "hamming")
+
+
 def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table (payload = seeded sha256
     bytes repeated; kind round-robins image/audio/video)."""

@@ -80,6 +80,69 @@ def test_resize_media_deterministic(spark):
     assert all(r2[a] != bytes(rows[a]["media"]) for a in r2)
 
 
+def test_frame_phash_matches_python_and_locality(spark):
+    """The stub pHash is the documented window-sum: nibble_i =
+    sum(window_i) % 16 packed little-nibble-first. Verify against a
+    python twin, and verify the locality property the blocking relies
+    on: one changed byte perturbs exactly one window => Hamming <= 4."""
+    from prosearch_spark.ops.multimodal import frame_phash, sample_frames
+
+    assets = synth_assets(spark, n=9)
+    payloads = {r["asset_id"]: bytes(r["media"]) for r in assets.collect()}
+    frames = sample_frames(assets, frame_bytes=32, every=3)
+    got = {(r["asset_id"], r["frame_idx"]): r["phash"]
+           for r in frame_phash(frames, frame_bytes=32).collect()}
+    assert got
+
+    def py_hash(fs: bytes) -> int:
+        return sum((sum(fs[w * 4:(w + 1) * 4]) % 16) << (4 * w)
+                   for w in range(8))
+
+    for (aid, idx), h in got.items():
+        fs = payloads[aid][idx * 32:(idx + 1) * 32]
+        assert h == py_hash(fs), (aid, idx)
+
+    # locality: flip one byte -> one window's nibble moves -> <= 4 bits
+    fs = payloads[0][:32]
+    mutated = bytes([fs[0] ^ 0xFF]) + fs[1:]
+    d = py_hash(fs) ^ py_hash(mutated)
+    assert bin(d).count("1") <= 4 and d != 0
+
+
+def test_frame_near_dup_blocking_is_exact(spark):
+    """Pigeonhole blocking (4 x 8-bit chunks over 32 bits) loses NO
+    pair at max_hamming=3 < blocks=4: compare against brute-force
+    all-pairs on the gate-scale frame set."""
+    from itertools import combinations
+
+    from prosearch_spark.ops.multimodal import (
+        frame_near_dup,
+        frame_phash,
+        sample_frames,
+    )
+
+    assets = synth_assets(spark, n=24)
+    hashed = frame_phash(sample_frames(assets, frame_bytes=32, every=3))
+    sigs = {r["asset_id"] * (1 << 20) + r["frame_idx"]: r["phash"]
+            for r in hashed.collect()}
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {(r["fid"], r["fid2"], r["hamming"])
+           for r in frame_near_dup(hashed, max_hamming=3, blocks=4).collect()}
+    assert got == expected and expected
+
+
+def test_frame_phash_strict_raises(spark):
+    from prosearch_spark.ops.multimodal import frame_phash, sample_frames
+
+    assets = synth_assets(spark, n=2)
+    with pytest.raises(Exception, match="no pixel decoder"):
+        frame_phash(sample_frames(assets), strict=True).collect()
+
+
 def test_frame_and_resize_strict_raise(spark):
     from prosearch_spark.ops.multimodal import resize_media, sample_frames
 
