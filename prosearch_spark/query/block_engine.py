@@ -772,6 +772,14 @@ class BlockSearchEngine:
         return self._engine(q).percentiles_agg(
             q, self.artifact.doc_stats(), value_col, ps, round_to)
 
+    def percentiles_agg_approx(self, q: str, value_col: str,
+                               ps: list[float] | None = None,
+                               accuracy: int = 10000) -> DataFrame:
+        """Sketch-based percentiles over the fast fields — the scale
+        path (see SearchEngine.percentiles_agg_approx)."""
+        return self._engine(q).percentiles_agg_approx(
+            q, self.artifact.doc_stats(), value_col, ps, accuracy)
+
     def date_histogram(self, q: str, date_col: str) -> DataFrame:
         """Per-month date histogram over a Date fast field (Tantivy
         DateHistogramAggregation): pruned match set joined to the

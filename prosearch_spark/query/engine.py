@@ -431,6 +431,39 @@ class SearchEngine:
         return (out.select(F.explode(pairs).alias("r"))
                 .select("r.p", "r.value").orderBy("p"))
 
+    def percentiles_agg_approx(self, q: str, docs: DataFrame,
+                               value_col: str,
+                               ps: list[float] | None = None,
+                               accuracy: int = 10000) -> DataFrame:
+        """The 100 TB twin of :meth:`percentiles_agg` — Spark's
+        ``percentile_approx`` (Greenwald-Khanna sketch: one pass,
+        bounded memory per partition, MERGEABLE partial states, so a
+        1000-executor agg never materialises the full value column the
+        way exact ``percentile``'s sort-based aggregate does).
+
+        Guarantee (Spark's contract): the returned value is an ACTUAL
+        value from the column whose rank r satisfies
+        |r - p*n| <= n/accuracy. No DuckDB-identical oracle exists for
+        a sketch, so this stays OUT of the driver window; the
+        rank-error-bound pytest (tests/test_round5.py) is the
+        executable evidence for the swap documented on the exact
+        method. Long form (p, value), same shape as the exact twin."""
+        ps = ps or [0.25, 0.5, 0.75, 0.95]
+        m = self.match_scan(q)
+        j = docs.join(m, "doc_id")
+        out = j.agg(*[
+            F.expr(f"percentile_approx({value_col}, {p!r}, {accuracy})")
+            .cast("double").alias(f"p{i}")
+            for i, p in enumerate(ps)
+        ])
+        pairs = F.array(*[
+            F.struct(F.lit(p).alias("p"),
+                     F.col(f"p{i}").alias("value"))
+            for i, p in enumerate(ps)
+        ])
+        return (out.select(F.explode(pairs).alias("r"))
+                .select("r.p", "r.value").orderBy("p"))
+
     def histogram_agg(self, q: str, docs: DataFrame, value_col: str,
                       interval: float) -> DataFrame:
         """Q9: ``histogram`` aggregation over matches."""

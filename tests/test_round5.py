@@ -100,6 +100,55 @@ def test_serve_msearch_batches_quoted(spark, corpus, pos_art):
         assert [t for t in batch if t[0] == qi] == single, q
 
 
+def test_percentiles_approx_rank_error_bound(spark, corpus,
+                                             tmp_path_factory):
+    """The 100 TB percentiles twin (r4 verdict item 7): Spark's
+    contract for percentile_approx is that the result is an ACTUAL
+    column value whose rank among the matched values is within
+    n/accuracy of the target rank. Verify that bound against the
+    python-sorted match-set values at a deliberately loose accuracy
+    (so the sketch really approximates), and near-exact rank at an
+    accuracy larger than n (the sketch holds every value). No
+    DuckDB-identical oracle can exist for a sketch, so this pytest is
+    the gate for the swap documented on the exact method."""
+    from bisect import bisect_left, bisect_right
+
+    docs = corpus.withColumn("size", F.length("content").cast("long"))
+    art = save_index(spark, docs, str(tmp_path_factory.mktemp("r5apx")),
+                     text_col="content", fast_fields={"size": "size"})
+    eng = BlockSearchEngine(spark, art)
+
+    matched = {r["doc_id"] for r in eng.match_scan("spark").collect()}
+    vals = sorted(r["size"] for r in docs.collect()
+                  if r["doc_id"] in matched)
+    n = len(vals)
+    assert n > 20, "query must match a meaningful slice"
+
+    ps = [0.25, 0.5, 0.75, 0.95]
+    exact = {r["p"]: r["value"]
+             for r in eng.percentiles_agg("spark", "size", ps).collect()}
+    for accuracy, slack in [(40, n // 40 + 1), (100000, 1)]:
+        df = eng.percentiles_agg_approx("spark", "size", ps,
+                                        accuracy=accuracy)
+        assert df.columns == ["p", "value"]  # same shape as exact twin
+        got = {r["p"]: r["value"] for r in df.collect()}
+        for p in ps:
+            v = got[p]
+            # an actual data value (the sketch never interpolates)
+            assert v in vals, (p, v)
+            lo = bisect_left(vals, v)
+            hi = bisect_right(vals, v) - 1
+            target = p * n
+            assert lo <= target + slack and hi >= target - slack - 1, \
+                (accuracy, p, v, lo, hi, target)
+            # the sketch result brackets the exact interpolated value
+            # within one neighbouring order statistic + rank slack
+            j = min(n - 1, hi + slack + 1)
+            i = max(0, lo - slack - 1)
+            assert vals[i] <= exact[p] <= vals[j] or v == exact[p], \
+                (accuracy, p, v, exact[p])
+
+
 def test_multi_mixed_topk_live_stack(spark, corpus, tmp_path):
     """Batched mixed msearch over a LIVE tombstoned stack: the shared
     decode carries seg tags, deletes anti-join per segment, and the
