@@ -1646,6 +1646,61 @@ def q_simhash(spark, sf_dir):
     return dd.simhash(_docs(spark, sf_dir), content_col="text", bits=32)
 
 
+def _qvec0(emb):
+    return [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval (round 5): BM25 conjunctive
+    top-50 fused with exact-cosine top-50 by reciprocal ranks (k0=60,
+    Cormack et al. SIGIR'09) — the standard way to serve a fulltext
+    index and a vector index as ONE ranked list without score
+    calibration. doc_id and vec_id share an id space; the oracle
+    recomputes both legs and the identical two-term fused double."""
+    from prosearch_spark.query.hybrid import hybrid_topk
+
+    eng, _ = _engine(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    return hybrid_topk(eng, emb.filter(F.col("vec_id") != 0), Q_AND2,
+                       _qvec0(emb), k=10, depth=50, round_to=ROUND)
+
+
+def q_hybrid_rrf_wand(spark, sf_dir):
+    """The same fusion with the SCALE lexical leg: Block-Max WAND over
+    the committed artifact. WAND is exact, so the leg ranks — and
+    therefore the fused list — are identical to the flat leg's; one
+    oracle serves both (the pruning is a physical property only)."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+    from prosearch_spark.query.hybrid import rrf_fuse
+
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_hyb_"), text_col="text"))
+    lex, _stats = BlockSearchEngine(spark, art).topk_wand(
+        Q_AND2, 50, round_to=ROUND)
+    emb = _emb(spark, sf_dir)
+    sem = sim.cosine_topk(emb.filter(F.col("vec_id") != 0), _qvec0(emb),
+                          50, round_to=ROUND) \
+        .withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse(lex, sem, k=10, round_to=ROUND)
+
+
+def q_msearch_knn(spark, sf_dir):
+    """Batched semantic search (round 5): one scan of the embedding
+    table serves a 4-query batch (query vectors = vec_id < 4, so the
+    oracle needs no data literals), per-query top-10 via a PARTITIONED
+    window — the msearch shape for the ANN leg."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    return sim.multi_cosine_topk(emb.filter(F.col("vec_id") >= 4), qs,
+                                 10, round_to=ROUND)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS THE DRIVER'S CHECK ORDER (the driver gates exactly
     # the FIRST 50 keys). Round-4-new entries lead, then every entry
@@ -1658,6 +1713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check_oracle.py replica recorded in BENCH/README).
     return {
         # ---- new in round 5 ----
+        "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_rrf_wand": q_hybrid_rrf_wand,
+        "msearch_knn": q_msearch_knn,
         "segmented_wand_live": q_segmented_wand_live,
         "fielded_stream_phrase": q_fielded_stream_phrase,
         "msearch_quoted": q_msearch_quoted,
@@ -1787,6 +1845,14 @@ _TOKS = osql.INDEX_CTES  # toks/tf/postings/term_stats/stats CTEs
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
         # ---- round 5 ----
+        # hybrid RRF: one oracle for both lexical legs (flat and WAND
+        # are the same exact list; pruning is physical only)
+        "hybrid_rrf": osql.hybrid_rrf_sql(Q_AND2, k=10, depth=50,
+                                          k0=60, round_to=ROUND),
+        "hybrid_rrf_wand": osql.hybrid_rrf_sql(Q_AND2, k=10, depth=50,
+                                               k0=60, round_to=ROUND),
+        "msearch_knn": osql.multi_knn_cosine_sql(n_queries=4, k=10,
+                                                 round_to=ROUND),
         # live tombstoned-stack WAND must equal compact-then-query,
         # i.e. the ordinary flat oracle over the true corpus
         "segmented_wand_live": osql.topk_sql(Q_AND2, 10, ROUND),

@@ -58,6 +58,41 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def multi_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      round_to: int | None = 6) -> DataFrame:
+    """Batched exact cosine top-k: ONE scan of the embedding table for
+    a whole query batch — the msearch shape for the ANN leg.
+
+    ``queries`` is a small DataFrame ``(query_id, qv: array<...>)``;
+    it is broadcast against the candidate scan (one pass, no per-query
+    jobs), then per-query ranking is a PARTITIONED window
+    (WindowGroupLimit pushes the per-group limit below the shuffle),
+    exactly like ``engine.multi_topk`` on the lexical side.  At 100 TB
+    the scan cost is paid once per batch instead of once per query.
+
+    Returns ``(query_id, rank, vec_id, cosine)`` with the same
+    round-before-rank + (cosine DESC, vec_id ASC) rule as
+    :func:`cosine_topk`.
+    """
+    cand = emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("_v"))
+    scored = cand.crossJoin(F.broadcast(
+        queries.select(F.col("query_id"), F.col("qv").alias("_q"))))
+    sim = _dot(F.col("_v"), F.col("_q")) / (
+        _norm(F.col("_v")) * _norm(F.col("_q")))
+    d = scored.select("query_id", "vec_id", sim.alias("cosine"))
+    if round_to is not None:
+        d = d.withColumn("cosine", F.round("cosine", round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 # -- LSH (random hyperplanes) -------------------------------------------------
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

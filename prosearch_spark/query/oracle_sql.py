@@ -1519,3 +1519,85 @@ SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INT AS rank,
        vec_id, cosine
 FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
+
+
+_COSINE_SQL = (
+    "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), {q})\n"
+    "      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),\n"
+    "                               CAST(e.embedding AS DOUBLE[])))\n"
+    "         * sqrt(list_dot_product({q}, {q}))), {r})"
+)
+
+
+def hybrid_rrf_sql(q: str, k: int = 10, depth: int = 50, k0: int = 60,
+                   round_to: int = 6, qvec_id: int = 0) -> str:
+    """query/hybrid.py twin: BM25 conjunctive top-``depth`` fused with
+    exact-cosine top-``depth`` (query vector = embeddings[qvec_id]) by
+    reciprocal ranks.  The fused score is the same two-term
+    left-then-right double expression the Spark side evaluates, so
+    scores are bit-identical; both sides round before the final rank.
+    """
+    cte, _ = _scored_docs_cte_qualified(q, conjunctive=True)
+    cos = _COSINE_SQL.format(q="qv.v", r=round_to)
+    return f"""WITH {cte},
+lex AS (
+    SELECT rank, doc_id FROM (
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+               doc_id
+        FROM (SELECT doc_id, round(score, {round_to}) AS score FROM docs_scored)
+    ) WHERE rank <= {depth}
+),
+qv AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id = {qvec_id}
+),
+sem_scored AS (
+    SELECT e.vec_id AS doc_id, {cos} AS cosine
+    FROM embeddings e CROSS JOIN qv
+    WHERE e.vec_id != {qvec_id}
+),
+sem AS (
+    SELECT rank, doc_id FROM (
+        SELECT row_number() OVER (ORDER BY cosine DESC, doc_id ASC)::INT AS rank,
+               doc_id
+        FROM sem_scored
+    ) WHERE rank <= {depth}
+),
+fused AS (
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({k0} + lex.rank), 0.0)
+                 + coalesce(1.0 / ({k0} + sem.rank), 0.0),
+                 {round_to}) AS rrf_score,
+           lex.rank AS lex_rank, sem.rank AS sem_rank
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)::INT AS rank,
+       doc_id, rrf_score, lex_rank, sem_rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {k}"""
+
+
+def multi_knn_cosine_sql(n_queries: int = 4, k: int = 10,
+                         round_to: int = 6) -> str:
+    """ops/similarity.multi_cosine_topk twin: query vectors are
+    embeddings[vec_id < n_queries] (query_id = vec_id — no data
+    literals), candidates are the rest; per-query top-k by the same
+    round-before-rank + (cosine DESC, vec_id ASC) rule."""
+    cos = _COSINE_SQL.format(q="qs.qv", r=round_to)
+    return f"""WITH qs AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < {n_queries}
+),
+scored AS (
+    SELECT qs.query_id, e.vec_id, {cos} AS cosine
+    FROM embeddings e CROSS JOIN qs
+    WHERE e.vec_id >= {n_queries}
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC)::INT AS rank,
+           vec_id, cosine
+    FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -180,3 +180,82 @@ def test_multi_mixed_topk_live_stack(spark, corpus, tmp_path):
     # no stale text survives anywhere in the batch results
     assert not [t for t in _rows(
         eng.multi_mixed_topk(["placeholder"], 5, round_to=6))]
+
+
+# -- hybrid RRF + batched semantic search (round 5) ---------------------------
+
+
+def _toy_emb(spark, n=30, dim=8):
+    """Deterministic toy embeddings aligned with corpus doc_ids."""
+    rows = [(i, [float(((i * 7 + j * 3) % 11) - 5) for j in range(dim)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_rrf_fuse_math_and_tiebreak(spark):
+    """Fused score must equal the hand-computed two-term RRF sum for
+    docs in both / one list, with round-before-rank + doc_id ASC ties
+    and NULL leg ranks for single-list docs."""
+    from prosearch_spark.query.hybrid import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "rank int, doc_id long")
+    sem = spark.createDataFrame(
+        [(1, 20), (2, 40)], "rank int, doc_id long")
+    out = {r["doc_id"]: r for r in
+           rrf_fuse(lex, sem, k=10, k0=60, round_to=6).collect()}
+    assert round(1.0 / 61, 6) == out[10]["rrf_score"]
+    assert out[10]["sem_rank"] is None and out[10]["lex_rank"] == 1
+    assert round(1.0 / 62 + 1.0 / 61, 6) == out[20]["rrf_score"]
+    assert (out[20]["lex_rank"], out[20]["sem_rank"]) == (2, 1)
+    assert out[40]["lex_rank"] is None and out[40]["sem_rank"] == 2
+    # doc 20 is in both lists -> highest fused score -> rank 1
+    assert out[20]["rank"] == 1
+    # equal-contribution docs tie-break by doc_id ASC: fabricate via
+    # two single-list docs at the same leg rank
+    lex2 = spark.createDataFrame([(1, 7)], "rank int, doc_id long")
+    sem2 = spark.createDataFrame([(1, 3)], "rank int, doc_id long")
+    tied = rrf_fuse(lex2, sem2, k=10, k0=60, round_to=6).collect()
+    assert [r["doc_id"] for r in tied] == [3, 7]
+
+
+def test_hybrid_wand_leg_matches_flat(spark, corpus, pos_art):
+    """WAND is exact, so the fused list is identical whichever lexical
+    engine feeds it — the property that lets one oracle gate both."""
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.engine import SearchEngine
+    from prosearch_spark.query.hybrid import hybrid_topk, rrf_fuse
+    from prosearch_spark.ops.similarity import cosine_topk
+
+    emb = _toy_emb(spark, n=30)
+    qvec = [1.0, -2.0, 0.5, 3.0, -1.0, 0.0, 2.0, -0.5]
+    eng = SearchEngine(spark, build_index(corpus, text_col="content"))
+    flat = hybrid_topk(eng, emb, "join hash", qvec, k=10, depth=20,
+                       round_to=6).collect()
+    lex, _stats = BlockSearchEngine(spark, pos_art).topk_wand(
+        "join hash", 20, round_to=6)
+    sem = cosine_topk(emb, qvec, 20, round_to=6) \
+        .withColumnRenamed("vec_id", "doc_id")
+    wand = rrf_fuse(lex, sem, k=10, round_to=6).collect()
+    assert [tuple(r) for r in flat] == [tuple(r) for r in wand]
+    assert len(flat) == 10
+
+
+def test_multi_cosine_topk_matches_single(spark):
+    """The one-scan batch must reproduce each query's cosine_topk."""
+    from prosearch_spark.ops.similarity import cosine_topk, multi_cosine_topk
+
+    emb = _toy_emb(spark, n=40)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cand = emb.filter(F.col("vec_id") >= 3)
+    batch = multi_cosine_topk(cand, qs, 5, round_to=6)
+    got = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+           for r in batch.collect()}
+    assert len(got) == 15
+    for qid in range(3):
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = cosine_topk(cand, qvec, 5, round_to=6).collect()
+        for r in single:
+            assert got[(qid, r["rank"])] == (r["vec_id"], r["cosine"])
