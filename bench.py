@@ -249,6 +249,19 @@ def main() -> None:
     sim.cosine_topk(emb, qvec, 10).collect()
     queries["knn_cosine"] = round(time.perf_counter() - t0, 4)
 
+    # hybrid RRF (round 5): WAND lexical leg over the committed
+    # artifact fused with the exact cosine leg — tracks the combined
+    # serving path (legs keep their own scale stories; fusion itself
+    # joins two <=50-row lists)
+    from prosearch_spark.query.hybrid import rrf_fuse
+
+    t0 = time.perf_counter()
+    hlex, _hs = blk.topk_wand("join hash", 50, round_to=6)
+    hsem = sim.cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, 50,
+                           round_to=6).withColumnRenamed("vec_id", "doc_id")
+    rrf_fuse(hlex, hsem, k=10, round_to=6).collect()
+    queries["q_hybrid_rrf"] = round(time.perf_counter() - t0, 4)
+
     # -- LSH near-dup recall vs exact ground truth (measure, don't
     # guess: the bucketed scale path's quality, not just its speed).
     # Ground truth restricted to a 1000-vector slice so the exact
