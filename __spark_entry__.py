@@ -1701,6 +1701,24 @@ def q_msearch_knn(spark, sf_dir):
                                  10, round_to=ROUND)
 
 
+def q_msearch_hybrid(spark, sf_dir):
+    """Batched HYBRID search (round 5): 4 lexical queries
+    (MSEARCH_QUERIES[:4]) pair with 4 query vectors (vec_id < 4,
+    query_id = vec_id — no data literals); the lexical batch runs as
+    ONE multi_topk plan, the semantic batch as ONE embedding scan, and
+    fusion is ONE partitioned-window RRF rank over (query_id, doc_id)
+    — three jobs for the whole batch, the hybrid msearch shape."""
+    from prosearch_spark.query.hybrid import multi_hybrid_topk
+
+    eng, _ = _engine(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    return multi_hybrid_topk(eng, emb.filter(F.col("vec_id") >= 4),
+                             MSEARCH_QUERIES[:4], qs, k=10, depth=50,
+                             round_to=ROUND)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS THE DRIVER'S CHECK ORDER (the driver gates exactly
     # the FIRST 50 keys). Round-4-new entries lead, then every entry
@@ -1713,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check_oracle.py replica recorded in BENCH/README).
     return {
         # ---- new in round 5 ----
+        "msearch_hybrid": q_msearch_hybrid,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_rrf_wand": q_hybrid_rrf_wand,
         "msearch_knn": q_msearch_knn,
@@ -1847,6 +1866,9 @@ def oracle_sql() -> dict[str, str]:
         # ---- round 5 ----
         # hybrid RRF: one oracle for both lexical legs (flat and WAND
         # are the same exact list; pruning is physical only)
+        "msearch_hybrid": osql.multi_hybrid_rrf_sql(
+            MSEARCH_QUERIES[:4], n_queries_vec=4, k=10, depth=50,
+            k0=60, round_to=ROUND),
         "hybrid_rrf": osql.hybrid_rrf_sql(Q_AND2, k=10, depth=50,
                                           k0=60, round_to=ROUND),
         "hybrid_rrf_wand": osql.hybrid_rrf_sql(Q_AND2, k=10, depth=50,

@@ -71,6 +71,69 @@ def rrf_fuse(lex: DataFrame, sem: DataFrame, k: int = 10,
     )
 
 
+def rrf_fuse_batch(lex: DataFrame, sem: DataFrame, k: int = 10,
+                   k0: int = DEFAULT_K0,
+                   round_to: int | None = 6) -> DataFrame:
+    """Batched RRF: fuse per-query ranked lists — each
+    ``(query_id, rank, doc_id, ...)`` — for a WHOLE query batch in one
+    plan.  Same contribution expression and round-before-rank rule as
+    :func:`rrf_fuse`, but the full-outer join keys on
+    ``(query_id, doc_id)`` and the final rank is a PARTITIONED window
+    (WindowGroupLimit — per-task partial top-k, no global sort), the
+    msearch shape.  A query ranked by only one leg still fuses (the
+    other leg's rank is NULL -> contributes 0.0).
+
+    Scale: inputs are per-query top-``depth`` lists, so the join
+    touches at most ``2 * depth * |batch|`` rows; all real cost lives
+    in the legs (one batched lexical decode, one batched embedding
+    scan)."""
+    lhs = lex.select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    rhs = sem.select("query_id", "doc_id", F.col("rank").alias("sem_rank"))
+    fused = lhs.join(rhs, ["query_id", "doc_id"], "full_outer")
+    contrib = (
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0))
+                          + F.col("lex_rank").cast("double")),
+            F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0))
+                          + F.col("sem_rank").cast("double")),
+            F.lit(0.0))
+    )
+    fused = fused.withColumn("rrf_score", contrib)
+    if round_to is not None:
+        fused = fused.withColumn("rrf_score", F.round("rrf_score", round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_score",
+                "lex_rank", "sem_rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def multi_hybrid_topk(engine, emb: DataFrame, queries: list[str],
+                      qvecs: DataFrame, k: int = 10, depth: int = 50,
+                      k0: int = DEFAULT_K0, round_to: int | None = 6,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Batched hybrid search: ``queries[i]`` (lexical) pairs with the
+    ``qvecs`` row whose ``query_id = i`` (semantic); both legs run as
+    ONE batched plan each (``engine.multi_topk`` — flat or block —
+    and :func:`ops.similarity.multi_cosine_topk`), then fuse per query
+    via :func:`rrf_fuse_batch`.  Three jobs serve the whole batch
+    regardless of its size — the hybrid msearch shape."""
+    from prosearch_spark.ops.similarity import multi_cosine_topk
+
+    lex = engine.multi_topk(queries, depth, round_to=round_to)
+    sem = multi_cosine_topk(emb, qvecs, depth, id_col=id_col,
+                            vec_col=vec_col, round_to=round_to) \
+        .withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse_batch(lex, sem, k=k, k0=k0, round_to=round_to)
+
+
 def hybrid_topk(engine, emb: DataFrame, q: str, query_vec: list[float],
                 k: int = 10, depth: int = 50, k0: int = DEFAULT_K0,
                 round_to: int | None = 6, id_col: str = "vec_id",

@@ -1601,3 +1601,84 @@ SELECT query_id, rank, vec_id, cosine FROM (
     FROM scored
 ) WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+def multi_hybrid_rrf_sql(queries: list[str], n_queries_vec: int,
+                         k: int = 10, depth: int = 50, k0: int = 60,
+                         round_to: int = 6) -> str:
+    """query/hybrid.multi_hybrid_topk twin: lexical leg =
+    multi_topk-style batch (shared postings CTE, per-query conjunction,
+    PARTITIONED round-before-rank) cut at ``depth``; semantic leg =
+    multi_cosine_topk-style batch (query vectors = embeddings with
+    vec_id < ``n_queries_vec``, query_id = vec_id, candidates the
+    rest) cut at ``depth``; fusion = the same fixed-order two-term
+    1/(k0+rank) double, rounded before the final per-query rank."""
+    parsed = [(qi, analyze_query(q)) for qi, q in enumerate(queries)]
+    rows = [(qi, t, b) for qi, cl in parsed for t, b in cl]
+    score = _qualify(SCORE_EXPR)
+    qvals = ", ".join(f"({qi}, {_sql_str(t)}, {b!r}::DOUBLE)"
+                      for qi, t, b in rows)
+    nvals = ", ".join(f"({qi}, {len(cl)})" for qi, cl in parsed if cl)
+    cos = _COSINE_SQL.format(q="qs.qv", r=round_to)
+    return f"""WITH {INDEX_CTES},
+qterms(query_id, term, boost) AS (SELECT * FROM (VALUES {qvals})),
+qn(query_id, n_clauses) AS (SELECT * FROM (VALUES {nvals})),
+lex_scored AS (
+    SELECT q.query_id, p.doc_id AS doc_id, {score} AS s
+    FROM qterms q
+    JOIN postings p ON p.term = q.term
+    JOIN term_stats t ON t.term = q.term
+    CROSS JOIN stats
+),
+lex_kept AS (
+    SELECT d.query_id, d.doc_id, round(d.score, {round_to}) AS score
+    FROM (SELECT query_id, doc_id, sum(s) AS score, count(*) AS nmatch
+          FROM lex_scored GROUP BY query_id, doc_id) d
+    JOIN qn USING (query_id)
+    WHERE d.nmatch = qn.n_clauses
+),
+lex AS (
+    SELECT query_id, rank, doc_id FROM (
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC)::INT AS rank,
+               doc_id
+        FROM lex_kept
+    ) WHERE rank <= {depth}
+),
+qs AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < {n_queries_vec}
+),
+sem_scored AS (
+    SELECT qs.query_id, e.vec_id AS doc_id, {cos} AS cosine
+    FROM embeddings e CROSS JOIN qs
+    WHERE e.vec_id >= {n_queries_vec}
+),
+sem AS (
+    SELECT query_id, rank, doc_id FROM (
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, doc_id ASC)::INT AS rank,
+               doc_id
+        FROM sem_scored
+    ) WHERE rank <= {depth}
+),
+fused AS (
+    SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+           coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({k0} + lex.rank), 0.0)
+                 + coalesce(1.0 / ({k0} + sem.rank), 0.0),
+                 {round_to}) AS rrf_score,
+           lex.rank AS lex_rank, sem.rank AS sem_rank
+    FROM lex FULL OUTER JOIN sem
+      ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+)
+SELECT query_id, rank, doc_id, rrf_score, lex_rank, sem_rank FROM (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC)::INT AS rank,
+           doc_id, rrf_score, lex_rank, sem_rank
+    FROM fused
+) WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -259,3 +259,37 @@ def test_multi_cosine_topk_matches_single(spark):
         single = cosine_topk(cand, qvec, 5, round_to=6).collect()
         for r in single:
             assert got[(qid, r["rank"])] == (r["vec_id"], r["cosine"])
+
+
+def test_multi_hybrid_matches_single(spark, corpus):
+    """The 3-job batched hybrid must reproduce, per query, the fused
+    list of the single-query path (same legs, same RRF double, same
+    round-before-rank)."""
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.engine import SearchEngine
+    from prosearch_spark.query.hybrid import hybrid_topk, multi_hybrid_topk
+
+    emb = _toy_emb(spark, n=40)
+    eng = SearchEngine(spark, build_index(corpus, text_col="content"))
+    queries = ["spark", "join hash", "zzz qqq"]  # incl. zero-hit lex leg
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cand = emb.filter(F.col("vec_id") >= 3)
+    batch = multi_hybrid_topk(eng, cand, queries, qs, k=5, depth=20,
+                              round_to=6)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["rrf_score"],
+             r["lex_rank"], r["sem_rank"]))
+    assert set(got) == {0, 1, 2}
+    for qid, q in enumerate(queries):
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = [(r["rank"], r["doc_id"], r["rrf_score"],
+                   r["lex_rank"], r["sem_rank"])
+                  for r in hybrid_topk(eng, cand, q, qvec, k=5, depth=20,
+                                       round_to=6).collect()]
+        assert got[qid] == single, qid
+    # the zero-hit lexical member still fuses from its semantic leg
+    assert all(lr is None for _rk, _d, _s, lr, _sr in got[2])
