@@ -1183,6 +1183,57 @@ def q_knn_ivf(spark, sf_dir):
                                 n_centroids=8, n_probe=2, round_to=ROUND)
 
 
+def q_knn_ivf_artifact(spark, sf_dir):
+    """COMMITTED IVF vector store (round 5): same deterministic
+    sampled-member quantizer as knn_ivf, but assignment happens once
+    at commit and the store is parquet ``partitionBy(bucket)`` — the
+    2-probe query prunes 6 of 8 bucket DIRECTORIES at the scan
+    (PartitionFilters, plan-pinned in tests), the vector analog of the
+    lexical artifact's bucket/term pruning. Same oracle as knn_ivf:
+    the committed store must not change a single result."""
+    import tempfile
+
+    from prosearch_spark.index.vectors import save_vector_index
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    art = _memo_artifact("vectors_ivf", sf_dir, lambda: save_vector_index(
+        spark, emb.filter(F.col("vec_id") != 0),
+        tempfile.mkdtemp(prefix="prosearch_vec_"), n_centroids=8,
+        round_to=ROUND))
+    return art.topk(qvec, 10, n_probe=2, round_to=ROUND)
+
+
+def q_knn_stack_live(spark, sf_dir):
+    """LIVE tombstoned VECTOR stack (round 5): two committed embedding
+    segments whose overlap is upserted (old rows tombstoned
+    segment-locally, re-adds alive in the newer segment), queried
+    WITHOUT compaction. The alive set is exactly the raw table minus
+    the query vector, so the flat knn_cosine oracle gates the whole
+    tombstone machinery — one wrong anti-join and the hash breaks."""
+    import tempfile
+
+    from prosearch_spark.index.vectors import VectorSegments
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+
+    def build():
+        n = emb.count()
+        a, b = n // 3, (2 * n) // 3
+        segs = VectorSegments(
+            spark, tempfile.mkdtemp(prefix="prosearch_vstack_"))
+        segs.commit(emb.filter((F.col("vec_id") >= 1)
+                               & (F.col("vec_id") < b)))
+        segs.upsert(emb.filter(F.col("vec_id") >= a))
+        return segs
+
+    segs = _memo_artifact("vectors_stack", sf_dir, build)
+    return segs.topk(qvec, 10, round_to=ROUND)
+
+
 def _phrase(spark, sf_dir, phrase):
     from prosearch_spark.index.build import build_index
     from prosearch_spark.index.positions import (
@@ -1731,6 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check_oracle.py replica recorded in BENCH/README).
     return {
         # ---- new in round 5 ----
+        "knn_ivf_artifact": q_knn_ivf_artifact,
+        "knn_stack_live": q_knn_stack_live,
         "msearch_hybrid": q_msearch_hybrid,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_rrf_wand": q_hybrid_rrf_wand,
@@ -1860,12 +1913,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = osql.INDEX_CTES  # toks/tf/postings/term_stats/stats CTEs
 
+# exact cosine top-10, query = vec 0, candidates = everything else —
+# gates knn_cosine AND knn_stack_live (the live tombstoned stack's
+# alive set is exactly this candidate set, so one oracle pins the
+# whole segment/tombstone machinery)
+_KNN_COSINE_SQL = f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT e.vec_id AS vec_id,
+               round(
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), {ROUND}) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != 0
+    )
+    SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INT AS rank,
+           vec_id, cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
         # ---- round 5 ----
         # hybrid RRF: one oracle for both lexical legs (flat and WAND
         # are the same exact list; pruning is physical only)
+        # committed partition-pruned IVF must not change a result
+        "knn_ivf_artifact": osql.knn_ivf_sql(k=10, n_centroids=8,
+                                             n_probe=2, round_to=ROUND),
+        # live tombstoned vector stack == flat cosine over the true set
+        "knn_stack_live": _KNN_COSINE_SQL,
         "msearch_hybrid": osql.multi_hybrid_rrf_sql(
             MSEARCH_QUERIES[:4], n_queries_vec=4, k=10, depth=50,
             k0=60, round_to=ROUND),
@@ -2289,25 +2371,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id
             FROM documents GROUP BY sha256(text) HAVING count(*) > 1
         """,
-        "knn_cosine": f"""
-            WITH q AS (
-                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
-            ),
-            scored AS (
-                SELECT e.vec_id AS vec_id,
-                       round(
-                           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                                    CAST(e.embedding AS DOUBLE[])))
-                              * sqrt(list_dot_product(q.qv, q.qv))), {ROUND}) AS cosine
-                FROM embeddings e CROSS JOIN q
-                WHERE e.vec_id != 0
-            )
-            SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INT AS rank,
-                   vec_id, cosine
-            FROM scored
-            ORDER BY cosine DESC, vec_id ASC LIMIT 10
-        """,
+        "knn_cosine": _KNN_COSINE_SQL,
         "knn_join_lsh": osql.knn_join_lsh_sql(k=3, n_planes=6, seed=42,
                                               dim=64, round_to=ROUND,
                                               n_tables=4),

@@ -1,0 +1,307 @@
+"""Committed vector artifacts: the embedding side of the index story.
+
+The lexical path has had the full artifact lifecycle since round 2 —
+commit, segment stacks, tombstoned upsert, streaming ingest, compaction
+(index/artifact.py, index/segments.py).  The vector path, by contrast,
+ran its ANN structures (ops/similarity.py: LSH buckets, IVF) over
+in-memory DataFrames: assignment was recomputed per query and every
+query re-scanned the full table before its bucket filter.  This module
+gives embeddings the same two-tier life the postings have:
+
+1. :func:`save_vector_index` — an IVF artifact committed to parquet
+   ``partitionBy("bucket")``.  The coarse quantizer is the same
+   deterministic sampled-member rule as
+   ``ops.similarity.ivf_sampled_topk`` (the n_centroids smallest ids),
+   so the existing ``knn_ivf`` DuckDB oracle gates the committed path
+   too.  At query time the n_probe bucket predicate is a PARTITION
+   filter: Spark prunes whole directories at the scan — at 100 TB a
+   probe reads ~n_probe/n_centroids of the data and never opens the
+   rest (the row-group analog of the lexical block ladder's
+   bucket/term pruning).  tests/test_plans.py-style pin:
+   ``PartitionFilters: [bucket IN (...)]`` in the formatted plan.
+
+2. :class:`VectorSegments` — a tombstoned segment stack for streaming
+   embedding ingest, mirroring index/segments.py: one immutable
+   segment per commit, upsert = tombstone-in-place + new segment
+   (delete-then-index, TantivyCommitter.java:42-91 semantics), pointer
+   swap after the segment is fully written, idempotent re-delivery by
+   batch-id naming, live queries apply per-segment deletes inside the
+   scan (never wait for compaction — serve.rs:535's alive-bitset
+   model), and :meth:`VectorSegments.compact_to` folds the live rows
+   into tier 1's IVF artifact for the partition-pruned serving path.
+
+Scale notes:
+
+- the stack's live scan is ONE multi-path parquet read with the
+  segment name recovered from ``_metadata.file_path`` (the same
+  single-scan shape the lexical upsert probe uses — segments.py round
+  4), plus one broadcast anti-join against the delete set; cost is
+  O(stack bytes), with no per-segment job scheduling.
+- deletes are (seg, vec_id) pairs appended to one parquet dir —
+  bounded by upsert traffic, broadcastable until compaction folds
+  them away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prosearch_spark.ops.similarity import (
+    _dot,
+    _round_half_up,
+    cosine_topk,
+    multi_cosine_topk,
+)
+
+MANIFEST = "vector_manifest.json"
+POINTER = "VSEGMENTS.json"
+
+
+def _l2sq_col(v, c: list[float]):
+    """dot(v,v) - 2*dot(v,c) + dot(c,c) — the same expansion (and the
+    same fold order) ivf_sampled_topk and the DuckDB oracle use, so
+    assignment is bit-identical across all three."""
+    cl = F.array(*[F.lit(x) for x in c])
+    return _dot(v, v) - F.lit(2.0) * _dot(v, cl) + _dot(cl, cl)
+
+
+def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
+                      n_centroids: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      round_to: int = 6) -> "VectorArtifact":
+    """Commit ``emb`` as an IVF artifact partitioned by coarse bucket.
+
+    Centroids = the ``n_centroids`` smallest-id member vectors (the
+    deterministic sampled-member quantizer of ivf_sampled_topk — FAISS
+    supports random-sample coarse quantizers; determinism is what lets
+    DuckDB recompute the whole structure with no data literals).
+    Assignment is a pure projection over centroid literals (no join),
+    bucket = argmin of ROUNDED l2, ties to the lowest centroid index.
+
+    Commit-path invariants match index/artifact.py: REFUSES an
+    existing manifest (new dirs only — generations/segments above this
+    layer decide placement); vectors are fully written before the
+    manifest lands, so a crash leaves an adoptable orphan, never a
+    half-readable artifact.
+    """
+    mpath = os.path.join(path, MANIFEST)
+    if os.path.exists(mpath):
+        raise ValueError(
+            f"vector artifact already committed at {path}; "
+            "write new generations to new directories")
+    cent_rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r[1]] for r in cent_rows]
+    d_arr = F.array(*[
+        F.round(_l2sq_col(F.col(vec_col), c), round_to) for c in cents
+    ])
+    assigned = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.array_position(d_arr, F.array_min(d_arr)).cast("int")
+        .alias("bucket"),
+    )
+    assigned.write.partitionBy("bucket").parquet(
+        os.path.join(path, "vectors"))
+    n = int(spark.read.parquet(os.path.join(path, "vectors")).count())
+    manifest = {
+        "n_centroids": n_centroids,
+        "centroids": cents,
+        "round_to": round_to,
+        "n_vectors": n,
+    }
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return VectorArtifact(spark, path, manifest)
+
+
+class VectorArtifact:
+    """A committed IVF vector store; load via :meth:`load`."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "VectorArtifact":
+        with open(os.path.join(path, MANIFEST)) as f:
+            return cls(spark, path, json.load(f))
+
+    def vectors(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "vectors"))
+
+    def probe_buckets(self, query_vec: list[float],
+                      n_probe: int = 2) -> list[int]:
+        """The ``n_probe`` buckets nearest the query by the same
+        rounded l2 rule as assignment (half-up rounding matches SQL
+        ROUND; ties to the lowest centroid index). Driver-side over
+        ``n_centroids`` floats — metadata-sized."""
+        r = self.manifest["round_to"]
+        qd = []
+        for i, c in enumerate(self.manifest["centroids"]):
+            dvv = sum(x * x for x in query_vec)
+            dvc = sum(x * y for x, y in zip(query_vec, c))
+            dcc = sum(x * x for x in c)
+            qd.append((_round_half_up(dvv - 2.0 * dvc + dcc, r), i + 1))
+        return [b for _, b in sorted(qd)[:n_probe]]
+
+    def topk(self, query_vec: list[float], k: int = 10,
+             n_probe: int = 2, round_to: int | None = 6) -> DataFrame:
+        """ANN top-k: exact cosine re-rank inside the probed buckets.
+        ``bucket`` is a PARTITION column, so the isin filter prunes
+        directories at the scan (PartitionFilters in the plan) — the
+        non-probed ~(1 - n_probe/n_centroids) of the store is never
+        read. Results are identical to ivf_sampled_topk over the same
+        rows (same quantizer, same probe rule, same re-rank)."""
+        cand = self.vectors().filter(
+            F.col("bucket").isin(self.probe_buckets(query_vec, n_probe)))
+        return cosine_topk(cand, query_vec, k, round_to=round_to)
+
+
+class VectorSegments:
+    """A tombstoned stack of immutable embedding segments."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.spark = spark
+        self.root = root
+        self.id_col = id_col
+        self.vec_col = vec_col
+        os.makedirs(os.path.join(root, "segments"), exist_ok=True)
+        if not os.path.exists(os.path.join(root, POINTER)):
+            self._publish([], gen=0)
+
+    # -- pointer ------------------------------------------------------------
+
+    def _pointer(self) -> dict:
+        with open(os.path.join(self.root, POINTER)) as f:
+            return json.load(f)
+
+    def _publish(self, segs: list[dict], gen: int) -> None:
+        tmp = os.path.join(self.root, POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"segments": segs, "gen": gen}, f)
+        os.replace(tmp, os.path.join(self.root, POINTER))
+
+    def has_segment(self, name: str) -> bool:
+        return any(e["name"] == name
+                   for e in self._pointer()["segments"])
+
+    def segment_names(self) -> list[str]:
+        return [e["name"] for e in self._pointer()["segments"]]
+
+    # -- commit / upsert ----------------------------------------------------
+
+    def _seg_path(self, name: str) -> str:
+        return os.path.join(self.root, "segments", name)
+
+    def commit(self, emb: DataFrame, name: str | None = None) -> str:
+        """Seal ``emb`` as a new immutable segment; vectors are fully
+        written BEFORE the pointer swap (a crash leaves an orphan dir
+        and the old view — adopt() completes it)."""
+        if name is None:
+            n = self._pointer()["gen"]
+            while True:
+                n += 1
+                name = f"seg-{n:06d}"
+                if not os.path.exists(self._seg_path(name)):
+                    break
+        out = emb.select(
+            F.col(self.id_col).cast("long").alias("vec_id"),
+            F.col(self.vec_col).alias("embedding"),
+        )
+        out.write.parquet(self._seg_path(name))
+        return self.adopt(name)
+
+    def adopt(self, name: str) -> str:
+        """Publish an already-written segment dir (crash-completion —
+        the streaming sink's re-delivery path)."""
+        p = self._pointer()
+        n = int(self.spark.read.parquet(self._seg_path(name)).count())
+        self._publish(p["segments"] + [{"name": name, "n_vectors": n}],
+                      p["gen"] + 1)
+        return name
+
+    def _tagged(self) -> DataFrame:
+        """ONE multi-path scan of every alive segment, each row tagged
+        with its segment name from the file path (no per-segment
+        jobs)."""
+        names = self.segment_names()
+        if not names:
+            return self.spark.createDataFrame(
+                [], "seg string, vec_id long, embedding array<float>")
+        return self.spark.read.parquet(*[
+            self._seg_path(n) for n in names
+        ]).select(
+            F.regexp_extract(F.col("_metadata.file_path"),
+                             r"segments/([^/]+)/", 1).alias("seg"),
+            "vec_id", "embedding",
+        )
+
+    def _deletes(self) -> DataFrame | None:
+        d = os.path.join(self.root, "deletes")
+        if not os.path.exists(d):
+            return None
+        return self.spark.read.parquet(d)
+
+    def upsert(self, emb: DataFrame, name: str | None = None) -> str:
+        """Delete-then-index at segment granularity: tombstone the
+        incoming ids wherever an older segment holds them — ONE tagged
+        probe scan + one broadcast semi-join, appended as (seg,
+        vec_id) delete rows — then seal ``emb`` as a new segment.
+        Work is O(stack probe + batch), never O(corpus rewrite)."""
+        ids = emb.select(F.col(self.id_col).cast("long").alias("vec_id"))
+        if self.segment_names():
+            hits = (
+                self._tagged().select("seg", "vec_id")
+                .join(F.broadcast(ids), "vec_id", "left_semi")
+            )
+            hits.write.mode("append").parquet(
+                os.path.join(self.root, "deletes"))
+        return self.commit(emb, name=name)
+
+    # -- query view ---------------------------------------------------------
+
+    def live(self) -> DataFrame:
+        """Alive (vec_id, embedding) rows: the tagged scan minus the
+        per-segment tombstones — deletes kill a doc's OLD segment rows
+        only, so an upserted id stays alive in its newest segment
+        (the per-segment alive-bitset model; one global anti-join on
+        vec_id alone would erase the re-add)."""
+        v = self._tagged()
+        d = self._deletes()
+        if d is not None:
+            v = v.join(F.broadcast(d), ["seg", "vec_id"], "left_anti")
+        return v.select("vec_id", "embedding")
+
+    def topk(self, query_vec: list[float], k: int = 10,
+             round_to: int | None = 6) -> DataFrame:
+        """Exact cosine top-k over the LIVE stack — queries never wait
+        for compaction; results hash-match a flat index over the same
+        alive rows."""
+        return cosine_topk(self.live(), query_vec, k, round_to=round_to)
+
+    def multi_topk(self, queries: DataFrame, k: int = 10,
+                   round_to: int | None = 6) -> DataFrame:
+        """Batched live serving (the msearch shape for the stack)."""
+        return multi_cosine_topk(self.live(), queries, k,
+                                 round_to=round_to)
+
+    def compact_to(self, path: str, n_centroids: int = 8,
+                   round_to: int = 6) -> VectorArtifact:
+        """Fold the live rows into a partition-pruned IVF artifact
+        (tier 1) — tombstones applied physically, the stack left
+        untouched for slower readers; the caller swaps its pointer."""
+        return save_vector_index(self.spark, self.live(), path,
+                                 n_centroids=n_centroids,
+                                 id_col="vec_id", vec_col="embedding",
+                                 round_to=round_to)

@@ -281,3 +281,50 @@ class FieldedSegmentedStreamingIndexer:
         if trigger_available_now:
             w = w.trigger(availableNow=True)
         return w.start()
+
+
+class VectorStreamingIndexer:
+    """foreachBatch sink for the EMBEDDING side: each micro-batch of
+    (vec_id, embedding) rows seals one immutable vector segment, with
+    upsert tombstoning older versions segment-locally — the vector
+    twin of SegmentedStreamingIndexer, so a training-data pipeline
+    streams text and embeddings through the same segment protocol.
+
+    Idempotency under at-least-once delivery mirrors the lexical sink:
+    dir name = batch_id; already in the pointer -> no-op; dir fully
+    written (parquet _SUCCESS) but unpublished -> adopt() completes;
+    otherwise the upsert runs (a re-run merely appends duplicate
+    tombstone rows — harmless under the read-side anti-join).
+    Live queries (VectorSegments.topk / multi_topk) see each publish
+    on their next pointer read; compact_to() folds the stack into the
+    partition-pruned IVF artifact.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        from prosearch_spark.index.vectors import VectorSegments
+
+        self.segs = VectorSegments(spark, root, id_col=id_col,
+                                   vec_col=vec_col)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        name = f"seg-b{batch_id:09d}"
+        if self.segs.has_segment(name):
+            return
+        seg_dir = self.segs._seg_path(name)
+        if os.path.exists(os.path.join(seg_dir, "_SUCCESS")):
+            self.segs.adopt(name)
+        else:
+            self.segs.upsert(batch, name=name)
+
+    def attach(self, stream: DataFrame, checkpoint: str,
+               trigger_available_now: bool = True):
+        w = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()

@@ -293,3 +293,98 @@ def test_multi_hybrid_matches_single(spark, corpus):
         assert got[qid] == single, qid
     # the zero-hit lexical member still fuses from its semantic leg
     assert all(lr is None for _rk, _d, _s, lr, _sr in got[2])
+
+
+# -- committed vector artifacts + tombstoned vector segments (round 5) --------
+
+
+def test_vector_artifact_matches_ivf_and_prunes_partitions(spark, tmp_path):
+    """The committed partitionBy(bucket) store must return exactly
+    ivf_sampled_topk's results, and the probe filter must reach the
+    scan as a PARTITION filter (directories pruned, not rows)."""
+    from prosearch_spark.index.vectors import save_vector_index
+    from prosearch_spark.ops.similarity import ivf_sampled_topk
+
+    emb = _toy_emb(spark, n=40)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cand = emb.filter(F.col("vec_id") != 0)
+    art = save_vector_index(spark, cand, str(tmp_path / "vec"),
+                            n_centroids=4, round_to=6)
+    got = art.topk(qvec, 5, n_probe=2, round_to=6)
+    want = ivf_sampled_topk(cand, qvec, 5, n_centroids=4, n_probe=2,
+                            round_to=6).collect()
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # a second commit to the same dir must refuse (immutability)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already committed"):
+        save_vector_index(spark, cand, str(tmp_path / "vec"))
+
+
+def test_vector_segments_upsert_and_live_query(spark, tmp_path):
+    """Upsert tombstones the OLD segment's rows only; the re-add in
+    the new segment stays alive. Live top-k == flat cosine over the
+    expected final table."""
+    from prosearch_spark.index.vectors import VectorSegments
+    from prosearch_spark.ops.similarity import cosine_topk
+
+    old = _toy_emb(spark, n=20)                      # ids 0..19, gen-1 vecs
+    new = _toy_emb(spark, n=30, dim=8).filter(
+        F.col("vec_id") >= 10).select(
+        "vec_id", F.reverse("embedding").alias("embedding"))  # ids 10..29
+    segs = VectorSegments(spark, str(tmp_path / "vstack"))
+    segs.commit(old)
+    segs.upsert(new)
+    expected = old.filter(F.col("vec_id") < 10).unionByName(new)
+    qvec = [1.0, -2.0, 0.5, 3.0, -1.0, 0.0, 2.0, -0.5]
+    got = [tuple(r) for r in segs.topk(qvec, 8, round_to=6).collect()]
+    want = [tuple(r) for r in
+            cosine_topk(expected, qvec, 8, round_to=6).collect()]
+    assert got == want
+    assert segs.live().count() == 30
+    # batched serving over the live stack
+    qs = spark.createDataFrame([(0, qvec)], "query_id int, qv array<float>")
+    batch = segs.multi_topk(qs, 8, round_to=6).collect()
+    assert [(r["rank"], r["vec_id"], r["cosine"]) for r in batch] == want
+
+
+def test_vector_streaming_sink_idempotent_and_compacts(spark, tmp_path):
+    """At-least-once protocol: re-delivered batch is a no-op; a
+    crash-before-publish segment (dir written, pointer not swapped) is
+    adopted, not rebuilt. compact_to folds tombstones physically and
+    the IVF artifact over n_probe=n_centroids equals the live scan."""
+    from prosearch_spark.index.vectors import VectorSegments
+    from prosearch_spark.streaming.ingest import VectorStreamingIndexer
+
+    ix = VectorStreamingIndexer(spark, str(tmp_path / "vsink"))
+    b0 = _toy_emb(spark, n=12)
+    b1 = _toy_emb(spark, n=24).filter(F.col("vec_id") >= 6).select(
+        "vec_id", F.reverse("embedding").alias("embedding"))
+    ix.process_batch(b0, 0)
+    ix.process_batch(b1, 1)
+    assert ix.segs.segment_names() == ["seg-b000000000", "seg-b000000001"]
+    live_before = sorted(
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in ix.segs.live().collect())
+    ix.process_batch(b1, 1)  # re-delivery: already published -> no-op
+    assert ix.segs.segment_names() == ["seg-b000000000", "seg-b000000001"]
+    assert sorted((r["vec_id"], tuple(r["embedding"]))
+                  for r in ix.segs.live().collect()) == live_before
+    # crash-before-publish: segment dir fully written, pointer missing
+    b2 = _toy_emb(spark, n=30).filter(F.col("vec_id") >= 24)
+    orphan = VectorSegments(spark, str(tmp_path / "vsink"))
+    b2.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding") \
+        .write.parquet(orphan._seg_path("seg-b000000002"))
+    ix.process_batch(b2, 2)  # adopt completes the publish
+    assert "seg-b000000002" in ix.segs.segment_names()
+    assert ix.segs.live().count() == 30
+    # physical compaction: every live row lands, tombstones are gone
+    art = ix.segs.compact_to(str(tmp_path / "vivf"), n_centroids=4)
+    assert art.manifest["n_vectors"] == 30
+    qvec = [1.0, -2.0, 0.5, 3.0, -1.0, 0.0, 2.0, -0.5]
+    full = [tuple(r) for r in
+            art.topk(qvec, 6, n_probe=4, round_to=6).collect()]
+    assert full == [tuple(r) for r in
+                    ix.segs.topk(qvec, 6, round_to=6).collect()]
