@@ -1,0 +1,273 @@
+"""Training-data curation operators: benchmark decontamination, PII
+redaction, Gopher-style repetition filtering, deterministic stratified
+sampling, and token-budget selection.
+
+These extend the reference's crawl-time cleaning (checksum dedupe +
+content gating, CrawlerRunner.java:134-175) to the operations a
+large-scale LLM training-data pipeline runs between crawling and
+tokenization:
+
+- ``decontaminate``: n-gram overlap against a (small) eval/benchmark
+  set — the standard train/test contamination check. The eval shingle
+  set is tiny next to the corpus, so the join is a BROADCAST hash join:
+  one corpus scan at 100 TB, zero shuffle on the big side.
+- ``pii_redact``: regex redaction of emails / IPv4 / phone numbers,
+  with per-category counts. Pure ``regexp_replace`` column
+  expressions (JVM codegen); patterns are RE2-safe so the DuckDB
+  oracle runs the identical regexes.
+- ``repetition_stats``: Gopher repetition rules — duplicate-{2,3}-gram
+  instance fraction and top-bigram fraction per doc. Two
+  ``groupBy(doc_id)`` aggregations (map-side combine), both on the
+  same key.
+- ``stratified_sample``: per-stratum deterministic hash sampling
+  (keep iff ``sha256(id:salt)[:8] <= rate-threshold``). Reproducible
+  across reruns and engines — the property pipeline snapshots need;
+  no shuffle at all (pure filter).
+- ``token_budget_sample``: deterministic prioritized selection under a
+  per-stratum token budget — rank docs by a salted hash (reproducible
+  "random" order), keep while the running BPE-token sum stays within
+  budget. One partitioned window per stratum; skew is bounded by the
+  largest stratum, and a global budget should be expressed as
+  per-stratum budgets for exactly that reason.
+
+All ratios are rounded to 6dp BEFORE threshold comparison / ranking so
+engine-vs-oracle equality is a grid compare (CLAUDE.md float-parity
+rule). Hash material is sha256 (identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from prosearch_spark.analyzer import white_lower_tokens
+from prosearch_spark.ops.dedup import shingles
+from prosearch_spark.ops.textstats import bpe_ish_token_count
+
+# -- PII redaction -----------------------------------------------------------
+
+# RE2-safe (no lookaround, no backrefs — DuckDB parity): email, dotted
+# IPv4, and +CC-NNN-NNN-NNNN phone shapes. Replacement order is
+# email -> phone -> ip; an earlier replacement never creates a later
+# pattern (the tokens contain no '@', '+', or dotted digit runs).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(col: Column | str) -> Column:
+    """struct<clean, n_emails, n_ipv4, n_phones>: text with PII
+    replaced by typed placeholders + per-category match counts
+    (counted on the ORIGINAL text). One projection, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        IPV4_RE, "<IP>")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")
+
+    return F.struct(
+        clean.alias("clean"),
+        n(EMAIL_RE).alias("n_emails"),
+        n(IPV4_RE).alias("n_ipv4"),
+        n(PHONE_RE).alias("n_phones"),
+    )
+
+
+# -- Gopher-style repetition stats -------------------------------------------
+
+# Thresholds compared on 6dp-rounded fractions. Chosen to split the
+# gate corpus non-trivially (sf0.01 dup2 p50=0.056 / p90=0.129).
+REP_MAX_DUP_2GRAM = 0.09
+REP_MAX_DUP_3GRAM = 0.30
+REP_MAX_TOP_2GRAM = 0.05
+
+
+def _gram_instance_stats(docs: DataFrame, n: int, content_col: str,
+                         id_col: str) -> DataFrame:
+    """(doc_id, total, dup_inst, top_n) over NON-distinct token n-gram
+    instances: total gram instances, instances of grams occurring >1
+    time, and the hottest gram's count."""
+    toks = white_lower_tokens(content_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    inst = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+    )
+    per_gram = inst.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        .cast("long").alias("dup_inst"),
+        F.max("cnt").cast("long").alias("top_n"),
+    )
+
+
+def repetition_stats(docs: DataFrame, content_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc Gopher repetition signals + ``repetitive`` verdict:
+    (doc_id, n_2grams, dup_2gram_frac, top_2gram_frac, dup_3gram_frac,
+    repetitive). Fractions are instance fractions (occurrences of
+    duplicated grams / all gram occurrences), rounded to 6dp before
+    the threshold compare."""
+    g2 = _gram_instance_stats(docs, 2, content_col, id_col)
+    g3 = _gram_instance_stats(docs, 3, content_col, id_col)
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    dup2 = F.round(F.coalesce(F.col("g2.dup_inst"), F.lit(0)) * F.lit(1.0)
+                   / F.greatest(F.coalesce(F.col("g2.total"), F.lit(0)),
+                                F.lit(1)), 6)
+    top2 = F.round(F.coalesce(F.col("g2.top_n"), F.lit(0)) * F.lit(1.0)
+                   / F.greatest(F.coalesce(F.col("g2.total"), F.lit(0)),
+                                F.lit(1)), 6)
+    dup3 = F.round(F.coalesce(F.col("g3.dup_inst"), F.lit(0)) * F.lit(1.0)
+                   / F.greatest(F.coalesce(F.col("g3.total"), F.lit(0)),
+                                F.lit(1)), 6)
+    return (
+        base.join(g2.alias("g2"), "doc_id", "left")
+        .join(g3.alias("g3"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("g2.total"), F.lit(0)).cast("long")
+            .alias("n_2grams"),
+            dup2.alias("dup_2gram_frac"),
+            top2.alias("top_2gram_frac"),
+            dup3.alias("dup_3gram_frac"),
+            # the top-gram rule fires only when the hottest gram truly
+            # repeats — a short doc's top fraction is >= 1/n_grams even
+            # with zero repetition, so a count-1 top gram never flags
+            ((dup2 > REP_MAX_DUP_2GRAM) | (dup3 > REP_MAX_DUP_3GRAM)
+             | ((F.coalesce(F.col("g2.top_n"), F.lit(0)) >= 2)
+                & (top2 > REP_MAX_TOP_2GRAM))).alias("repetitive"),
+        )
+    )
+
+
+# -- benchmark decontamination -----------------------------------------------
+
+def decontaminate(docs: DataFrame, eval_df: DataFrame, n: int = 5,
+                  content_col: str = "content", id_col: str = "doc_id",
+                  eval_col: str = "text", min_hits: int = 1) -> DataFrame:
+    """Flag corpus docs sharing >= ``min_hits`` distinct token
+    ``n``-grams with an eval/benchmark set (the GPT-3 / Pile
+    contamination-check shape).
+
+    Returns (doc_id, n_shingles, n_overlap, contamination_ratio,
+    contaminated) for EVERY corpus doc. The eval shingle set is
+    deduplicated and **broadcast** — at 100 TB the corpus side is one
+    scan + one groupBy(doc_id) (map-side combinable); the eval set
+    (thousands of prompts) never forces a corpus shuffle.
+    """
+    doc_sh = shingles(docs, content_col=content_col, id_col=id_col, n=n)
+    ev_sh = (
+        shingles(eval_df.select(F.monotonically_increasing_id().alias("eid"),
+                                F.col(eval_col)),
+                 content_col=eval_col, id_col="eid", n=n)
+        .select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per = (
+        doc_sh.join(F.broadcast(ev_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shingles"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+             .alias("n_overlap"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long")
+            .alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long")
+            .alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) * F.lit(1.0)
+                    / F.greatest(F.coalesce("n_shingles", F.lit(0)),
+                                 F.lit(1)), 6)
+            .alias("contamination_ratio"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_hits)
+            .alias("contaminated"),
+        )
+    )
+
+
+# -- deterministic sampling --------------------------------------------------
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """First 8 hex chars of sha256('<id>:<salt>') — a uniform 32-bit
+    bucket compared AS A HEX STRING so Spark and the SQL oracle share
+    the exact comparison (both emit lowercase hex)."""
+    return F.substring(
+        F.sha2(F.concat(id_col.cast("string"), F.lit(f":{salt}")), 256),
+        1, 8)
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """Keep-iff-bucket<=threshold hex literal for a sampling rate."""
+    r = min(max(float(rate), 0.0), 1.0)
+    return format(int(round(r * 0xFFFFFFFF)), "08x")
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      salt: str = "s1",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic hash sampling: (doc_id, stratum,
+    bucket, keep). ``keep`` is a pure filter — reproducible across
+    reruns, engines, and cluster sizes, and adding data never flips a
+    prior doc's verdict (the property resumable pipeline snapshots
+    need). No shuffle."""
+    bucket = _hash_bucket(F.col(id_col), salt)
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col("stratum") == stratum
+        thr = F.lit(rate_threshold_hex(rate))
+        branch = F.col("bucket") <= thr
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    keep = (expr.otherwise(F.col("bucket") <= rate_threshold_hex(default_rate))
+            if expr is not None
+            else F.col("bucket") <= rate_threshold_hex(default_rate))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(strata_col).alias("stratum"),
+                    bucket.alias("bucket"))
+        .select("doc_id", "stratum", "bucket", keep.alias("keep"))
+    )
+
+
+def token_budget_sample(docs: DataFrame, budget_tokens: int,
+                        strata_col: str = "lang",
+                        content_col: str = "content",
+                        id_col: str = "doc_id",
+                        salt: str = "s1") -> DataFrame:
+    """Deterministic per-stratum selection under a token budget:
+    (doc_id, stratum, n_tokens, cum_tokens, keep). Docs are ordered by
+    a salted hash (reproducible shuffle-free "random" order, ties to
+    doc_id), the BPE-ish token count accumulates per stratum, and a
+    doc is kept while the running sum stays within ``budget_tokens``.
+
+    One window partitioned by stratum — the 100 TB shape as long as
+    budgets are per-stratum (a single global budget would serialize
+    into one partition; split it by stratum/shard instead, exactly as
+    the mixture-weights step of a training-data pipeline does)."""
+    pri = _hash_bucket(F.col(id_col), salt)
+    w = (Window.partitionBy("stratum")
+         .orderBy(F.asc("pri"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(strata_col).alias("stratum"),
+                    bpe_ish_token_count(F.col(content_col))
+                    .alias("n_tokens"),
+                    pri.alias("pri"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .select("doc_id", "stratum", "n_tokens", "cum_tokens",
+                (F.col("cum_tokens") <= budget_tokens).alias("keep"))
+    )

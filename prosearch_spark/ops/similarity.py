@@ -405,3 +405,87 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("l_id", "r_id", "cosine", "rank")
     )
+
+
+# -- scalar quantization (SQ8) ----------------------------------------------
+
+def sq_bounds(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row (gmin, gmax) global range of every vector element — the
+    uniform-SQ8 trainer (FAISS ``QT_8bit_uniform`` shape). min/max are
+    order-independent exact aggregates, so the SQL oracle recomputes
+    bit-identical bounds; no data literals leave the plan."""
+    v = F.col(vec_col)
+    return emb.agg(
+        F.min(F.array_min(v)).cast("double").alias("gmin"),
+        F.max(F.array_max(v)).cast("double").alias("gmax"),
+    )
+
+
+def sq_quantize_col(vec_col, gmin, gmax):
+    """Element-wise uniform 8-bit code, kept as DOUBLE so the integer
+    dot product stays exact in both engines:
+    ``clamp(floor((v - gmin) * 255 / (gmax - gmin)), 0, 255)``.
+    Every input is a widened-exact double and the expression shape is
+    identical in the oracle, so floor() lands on the same integer on
+    both sides (IEEE determinism — no reassociation anywhere)."""
+    return F.transform(
+        vec_col,
+        lambda v: F.least(
+            F.greatest(
+                F.floor((v.cast("double") - gmin) * F.lit(255.0)
+                        / (gmax - gmin)),
+                F.lit(0)),
+            F.lit(255)).cast("double"),
+    )
+
+
+def sq_topk(emb: DataFrame, query_id: int = 0, k: int = 10,
+            candidates: int = 40, id_col: str = "vec_id",
+            vec_col: str = "embedding", round_to: int = 6) -> DataFrame:
+    """Scalar-quantized ANN: SQ8 codes -> integer-dot candidate scan ->
+    exact-cosine re-rank of the top ``candidates``.
+
+    (rank, vec_id, sq_score, cosine). The candidate pass compares
+    EXACT integers (products <= 255*255*dim are exactly representable
+    as doubles), so candidate selection is bit-deterministic and the
+    DuckDB oracle reproduces it; the final ranking uses the same
+    round-before-rank + (cosine DESC, vec_id ASC) rule as
+    ``cosine_topk``.
+
+    At 100 TB: codes are 4x smaller than float32 (scan bandwidth /=4
+    when the code column is materialized), the candidate pass is one
+    scan ending in TakeOrderedAndProject (no shuffle), and the exact
+    re-rank touches only ``candidates`` rows. Composes with the IVF
+    partition layout (quantize within probed buckets).
+    """
+    stats = sq_bounds(emb, vec_col)
+    q = (emb.filter(F.col(id_col) == query_id)
+         .select(F.col(vec_col).alias("qv")))
+    base = (emb.filter(F.col(id_col) != query_id)
+            .crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(q)))
+    qe = sq_quantize_col(F.col(vec_col), F.col("gmin"), F.col("gmax"))
+    qq = sq_quantize_col(F.col("qv"), F.col("gmin"), F.col("gmax"))
+    iscore = F.aggregate(
+        F.zip_with(qe, qq, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ).cast("long")
+    cand = (
+        base.select(F.col(id_col).alias("vec_id"),
+                    iscore.alias("sq_score"),
+                    F.col(vec_col).alias("v"), "qv")
+        .orderBy(F.desc("sq_score"), F.asc("vec_id"))
+        .limit(candidates)
+    )
+    rescored = cand.select(
+        "vec_id", "sq_score",
+        F.round(_dot(F.col("v"), F.col("qv"))
+                / (_norm(F.col("v")) * _norm(F.col("qv"))), round_to)
+        .alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rescored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "vec_id", "sq_score", "cosine")
+    )

@@ -1,0 +1,196 @@
+"""Unit tests for the training-data curation ladder (ops/curate.py)
+and the SQ8 ANN path (ops/similarity.sq_topk) on handcrafted inputs
+with exact expected values."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prosearch_spark.ops import curate as cu
+from prosearch_spark.ops import similarity as sim
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# -- pii_redact --------------------------------------------------------------
+
+def test_pii_redact_counts_and_placeholders(spark):
+    d = _docs(spark, [
+        (1, "mail a@b.co and c.d+x@e.org now", "en"),
+        (2, "node 10.1.57.25 and 192.168.0.1 up", "en"),
+        (3, "call +1-415-555-0042 today", "en"),
+        (4, "clean text only", "en"),
+    ])
+    r = cu.pii_redact(F.col("text"))
+    out = {row["doc_id"]: row for row in d.select(
+        "doc_id", r["clean"].alias("clean"), r["n_emails"].alias("ne"),
+        r["n_ipv4"].alias("ni"), r["n_phones"].alias("np")).collect()}
+    assert out[1]["clean"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[1]["ne"] == 2 and out[1]["ni"] == 0 and out[1]["np"] == 0
+    assert out[2]["clean"] == "node <IP> and <IP> up"
+    assert out[2]["ni"] == 2
+    assert out[3]["clean"] == "call <PHONE> today"
+    assert out[3]["np"] == 1
+    assert out[4]["clean"] == "clean text only"
+    assert (out[4]["ne"], out[4]["ni"], out[4]["np"]) == (0, 0, 0)
+
+
+# -- repetition_stats --------------------------------------------------------
+
+def test_repetition_stats_exact_fractions(spark):
+    # "a b a b a" -> 2-gram instances: [a b, b a, a b, b a]; all 4 are
+    # duplicated (dup=1.0), top gram count 2/4 = 0.5
+    # 3-grams: [a b a, b a b, a b a] -> dup 2/3
+    d = _docs(spark, [
+        (1, "a b a b a", "en"),
+        (2, "w x y z q", "en"),   # all grams unique
+    ])
+    out = {r["doc_id"]: r for r in cu.repetition_stats(
+        d, content_col="text").collect()}
+    assert out[1]["n_2grams"] == 4
+    assert out[1]["dup_2gram_frac"] == 1.0
+    assert out[1]["top_2gram_frac"] == 0.5
+    assert out[1]["dup_3gram_frac"] == pytest.approx(round(2 / 3, 6))
+    assert out[1]["repetitive"] is True
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["repetitive"] is False
+
+
+def test_repetition_stats_covers_every_doc(spark):
+    d = _docs(spark, [(1, "one", "en"), (2, "two words here", "en")])
+    out = cu.repetition_stats(d, content_col="text")
+    assert out.count() == 2  # single-token doc still gets a row
+
+
+# -- decontaminate -----------------------------------------------------------
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    docs = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "totally unrelated content with different words entirely", "en"),
+    ])
+    ev = spark.createDataFrame([("quick brown fox jumps over",)], "text string")
+    out = {r["doc_id"]: r for r in cu.decontaminate(
+        docs, ev, n=5, content_col="text").collect()}
+    assert out[1]["contaminated"] is True
+    assert out[1]["n_overlap"] == 1  # exactly the eval 5-gram
+    assert out[2]["contaminated"] is False
+    assert out[2]["n_overlap"] == 0
+    # ratio = overlap / distinct shingles of the doc (9 tokens -> 5)
+    assert out[1]["n_shingles"] == 5
+    assert out[1]["contamination_ratio"] == pytest.approx(0.2)
+
+
+# -- stratified_sample -------------------------------------------------------
+
+def test_stratified_sample_rate_extremes_and_determinism(spark):
+    rows = [(i, f"text {i}", "en" if i % 2 == 0 else "de")
+            for i in range(200)]
+    d = _docs(spark, rows)
+    out = cu.stratified_sample(d, {"en": 1.0, "de": 0.0}, strata_col="lang")
+    kept = out.groupBy("stratum").agg(
+        F.sum(F.col("keep").cast("int")).alias("n")).collect()
+    by = {r["stratum"]: r["n"] for r in kept}
+    assert by["en"] == 100 and by["de"] == 0
+    # deterministic across invocations
+    a = sorted((r["doc_id"], r["keep"]) for r in
+               cu.stratified_sample(d, {"en": 0.5, "de": 0.5}).collect())
+    b = sorted((r["doc_id"], r["keep"]) for r in
+               cu.stratified_sample(d, {"en": 0.5, "de": 0.5}).collect())
+    assert a == b
+    # a 0.5 rate keeps roughly half (hash uniformity, loose bound)
+    n_half = sum(1 for _, k in a if k)
+    assert 60 <= n_half <= 140
+
+
+def test_rate_threshold_hex_bounds():
+    assert cu.rate_threshold_hex(1.0) == "ffffffff"
+    assert cu.rate_threshold_hex(0.0) == "00000000"
+    assert cu.rate_threshold_hex(2.0) == "ffffffff"  # clamped
+
+
+# -- token_budget_sample -----------------------------------------------------
+
+def test_token_budget_sample_cumsum_and_boundary(spark):
+    # every doc is exactly 4 BPE-ish tokens -> budget 10 keeps the
+    # first 2 docs per stratum (cum 4, 8; third hits 12 > 10)
+    rows = [(i, "aa bb cc dd", "en") for i in range(5)]
+    d = _docs(spark, rows)
+    out = cu.token_budget_sample(d, budget_tokens=10, strata_col="lang",
+                                 content_col="text").collect()
+    assert all(r["n_tokens"] == 4 for r in out)
+    kept = [r for r in out if r["keep"]]
+    assert len(kept) == 2
+    cums = sorted(r["cum_tokens"] for r in out)
+    assert cums == [4, 8, 12, 16, 20]
+    # kept set is the hash-order prefix, deterministic across runs
+    again = [r for r in cu.token_budget_sample(
+        d, budget_tokens=10, strata_col="lang",
+        content_col="text").collect() if r["keep"]]
+    assert sorted(r["doc_id"] for r in again) == \
+        sorted(r["doc_id"] for r in kept)
+
+
+def test_token_budget_sample_per_stratum_budgets(spark):
+    rows = [(i, "aa bb", "en" if i < 4 else "de") for i in range(8)]
+    d = _docs(spark, rows)
+    out = cu.token_budget_sample(d, budget_tokens=4, strata_col="lang",
+                                 content_col="text")
+    kept = out.filter("keep").groupBy("stratum").count().collect()
+    by = {r["stratum"]: r["count"] for r in kept}
+    assert by == {"en": 2, "de": 2}  # budget applies independently
+
+
+# -- SQ8 ANN -----------------------------------------------------------------
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+
+
+def test_sq_topk_matches_exact_on_separable_data(spark):
+    # query (id 0) plus clusters: ids 1-3 near the query, 4-9 far
+    import math
+    q = [1.0, 0.0, 0.0, 0.0]
+    near = [[0.9, 0.1 * i, 0.0, 0.0] for i in range(1, 4)]
+    far = [[0.0, 0.0, 1.0, 0.1 * i] for i in range(6)]
+    emb = _emb(spark, [q] + near + far)
+    out = sim.sq_topk(emb, query_id=0, k=3, candidates=9)
+    rows = out.collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert {r["vec_id"] for r in rows} == {1, 2, 3}
+    # exact rescoring: rank-1 cosine equals hand-computed value
+    v = near[0]
+    cos = sum(a * b for a, b in zip(q, v)) / (
+        math.sqrt(sum(a * a for a in q)) * math.sqrt(sum(a * a for a in v)))
+    assert rows[0]["cosine"] == pytest.approx(round(cos, 6), abs=1e-6)
+
+
+def test_sq_topk_quantized_candidates_recall(spark):
+    # with candidates >= n-1 the SQ pass cannot miss: top-k equals the
+    # exact cosine top-k
+    import random
+    rnd = random.Random(7)
+    vecs = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in range(30)]
+    emb = _emb(spark, vecs)
+    sq = sim.sq_topk(emb, query_id=0, k=5, candidates=29).collect()
+    exact = sim.cosine_topk(emb.filter("vec_id != 0"),
+                            vecs[0], k=5).collect()
+    assert [r["vec_id"] for r in sq] == [r["vec_id"] for r in exact]
+    assert [r["cosine"] for r in sq] == [r["cosine"] for r in exact]
+
+
+def test_sq_quantize_codes_in_range(spark):
+    emb = _emb(spark, [[-2.0, 0.0], [0.0, 2.0], [1.0, -1.0]])
+    stats = sim.sq_bounds(emb)
+    codes = (emb.crossJoin(F.broadcast(stats))
+             .select(sim.sq_quantize_col(F.col("embedding"),
+                                         F.col("gmin"), F.col("gmax"))
+                     .alias("c")).collect())
+    flat = [x for r in codes for x in r["c"]]
+    assert all(0 <= x <= 255 for x in flat)
+    assert min(flat) == 0.0 and max(flat) == 255.0
