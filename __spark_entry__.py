@@ -1663,6 +1663,24 @@ def q_token_budget_sample(spark, sf_dir):
                                   strata_col="lang", content_col="text")
 
 
+def q_curation_funnel(spark, sf_dir):
+    """The curation ladder composed END-TO-END (round 5 late): Gopher
+    quality rules -> repetition rules -> benchmark decontamination ->
+    deterministic stratified sampling, with first-failing-stage
+    attribution per doc. Every stage is the already-gated operator;
+    the oracle recomputes the WHOLE funnel in one DuckDB query from
+    the shared CTE chains (single-sourced with the standalone
+    oracles, so the stages cannot drift apart)."""
+    from prosearch_spark.analyzer import white_lower_tokens
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 29 == 0).select(
+        F.concat_ws(" ", F.slice(white_lower_tokens("text"), 1, 12))
+        .alias("text"))
+    return cu.curation_funnel(docs, ev, rates=SAMPLE_RATES,
+                              strata_col="lang", content_col="text")
+
+
 def q_knn_sq(spark, sf_dir):
     """Scalar-quantized ANN (round 5 late): global-uniform SQ8 codes
     -> integer-dot candidate scan (exact ints, bit-deterministic) ->
@@ -1876,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "token_budget_sample": q_token_budget_sample,
+        "curation_funnel": q_curation_funnel,
         "knn_sq": q_knn_sq,
         # ---- new in round 5 ----
         "knn_ivf_artifact": q_knn_ivf_artifact,
@@ -1904,7 +1923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_prefix_blocks": q_phrase_prefix_blocks,
         "fielded_stack_phrase": q_fielded_stack_phrase,
         "serve_routed_fielded_stack": q_serve_routed_fielded_stack,
-        "embedding_dedup": q_embedding_dedup,
         # ---- code changed in round 4 (clause threading / count fold /
         # router / fielded engine / segments / multi-probe tie-break) ----
         "bm25_topk_wand": q_bm25_topk_wand,
@@ -1934,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_agg": q_percentiles_agg,
         "date_histogram": q_date_histogram,
         "dedup_keep_best": q_dedup_keep_best,
+        "embedding_dedup": q_embedding_dedup,
         "knn_join_lsh": q_knn_join_lsh,
         "knn_join_lsh_probe": q_knn_join_lsh_probe,
         "search_after": q_search_after,
@@ -2059,39 +2078,145 @@ _STRAT_CASE = " ".join(
 _SQ_QUANT = ("list_transform({v}, x -> CAST(least(greatest(floor((x - gmin)"
              " * 255.0 / (gmax - gmin)), 0), 255) AS DOUBLE))")
 
+# repetition CTE chain over `d` (ends in repv: per-doc fracs + verdict)
+# — shared by the standalone oracle and the curation funnel
+_REP_CTES = f"""
+g2 AS (
+    SELECT doc_id, array_to_string(tl[i:i+1], ' ') AS gram
+    FROM d, unnest(generate_series(1, greatest(len(tl) - 1, 1))) AS t(i)
+    WHERE array_to_string(tl[i:i+1], ' ') <> ''
+),
+c2 AS (SELECT doc_id, gram, count(*) AS n FROM g2 GROUP BY 1, 2),
+p2 AS (
+    SELECT doc_id, sum(n)::BIGINT AS total,
+           sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS dup_inst,
+           max(n)::BIGINT AS top_n
+    FROM c2 GROUP BY 1
+),
+g3 AS (
+    SELECT doc_id, array_to_string(tl[i:i+2], ' ') AS gram
+    FROM d, unnest(generate_series(1, greatest(len(tl) - 2, 1))) AS t(i)
+    WHERE array_to_string(tl[i:i+2], ' ') <> ''
+),
+c3 AS (SELECT doc_id, gram, count(*) AS n FROM g3 GROUP BY 1, 2),
+p3 AS (
+    SELECT doc_id, sum(n)::BIGINT AS total,
+           sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS dup_inst
+    FROM c3 GROUP BY 1
+),
+repr AS (
+    SELECT d.doc_id,
+           coalesce(p2.total, 0)::BIGINT AS n_2grams,
+           coalesce(p2.top_n, 0)::BIGINT AS top_n,
+           round(coalesce(p2.dup_inst, 0) * 1.0
+                 / greatest(coalesce(p2.total, 0), 1), 6) AS dup_2gram_frac,
+           round(coalesce(p2.top_n, 0) * 1.0
+                 / greatest(coalesce(p2.total, 0), 1), 6) AS top_2gram_frac,
+           round(coalesce(p3.dup_inst, 0) * 1.0
+                 / greatest(coalesce(p3.total, 0), 1), 6) AS dup_3gram_frac
+    FROM d LEFT JOIN p2 ON d.doc_id = p2.doc_id
+           LEFT JOIN p3 ON d.doc_id = p3.doc_id
+),
+repv AS (
+    SELECT doc_id, n_2grams, dup_2gram_frac, top_2gram_frac,
+           dup_3gram_frac,
+           (dup_2gram_frac > {cu.REP_MAX_DUP_2GRAM}
+            OR dup_3gram_frac > {cu.REP_MAX_DUP_3GRAM}
+            OR (top_n >= 2
+                AND top_2gram_frac > {cu.REP_MAX_TOP_2GRAM})) AS repetitive
+    FROM repr
+)
+"""
+
+# decontamination CTE chain over `d` (ends in decon: per-doc counts +
+# verdict) — shared by the standalone oracle and the curation funnel
+_DECON_CTES = """
+ev AS (
+    SELECT tl[1:12] AS etl FROM d WHERE doc_id % 29 = 0
+),
+evsh AS (
+    SELECT DISTINCT array_to_string(etl[i:i+4], ' ') AS shingle
+    FROM ev, unnest(generate_series(1, greatest(len(etl) - 4, 1))) AS t(i)
+    WHERE array_to_string(etl[i:i+4], ' ') <> ''
+),
+dsh AS (
+    SELECT DISTINCT doc_id, array_to_string(tl[i:i+4], ' ') AS shingle
+    FROM d, unnest(generate_series(1, greatest(len(tl) - 4, 1))) AS t(i)
+    WHERE array_to_string(tl[i:i+4], ' ') <> ''
+),
+dper AS (
+    SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap
+    FROM dsh s LEFT JOIN evsh e ON s.shingle = e.shingle
+    GROUP BY s.doc_id
+),
+decon AS (
+    SELECT d.doc_id,
+           coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+           coalesce(p.n_overlap, 0)::BIGINT AS n_overlap,
+           round(coalesce(p.n_overlap, 0) * 1.0
+                 / greatest(coalesce(p.n_shingles, 0), 1), 6)
+               AS contamination_ratio,
+           coalesce(p.n_overlap, 0) >= 1 AS contaminated
+    FROM d LEFT JOIN dper p ON d.doc_id = p.doc_id
+)
+"""
+
+# deterministic-sample CTE (ends in samp: doc_id, stratum, bucket, keep)
+_SAMP_CTE_TMPL = """
+samp AS (
+    SELECT doc_id, lang AS stratum,
+           substr(sha256(doc_id::VARCHAR || ':s1'), 1, 8) AS bucket
+    FROM documents
+)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
         # ---- round 5 late: curation ladder + SQ8 ANN ----
         "decontaminate": f"""
-            WITH {_TL_CTE},
-            ev AS (
-                SELECT tl[1:12] AS etl FROM d WHERE doc_id % 29 = 0
+            WITH {_TL_CTE}, {_DECON_CTES}
+            SELECT doc_id, n_shingles, n_overlap, contamination_ratio,
+                   contaminated
+            FROM decon
+        """,
+        "curation_funnel": f"""
+            WITH {_TL_CTE}, {_REP_CTES}, {_DECON_CTES}, {_SAMP_CTE_TMPL},
+            qtok AS (
+                SELECT doc_id,
+                       len(tl)::BIGINT AS n_tokens,
+                       round(len(list_filter(tl, t -> t IN ('the', 'a')))
+                             * 1.0 / greatest(len(tl), 1), 6) AS stop_r,
+                       round(coalesce(list_sum(list_transform(tl, t -> length(t))), 0)
+                             * 1.0 / greatest(len(tl), 1), 6) AS avg_l
+                FROM d
             ),
-            evsh AS (
-                SELECT DISTINCT array_to_string(etl[i:i+4], ' ') AS shingle
-                FROM ev, unnest(generate_series(1, greatest(len(etl) - 4, 1))) AS t(i)
-                WHERE array_to_string(etl[i:i+4], ' ') <> ''
+            qual AS (
+                SELECT q.doc_id,
+                       (q.n_tokens >= 5 AND q.stop_r <= 0.6
+                        AND round((length(x.text)
+                                   - length(regexp_replace(x.text, '[^\\w\\s]', '', 'g')))
+                                  * 1.0 / greatest(length(x.text), 1), 6) <= 0.2
+                        AND q.avg_l >= 2.0 AND q.avg_l <= 12.0) AS q_ok
+                FROM qtok q JOIN documents x ON q.doc_id = x.doc_id
             ),
-            dsh AS (
-                SELECT DISTINCT doc_id, array_to_string(tl[i:i+4], ' ') AS shingle
-                FROM d, unnest(generate_series(1, greatest(len(tl) - 4, 1))) AS t(i)
-                WHERE array_to_string(tl[i:i+4], ' ') <> ''
-            ),
-            per AS (
-                SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
-                       sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap
-                FROM dsh s LEFT JOIN evsh e ON s.shingle = e.shingle
-                GROUP BY s.doc_id
+            verdict AS (
+                SELECT q.doc_id,
+                       CASE WHEN NOT q.q_ok THEN 'quality'
+                            WHEN r.repetitive THEN 'repetitive'
+                            WHEN c.contaminated THEN 'contaminated'
+                            WHEN NOT (CASE s.stratum {_STRAT_CASE}
+                                      ELSE bucket <= '{cu.rate_threshold_hex(0.0)}'
+                                      END) THEN 'sampled_out'
+                            ELSE NULL END AS drop_stage
+                FROM qual q
+                JOIN repv r ON q.doc_id = r.doc_id
+                JOIN decon c ON q.doc_id = c.doc_id
+                JOIN samp s ON q.doc_id = s.doc_id
             )
-            SELECT d.doc_id,
-                   coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
-                   coalesce(p.n_overlap, 0)::BIGINT AS n_overlap,
-                   round(coalesce(p.n_overlap, 0) * 1.0
-                         / greatest(coalesce(p.n_shingles, 0), 1), 6)
-                       AS contamination_ratio,
-                   coalesce(p.n_overlap, 0) >= 1 AS contaminated
-            FROM d LEFT JOIN per p ON d.doc_id = p.doc_id
+            SELECT doc_id, drop_stage IS NULL AS keep, drop_stage
+            FROM verdict
         """,
         "pii_redact": f"""
             WITH aug AS (
@@ -2117,62 +2242,18 @@ def oracle_sql() -> dict[str, str]:
             FROM aug
         """,
         "repetition_stats": f"""
-            WITH {_TL_CTE},
-            g2 AS (
-                SELECT doc_id, array_to_string(tl[i:i+1], ' ') AS gram
-                FROM d, unnest(generate_series(1, greatest(len(tl) - 1, 1))) AS t(i)
-                WHERE array_to_string(tl[i:i+1], ' ') <> ''
-            ),
-            c2 AS (SELECT doc_id, gram, count(*) AS n FROM g2 GROUP BY 1, 2),
-            p2 AS (
-                SELECT doc_id, sum(n)::BIGINT AS total,
-                       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS dup_inst,
-                       max(n)::BIGINT AS top_n
-                FROM c2 GROUP BY 1
-            ),
-            g3 AS (
-                SELECT doc_id, array_to_string(tl[i:i+2], ' ') AS gram
-                FROM d, unnest(generate_series(1, greatest(len(tl) - 2, 1))) AS t(i)
-                WHERE array_to_string(tl[i:i+2], ' ') <> ''
-            ),
-            c3 AS (SELECT doc_id, gram, count(*) AS n FROM g3 GROUP BY 1, 2),
-            p3 AS (
-                SELECT doc_id, sum(n)::BIGINT AS total,
-                       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS dup_inst
-                FROM c3 GROUP BY 1
-            ),
-            r AS (
-                SELECT d.doc_id,
-                       coalesce(p2.total, 0)::BIGINT AS n_2grams,
-                       coalesce(p2.top_n, 0)::BIGINT AS top_n,
-                       round(coalesce(p2.dup_inst, 0) * 1.0
-                             / greatest(coalesce(p2.total, 0), 1), 6) AS dup_2gram_frac,
-                       round(coalesce(p2.top_n, 0) * 1.0
-                             / greatest(coalesce(p2.total, 0), 1), 6) AS top_2gram_frac,
-                       round(coalesce(p3.dup_inst, 0) * 1.0
-                             / greatest(coalesce(p3.total, 0), 1), 6) AS dup_3gram_frac
-                FROM d LEFT JOIN p2 ON d.doc_id = p2.doc_id
-                       LEFT JOIN p3 ON d.doc_id = p3.doc_id
-            )
+            WITH {_TL_CTE}, {_REP_CTES}
             SELECT doc_id, n_2grams, dup_2gram_frac, top_2gram_frac,
-                   dup_3gram_frac,
-                   (dup_2gram_frac > {cu.REP_MAX_DUP_2GRAM}
-                    OR dup_3gram_frac > {cu.REP_MAX_DUP_3GRAM}
-                    OR (top_n >= 2
-                        AND top_2gram_frac > {cu.REP_MAX_TOP_2GRAM})) AS repetitive
-            FROM r
+                   dup_3gram_frac, repetitive
+            FROM repv
         """,
         "stratified_sample": f"""
-            WITH b AS (
-                SELECT doc_id, lang AS stratum,
-                       substr(sha256(doc_id::VARCHAR || ':s1'), 1, 8) AS bucket
-                FROM documents
-            )
+            WITH {_SAMP_CTE_TMPL}
             SELECT doc_id, stratum, bucket,
                    CASE stratum {_STRAT_CASE}
                         ELSE bucket <= '{cu.rate_threshold_hex(0.0)}'
                    END AS keep
-            FROM b
+            FROM samp
         """,
         "token_budget_sample": """
             WITH t AS (

@@ -271,3 +271,50 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
         .select("doc_id", "stratum", "n_tokens", "cum_tokens",
                 (F.col("cum_tokens") <= budget_tokens).alias("keep"))
     )
+
+
+# -- composed curation funnel ------------------------------------------------
+
+def curation_funnel(docs: DataFrame, eval_df: DataFrame,
+                    rates: dict[str, float], strata_col: str = "lang",
+                    content_col: str = "content", id_col: str = "doc_id",
+                    n: int = 5, salt: str = "s1",
+                    default_rate: float = 0.0) -> DataFrame:
+    """The curation ladder composed end-to-end with first-failing-stage
+    attribution: (doc_id, keep, drop_stage) where drop_stage names the
+    FIRST stage that rejected the doc in fixed priority — 'quality'
+    (Gopher hard rules), 'repetitive' (n-gram repetition),
+    'contaminated' (eval overlap), 'sampled_out' (deterministic hash
+    sampling) — and NULL means the doc survives the whole funnel.
+
+    Cost shape at 100 TB: quality + sampling are pure projections (no
+    shuffle); repetition and decontamination are groupBy(doc_id) aggs,
+    so every join key below is the same doc_id the aggregations just
+    hashed on — co-partitioned joins, no extra wide exchange beyond
+    what the standalone operators already pay.
+    """
+    from prosearch_spark.ops.textstats import quality_filter
+
+    qf = quality_filter(F.col(content_col))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       qf["keep"].alias("q_ok"))
+    rep = repetition_stats(docs, content_col=content_col, id_col=id_col) \
+        .select("doc_id", "repetitive")
+    dec = decontaminate(docs, eval_df, n=n, content_col=content_col,
+                        id_col=id_col).select("doc_id", "contaminated")
+    smp = stratified_sample(docs, rates, strata_col=strata_col,
+                            id_col=id_col, salt=salt,
+                            default_rate=default_rate) \
+        .select("doc_id", F.col("keep").alias("sampled"))
+    stage = (
+        F.when(~F.col("q_ok"), F.lit("quality"))
+        .when(F.col("repetitive"), F.lit("repetitive"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(~F.col("sampled"), F.lit("sampled_out"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        base.join(rep, "doc_id").join(dec, "doc_id").join(smp, "doc_id")
+        .select("doc_id", stage.isNull().alias("keep"),
+                stage.alias("drop_stage"))
+    )

@@ -194,3 +194,32 @@ def test_sq_quantize_codes_in_range(spark):
     flat = [x for r in codes for x in r["c"]]
     assert all(0 <= x <= 255 for x in flat)
     assert min(flat) == 0.0 and max(flat) == 255.0
+
+
+# -- curation_funnel ---------------------------------------------------------
+
+def test_curation_funnel_stage_priority(spark):
+    # doc 1: too few tokens -> 'quality' wins even though repetitive
+    # doc 2: quality-ok but heavily repetitive -> 'repetitive'
+    # doc 3: quality-ok, contains the eval prompt -> 'contaminated'
+    # doc 4: clean + sampled out (rate 0.0) -> 'sampled_out'
+    # doc 5: clean + rate 1.0 -> kept
+    long_tail = " ".join(f"w{i}" for i in range(20))
+    prompt = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, "ha ha ha", "keep"),
+        (2, " ".join(["ab cd"] * 12), "keep"),
+        (3, f"start {prompt} {long_tail}", "keep"),
+        (4, f"plain {long_tail} the a it", "drop"),
+        (5, f"other {long_tail} the a it", "keep"),
+    ]
+    d = _docs(spark, rows)
+    ev = spark.createDataFrame([(prompt,)], "text string")
+    out = {r["doc_id"]: r for r in cu.curation_funnel(
+        d, ev, rates={"keep": 1.0, "drop": 0.0}, strata_col="lang",
+        content_col="text").collect()}
+    assert out[1]["drop_stage"] == "quality"
+    assert out[2]["drop_stage"] == "repetitive"
+    assert out[3]["drop_stage"] == "contaminated"
+    assert out[4]["drop_stage"] == "sampled_out"
+    assert out[5]["keep"] is True and out[5]["drop_stage"] is None
