@@ -262,6 +262,28 @@ def main() -> None:
     rrf_fuse(hlex, hsem, k=10, round_to=6).collect()
     queries["q_hybrid_rrf"] = round(time.perf_counter() - t0, 4)
 
+    # curation funnel (round 5 late): quality -> repetition ->
+    # decontamination -> sampling composed over the whole corpus —
+    # the dominant cost is the two n-gram aggs + the broadcast
+    # shingle join, i.e. the actual 100 TB cleaning scan shape
+    from prosearch_spark.analyzer import white_lower_tokens
+    from prosearch_spark.ops import curate as cu
+
+    ev = docs.filter(F.col("doc_id") % 29 == 0).select(
+        F.concat_ws(" ", F.slice(white_lower_tokens("text"), 1, 12))
+        .alias("text"))
+    t0 = time.perf_counter()
+    cu.curation_funnel(
+        docs, ev, rates={"de": 1.0, "en": 0.2, "es": 0.5, "fr": 0.5,
+                         "zh": 0.0},
+        strata_col="lang", content_col="text").count()
+    queries["curate_funnel"] = round(time.perf_counter() - t0, 4)
+
+    # SQ8 quantized ANN: integer-dot candidate scan + exact re-rank
+    t0 = time.perf_counter()
+    sim.sq_topk(emb, query_id=0, k=10, candidates=40).collect()
+    queries["knn_sq"] = round(time.perf_counter() - t0, 4)
+
     # -- LSH near-dup recall vs exact ground truth (measure, don't
     # guess: the bucketed scale path's quality, not just its speed).
     # Ground truth restricted to a 1000-vector slice so the exact
