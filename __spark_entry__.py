@@ -1681,6 +1681,53 @@ def q_curation_funnel(spark, sf_dir):
                               strata_col="lang", content_col="text")
 
 
+def _curated_stream_stack(spark, sf_dir):
+    """Segment stack built through the CURATED streaming sink (round 5
+    late): each micro-batch passes the full curation funnel (quality ->
+    repetition -> decontamination vs the fixed eval set -> stratified
+    sampling) BEFORE indexing, and only survivors seal into the
+    batch's segment. Every funnel stage is doc-local, so the stream
+    stack equals a batch build over the funnel survivors of the whole
+    corpus — which is exactly what the oracle recomputes."""
+    import tempfile
+
+    from prosearch_spark.analyzer import white_lower_tokens
+    from prosearch_spark.streaming.ingest import (
+        CuratedSegmentedStreamingIndexer,
+    )
+
+    def build():
+        root = tempfile.mkdtemp(prefix="prosearch_cstream_")
+        docs = _docs(spark, sf_dir)
+        ev = docs.filter(F.col("doc_id") % 29 == 0).select(
+            F.concat_ws(" ", F.slice(white_lower_tokens("text"), 1, 12))
+            .alias("text"))
+        ix = CuratedSegmentedStreamingIndexer(
+            spark, root, eval_df=ev, rates=SAMPLE_RATES,
+            strata_col="lang", compact_inline=False)
+        for i in range(3):
+            ix.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+        return ix.index.as_artifact()
+
+    return _memo_artifact("curated_stream_stack", sf_dir, build)
+
+
+def q_curated_stream_search(spark, sf_dir):
+    """Round 5 late capstone: continuous CURATED ingest — the
+    training-data funnel runs per micro-batch in front of the segment
+    sink (the reference ingests per /index commit, serve.rs:503-525;
+    a data pipeline cleans before indexing), three stream batches seal
+    three survivor segments, and BM25 top-k over the union view must
+    hash-match a flat oracle whose corpus is the funnel survivors of
+    the WHOLE corpus — pinning that batch boundaries cannot change any
+    curation verdict (every stage is doc-local or compares against the
+    fixed broadcast eval set)."""
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _curated_stream_stack(spark, sf_dir)
+    return BlockSearchEngine(spark, art).topk(Q_SINGLE, 10, round_to=ROUND)
+
+
 def q_knn_sq(spark, sf_dir):
     """Scalar-quantized ANN (round 5 late): global-uniform SQ8 codes
     -> integer-dot candidate scan (exact ints, bit-deterministic) ->
@@ -1895,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_budget_sample": q_token_budget_sample,
         "curation_funnel": q_curation_funnel,
+        "curated_stream_search": q_curated_stream_search,
         "knn_sq": q_knn_sq,
         # ---- new in round 5 ----
         "knn_ivf_artifact": q_knn_ivf_artifact,
@@ -1934,7 +1982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_not": q_bm25_topk_not,
         "serve_routed_term": q_serve_routed_term,
         "serve_routed_stack": q_serve_routed_stack,
-        "serve_routed_phrase": q_serve_routed_phrase,
         "serve_routed_fielded": q_serve_routed_fielded,
         "bm25_topk_fielded_wand": q_bm25_topk_fielded_wand,
         "bm25_topk_fielded_blocks": q_bm25_topk_fielded_blocks,
@@ -1946,8 +1993,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the 50-entry window from here on: every entry below
         # was driver-green in a PRIOR round and its code path is
         # untouched this round (displaced late-r5 additions first:
-        # range/percentiles/date aggs + keep_best + knn_join live on
-        # modules whose r5 diffs are append-only) ----
+        # serve_routed_phrase is r04-green and its whole path is
+        # r5-untouched — serve.py's r5 diff is confined to msearch(),
+        # route() itself is unchanged, and its delegate query/mixed.py
+        # has no r5 diff at all; range/percentiles/date aggs +
+        # keep_best + knn_join live on modules whose r5 diffs are
+        # append-only) ----
+        "serve_routed_phrase": q_serve_routed_phrase,
         "range_agg": q_range_agg,
         "percentiles_agg": q_percentiles_agg,
         "date_histogram": q_date_histogram,
@@ -2171,6 +2223,63 @@ samp AS (
 )
 """
 
+# funnel verdict CTE chain over d/repv/decon/samp (ends in verdict:
+# doc_id, drop_stage) — shared by the curation_funnel oracle and the
+# curated-stream composition, so the stages cannot drift apart
+_FUNNEL_CTES = f"""
+qtok AS (
+    SELECT doc_id,
+           len(tl)::BIGINT AS n_tokens,
+           round(len(list_filter(tl, t -> t IN ('the', 'a')))
+                 * 1.0 / greatest(len(tl), 1), 6) AS stop_r,
+           round(coalesce(list_sum(list_transform(tl, t -> length(t))), 0)
+                 * 1.0 / greatest(len(tl), 1), 6) AS avg_l
+    FROM d
+),
+qual AS (
+    SELECT q.doc_id,
+           (q.n_tokens >= 5 AND q.stop_r <= 0.6
+            AND round((length(x.text)
+                       - length(regexp_replace(x.text, '[^\\w\\s]', '', 'g')))
+                      * 1.0 / greatest(length(x.text), 1), 6) <= 0.2
+            AND q.avg_l >= 2.0 AND q.avg_l <= 12.0) AS q_ok
+    FROM qtok q JOIN documents x ON q.doc_id = x.doc_id
+),
+verdict AS (
+    SELECT q.doc_id,
+           CASE WHEN NOT q.q_ok THEN 'quality'
+                WHEN r.repetitive THEN 'repetitive'
+                WHEN c.contaminated THEN 'contaminated'
+                WHEN NOT (CASE s.stratum {_STRAT_CASE}
+                          ELSE bucket <= '{cu.rate_threshold_hex(0.0)}'
+                          END) THEN 'sampled_out'
+                ELSE NULL END AS drop_stage
+    FROM qual q
+    JOIN repv r ON q.doc_id = r.doc_id
+    JOIN decon c ON q.doc_id = c.doc_id
+    JOIN samp s ON q.doc_id = s.doc_id
+)
+"""
+
+
+def _curated_stream_sql(q: str, k: int, round_to: int) -> str:
+    """Composed oracle for q_curated_stream_search: the WHOLE funnel
+    CTE chain (single-sourced with the curation_funnel oracle) ->
+    survivors -> the standard BM25 topk CTEs rebased onto the
+    survivors, so n_docs/avgdl/df derive from the curated corpus
+    exactly like the stream-built survivor segments' union view."""
+    funnel = ",".join([_TL_CTE, _REP_CTES, _DECON_CTES, _SAMP_CTE_TMPL,
+                       _FUNNEL_CTES])
+    survivors = """survivors AS (
+    SELECT x.doc_id, x.text
+    FROM documents x JOIN verdict v ON x.doc_id = v.doc_id
+    WHERE v.drop_stage IS NULL
+)"""
+    body, _n = osql._scored_docs_cte_qualified(q)
+    body = body.replace("FROM documents", "FROM survivors")
+    cte = ",\n".join([funnel, survivors, body])
+    return osql._rank_tail(cte, k, round_to)
+
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
@@ -2183,41 +2292,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curation_funnel": f"""
             WITH {_TL_CTE}, {_REP_CTES}, {_DECON_CTES}, {_SAMP_CTE_TMPL},
-            qtok AS (
-                SELECT doc_id,
-                       len(tl)::BIGINT AS n_tokens,
-                       round(len(list_filter(tl, t -> t IN ('the', 'a')))
-                             * 1.0 / greatest(len(tl), 1), 6) AS stop_r,
-                       round(coalesce(list_sum(list_transform(tl, t -> length(t))), 0)
-                             * 1.0 / greatest(len(tl), 1), 6) AS avg_l
-                FROM d
-            ),
-            qual AS (
-                SELECT q.doc_id,
-                       (q.n_tokens >= 5 AND q.stop_r <= 0.6
-                        AND round((length(x.text)
-                                   - length(regexp_replace(x.text, '[^\\w\\s]', '', 'g')))
-                                  * 1.0 / greatest(length(x.text), 1), 6) <= 0.2
-                        AND q.avg_l >= 2.0 AND q.avg_l <= 12.0) AS q_ok
-                FROM qtok q JOIN documents x ON q.doc_id = x.doc_id
-            ),
-            verdict AS (
-                SELECT q.doc_id,
-                       CASE WHEN NOT q.q_ok THEN 'quality'
-                            WHEN r.repetitive THEN 'repetitive'
-                            WHEN c.contaminated THEN 'contaminated'
-                            WHEN NOT (CASE s.stratum {_STRAT_CASE}
-                                      ELSE bucket <= '{cu.rate_threshold_hex(0.0)}'
-                                      END) THEN 'sampled_out'
-                            ELSE NULL END AS drop_stage
-                FROM qual q
-                JOIN repv r ON q.doc_id = r.doc_id
-                JOIN decon c ON q.doc_id = c.doc_id
-                JOIN samp s ON q.doc_id = s.doc_id
-            )
+            {_FUNNEL_CTES}
             SELECT doc_id, drop_stage IS NULL AS keep, drop_stage
             FROM verdict
         """,
+        # curated STREAMING ingest: funnel survivors -> rebased BM25
+        "curated_stream_search": _curated_stream_sql(Q_SINGLE, 10, ROUND),
         "pii_redact": f"""
             WITH aug AS (
                 SELECT doc_id,

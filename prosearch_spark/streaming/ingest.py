@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from prosearch_spark.index.artifact import (
     IndexArtifact,
@@ -152,15 +153,20 @@ class SegmentedStreamingIndexer:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        self._seal(batch, batch_id, {"batch_id": batch_id})
+
+    def _seal(self, batch: DataFrame, batch_id: int, meta: dict) -> None:
+        """Seal one (possibly pre-filtered) batch as the batch_id's
+        segment under the idempotency protocol above."""
         name = f"seg-b{batch_id:09d}"
         if self.index.has_segment(name):
             return
         seg_dir = os.path.join(self.index.root, "segments", name)
         if os.path.exists(os.path.join(seg_dir, "manifest.json")):
-            self.index.adopt(name, meta={"batch_id": batch_id})
+            self.index.adopt(name, meta=meta)
         else:
             self.index.upsert(batch, name=name,
-                              meta={"batch_id": batch_id},
+                              meta=meta,
                               text_col=self.text_col, id_col=self.id_col,
                               analyzer=self.analyzer,
                               lang_col=self.lang_col,
@@ -181,6 +187,69 @@ class SegmentedStreamingIndexer:
         if trigger_available_now:
             w = w.trigger(availableNow=True)
         return w.start()
+
+
+class CuratedSegmentedStreamingIndexer(SegmentedStreamingIndexer):
+    """Curation-funnel gate in front of the segment sink (round 5
+    late): each micro-batch is cleaned BEFORE indexing — quality ->
+    repetition -> contamination (vs a FIXED broadcast eval set) ->
+    deterministic stratified sampling — and only the survivors are
+    sealed into the batch's segment.
+
+    Every funnel stage is DOC-LOCAL (quality/repetition/sampling are
+    per-doc expressions; contamination compares against the fixed
+    eval set), so batch boundaries cannot change any verdict: the
+    stream-built stack equals a batch build over the funnel survivors
+    of the union — pinned by the ``curated_stream_search`` gate entry,
+    whose oracle recomputes funnel + BM25 over the whole corpus in one
+    query. Cross-doc work (near-dup dedup) stays a compaction-time
+    concern (ops/dedup + the merge policy), exactly the Lucene split:
+    per-doc hygiene at ingest, corpus-wide work in background merges.
+
+    Idempotency is inherited: the funnel is deterministic, so a
+    re-delivered batch re-derives the same survivor set and hits the
+    same has_segment/adopt protocol. Per-stage drop counts land in the
+    segment meta when ``track_drops`` (one tiny groupBy per batch).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, eval_df: DataFrame,
+                 rates: dict, strata_col: str = "lang",
+                 default_rate: float = 0.0, salt: str = "s1",
+                 shingle_n: int = 5, track_drops: bool = True, **kw):
+        super().__init__(spark, root, **kw)
+        self.eval_df = eval_df
+        self.rates = rates
+        self.strata_col = strata_col
+        self.default_rate = default_rate
+        self.salt = salt
+        self.shingle_n = shingle_n
+        self.track_drops = track_drops
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from prosearch_spark.ops.curate import curation_funnel
+
+        if batch.isEmpty():
+            return
+        if self.index.has_segment(f"seg-b{batch_id:09d}"):
+            return  # re-delivered batch: skip the funnel recompute
+        verdict = curation_funnel(
+            batch, self.eval_df, self.rates, strata_col=self.strata_col,
+            content_col=self.text_col, id_col=self.id_col,
+            n=self.shingle_n, salt=self.salt,
+            default_rate=self.default_rate)
+        meta = {"batch_id": batch_id}
+        if self.track_drops:
+            meta["curation_drops"] = {
+                (r["drop_stage"] or "kept"): r["count"]
+                for r in verdict.groupBy("drop_stage").count().collect()
+            }
+        survivors = batch.join(
+            verdict.filter(F.col("keep")).select(
+                F.col("doc_id").alias(self.id_col)),
+            self.id_col, "left_semi")
+        if survivors.isEmpty():
+            return  # a fully-dropped batch seals no segment
+        self._seal(survivors, batch_id, meta)
 
 
 class FieldedSegmentedStreamingIndexer:

@@ -265,3 +265,59 @@ def test_fielded_streaming_ingest_live_serving(spark, tmp_path):
     # phrase over the stream-built stack (body is positional)
     hits = eng.mixed_topk('"delta epsilon"', 5, round_to=6).collect()
     assert [r["doc_id"] for r in hits] == [1]
+
+
+def test_curated_stream_gates_each_batch(spark, tmp_path):
+    """CuratedSegmentedStreamingIndexer: the curation funnel runs per
+    micro-batch in FRONT of the segment sink — only survivors seal
+    into the batch's segment, per-stage drop counts land in the
+    pointer meta, a fully-dropped batch seals NO segment, and
+    re-delivery is a no-op (the funnel is deterministic, so the
+    idempotency protocol is inherited unchanged)."""
+    from prosearch_spark.query.engine import SearchEngine
+    from prosearch_spark.streaming.ingest import (
+        CuratedSegmentedStreamingIndexer,
+    )
+
+    long_tail = " ".join(f"w{i}" for i in range(20))
+    prompt = "alpha beta gamma delta epsilon"
+    ev = spark.createDataFrame([(prompt,)], "text string")
+    ix = CuratedSegmentedStreamingIndexer(
+        spark, str(tmp_path / "csegs"), eval_df=ev,
+        rates={"keep": 1.0, "drop": 0.0}, strata_col="lang",
+        n_buckets=4, compact_inline=False)
+
+    def scan(term):
+        eng = SearchEngine(spark, ix.index.as_index([term]))
+        return sorted(r["doc_id"] for r in eng.match_scan(term).collect())
+
+    # batch 0: quality reject + repetitive doc + one clean keeper
+    w0 = spark.createDataFrame(
+        [(1, "ha ha ha", "keep"),
+         (2, " ".join(["ab cd"] * 12), "keep"),
+         (5, f"other {long_tail} the a it", "keep")], SCHEMA)
+    ix.process_batch(w0, 0)
+    assert scan("w0") == [5]
+    segs = ix.index._pointer()["segments"]
+    assert [e["name"] for e in segs] == ["seg-b000000000"]
+    assert segs[0]["curation_drops"] == {
+        "quality": 1, "repetitive": 1, "kept": 1}
+
+    # batch 1: contaminated + sampled-out -> zero survivors, NO segment
+    w1 = spark.createDataFrame(
+        [(3, f"start {prompt} {long_tail}", "keep"),
+         (4, f"plain {long_tail} the a it", "drop")], SCHEMA)
+    ix.process_batch(w1, 1)
+    assert len(ix.index._pointer()["segments"]) == 1
+
+    # batch 2: another clean keeper; stream stack == funnel survivors
+    w2 = spark.createDataFrame(
+        [(6, f"second {long_tail} the a it", "keep")], SCHEMA)
+    ix.process_batch(w2, 2)
+    assert scan("w0") == [5, 6]
+
+    # re-delivery of batch 0 changes nothing (and skips the funnel)
+    before = [e["name"] for e in ix.index._pointer()["segments"]]
+    ix.process_batch(w0, 0)
+    assert [e["name"] for e in ix.index._pointer()["segments"]] == before
+    assert scan("w0") == [5, 6]
