@@ -1681,6 +1681,40 @@ def q_curation_funnel(spark, sf_dir):
                               strata_col="lang", content_col="text")
 
 
+# target mixture for mixture_sample: fractions of ONE global token
+# budget per language stratum (zh deliberately unlisted -> budget 0)
+MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
+MLT_SEED = 42
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture selection under one GLOBAL token budget (round 5
+    late): target weights split the budget into exact integer
+    per-stratum budgets (floor(w * budget) — computed once in Python,
+    injected as literals into BOTH engines), each stratum fills in
+    salted-hash order under an integer cumulative token sum. The
+    training-mixture step of an LLM data pipeline in the per-stratum
+    form that scales (one window per stratum, no global sort);
+    unlisted strata (zh) get budget 0 and drop entirely."""
+    return cu.mixture_sample(_docs(spark, sf_dir), budget_tokens=4000,
+                             weights=MIX_WEIGHTS, strata_col="lang",
+                             content_col="text")
+
+
+def q_more_like_this(spark, sf_dir):
+    """MoreLikeThis (Lucene MLT — the standard related-docs query over
+    the reference's serving surface, serve.rs:336-453): the seed doc's
+    top-8 terms by tf x BM25-idf (MLT_TERM_EXPR shared verbatim with
+    the oracle; 6dp grid, ties -> term ASC, df >= 2) become a
+    uniform-boost disjunctive BM25 query with the seed excluded. The
+    oracle re-derives the seed-term set AND the ranking from raw
+    documents in one query, so term selection and scoring are both
+    gated."""
+    eng, _d = _engine(spark, sf_dir)
+    return eng.more_like_this(MLT_SEED, 10, max_terms=8, min_df=2,
+                              round_to=ROUND)
+
+
 def _curated_stream_stack(spark, sf_dir):
     """Segment stack built through the CURATED streaming sink (round 5
     late): each micro-batch passes the full curation funnel (quality ->
@@ -1936,6 +1970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check_oracle.py replica recorded in BENCH/README).
     return {
         # ---- new in round 5 (late): curation ladder + SQ8 ANN ----
+        "mixture_sample": q_mixture_sample,
+        "more_like_this": q_more_like_this,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
@@ -1958,8 +1994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 4 ----
         "msearch_topk": q_msearch_topk,
         "msearch_fielded": q_msearch_fielded,
-        "frame_sample": q_frame_sample,
-        "pipeline_clean_search": q_pipeline_clean_search,
         "bm25_topk_fielded_phrase": q_bm25_topk_fielded_phrase,
         "serve_routed_fielded_phrase": q_serve_routed_fielded_phrase,
         "bm25_topk_fielded_or": q_bm25_topk_fielded_or,
@@ -1998,7 +2032,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # route() itself is unchanged, and its delegate query/mixed.py
         # has no r5 diff at all; range/percentiles/date aggs +
         # keep_best + knn_join live on modules whose r5 diffs are
-        # append-only) ----
+        # append-only; frame_sample is r04-green and multimodal.py's
+        # r5 diff is purely appended functions (frame_phash /
+        # frame_near_dup — gated in-window via frame_dedup);
+        # pipeline_clean_search is r04-green on ops/textstats +
+        # ops/dedup + index/build (no r5 diff) + SearchEngine.topk,
+        # whose engine.py r5 diff is appended methods plus a
+        # default-preserving materialize_topk signature extension) ----
+        "frame_sample": q_frame_sample,
+        "pipeline_clean_search": q_pipeline_clean_search,
         "serve_routed_phrase": q_serve_routed_phrase,
         "range_agg": q_range_agg,
         "percentiles_agg": q_percentiles_agg,
@@ -2122,6 +2164,14 @@ d AS (
 
 # per-stratum CASE arm shared with q_stratified_sample (generated from
 # the SAME rates dict so the hex thresholds cannot diverge)
+# integer per-stratum budget CASE for mixture_sample — generated from
+# the SAME mixture_budgets() call the Spark plan uses, so the
+# float-weight -> int-budget conversion is computed exactly once
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {b}"
+    for s, b in sorted(cu.mixture_budgets(4000, MIX_WEIGHTS).items())
+)
+
 _STRAT_CASE = " ".join(
     f"WHEN '{s}' THEN bucket <= '{cu.rate_threshold_hex(r)}'"
     for s, r in sorted(SAMPLE_RATES.items())
@@ -2284,6 +2334,32 @@ def _curated_stream_sql(q: str, k: int, round_to: int) -> str:
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
         # ---- round 5 late: curation ladder + SQ8 ANN ----
+        "mixture_sample": f"""
+            WITH t AS (
+                SELECT doc_id, lang AS stratum,
+                       len(regexp_extract_all(text,
+                           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'
+                       ))::BIGINT AS n_tokens,
+                       substr(sha256(doc_id::VARCHAR || ':s1'), 1, 8) AS pri
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, stratum, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY stratum
+                           ORDER BY pri ASC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       )::BIGINT AS cum_tokens,
+                       (CASE stratum {_MIX_CASE} ELSE 0 END)::BIGINT
+                           AS stratum_budget
+                FROM t
+            )
+            SELECT doc_id, stratum, n_tokens, cum_tokens, stratum_budget,
+                   cum_tokens <= stratum_budget AS keep
+            FROM c
+        """,
+        "more_like_this": osql.more_like_this_sql(
+            MLT_SEED, 10, max_terms=8, min_df=2, round_to=ROUND),
         "decontaminate": f"""
             WITH {_TL_CTE}, {_DECON_CTES}
             SELECT doc_id, n_shingles, n_overlap, contamination_ratio,

@@ -273,6 +273,66 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
     )
 
 
+def mixture_budgets(budget_tokens: int,
+                    weights: dict[str, float]) -> dict[str, int]:
+    """Exact integer per-stratum token budgets for a target mixture:
+    ``floor(weight * budget_tokens)`` per stratum. Computed ONCE in
+    Python and injected as literals into both the Spark plan and the
+    SQL oracle, so the (float weight x int budget) product can never
+    diverge between engines."""
+    return {s: int(float(w) * budget_tokens) for s, w in weights.items()}
+
+
+def mixture_sample(docs: DataFrame, budget_tokens: int,
+                   weights: dict[str, float],
+                   strata_col: str = "lang",
+                   content_col: str = "content",
+                   id_col: str = "doc_id",
+                   salt: str = "s1") -> DataFrame:
+    """Domain-mixture selection under ONE global token budget:
+    (doc_id, stratum, n_tokens, cum_tokens, stratum_budget, keep).
+
+    The training-mixture step of an LLM data pipeline (the Pile /
+    DoReMi shape): target weights say what fraction of the training
+    budget each domain/language stratum should contribute; each
+    stratum gets ``floor(weight * budget_tokens)`` tokens
+    (:func:`mixture_budgets`) and is filled deterministically exactly
+    like :func:`token_budget_sample` — salted-hash order, integer
+    cumulative token sum, keep while within the stratum's budget.
+    Strata with no weight get budget 0 (dropped entirely).
+
+    This is the per-stratum-budget form that keeps the single global
+    budget SCALABLE: one window per stratum (skew bounded by the
+    largest stratum), integer arithmetic end-to-end, no global sort.
+    Reweighting the mixture re-runs only the projection + window —
+    the token counts and hash order are unchanged inputs."""
+    budgets = mixture_budgets(budget_tokens, weights)
+    expr = None
+    for stratum, bud in sorted(budgets.items()):
+        cond = F.col("stratum") == stratum
+        expr = (F.when(cond, F.lit(bud)) if expr is None
+                else expr.when(cond, F.lit(bud)))
+    sb = (expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)) \
+        .cast("long")
+    pri = _hash_bucket(F.col(id_col), salt)
+    w = (Window.partitionBy("stratum")
+         .orderBy(F.asc("pri"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(strata_col).alias("stratum"),
+                    bpe_ish_token_count(F.col(content_col))
+                    .alias("n_tokens"),
+                    pri.alias("pri"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("stratum_budget", sb)
+        .select("doc_id", "stratum", "n_tokens", "cum_tokens",
+                "stratum_budget",
+                (F.col("cum_tokens") <= F.col("stratum_budget"))
+                .alias("keep"))
+    )
+
+
 # -- composed curation funnel ------------------------------------------------
 
 def curation_funnel(docs: DataFrame, eval_df: DataFrame,

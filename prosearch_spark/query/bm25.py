@@ -30,6 +30,15 @@ SCORE_EXPR = (
 )
 
 
+# MoreLikeThis term-selection score: tf x the BM25 idf, rounded to the
+# 6dp grid BEFORE ranking (ties -> term ASC). Like SCORE_EXPR this is
+# ONE string used verbatim by the Spark engine (F.expr) and the DuckDB
+# oracle, so the selected seed-term set is identical by construction.
+MLT_TERM_EXPR = (
+    "round(tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)"
+)
+
+
 def score_expr_sql(tf: str = "tf", df: str = "df", dl: str = "dl",
                    n_docs: str = "n_docs", avgdl: str = "avgdl",
                    boost: str = "boost") -> str:

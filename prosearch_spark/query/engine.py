@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from prosearch_spark.analyzer import analyze_query
 from prosearch_spark.index.build import InvertedIndex
-from prosearch_spark.query.bm25 import SCORE_EXPR
+from prosearch_spark.query.bm25 import MLT_TERM_EXPR, SCORE_EXPR
 
 
 def rank_topk(d: DataFrame, k: int, round_to: int | None) -> DataFrame:
@@ -130,6 +130,42 @@ class SearchEngine:
         AND semantics, this covers should-clause scoring."""
         return rank_topk(self._docs_scored_or(q, min_match, clauses),
                          k, round_to)
+
+    def more_like_this(self, seed_doc_id: int, k: int = 10,
+                       max_terms: int = 8, min_df: int = 2,
+                       round_to: int | None = None) -> DataFrame:
+        """MoreLikeThis (the Lucene MLT / related-docs query shape —
+        the reference's serving surface exposes per-result navigation,
+        serve.rs:336-453; MLT is its standard "find similar" analog):
+        pick the seed doc's ``max_terms`` most distinctive terms by
+        tf x BM25-idf (``MLT_TERM_EXPR`` — ONE SQL string shared with
+        the DuckDB oracle; scores on the 6dp grid, ties -> term ASC),
+        require ``df >= min_df`` so a term actually occurs beyond the
+        seed, then run them as a uniform-boost disjunctive BM25 query
+        with the seed excluded.
+
+        The selection collects <= max_terms rows (the bounded
+        expand.py pattern), after which the final query gets the usual
+        term-pruned postings scan. At 100 TB derive the seed's tf from
+        the doc-store point fetch + re-analysis (S5 + T1) instead of a
+        postings filter — the selection rule is identical; the flat
+        in-memory index makes the postings filter the cheaper plan
+        here."""
+        sel = (
+            self.index.postings.filter(F.col("doc_id") == seed_doc_id)
+            .join(self.index.term_stats, "term")
+            .filter(F.col("df") >= min_df)
+            .crossJoin(F.broadcast(self.index.stats))
+            .withColumn("mscore", F.expr(MLT_TERM_EXPR))
+            .orderBy(F.desc("mscore"), F.asc("term"))
+            .limit(max_terms)
+        )
+        clauses = [(r["term"], 1.0) for r in sel.select("term").collect()]
+        if not clauses:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        d = (self._docs_scored_or("", clauses=clauses)
+             .filter(F.col("doc_id") != seed_doc_id))
+        return rank_topk(d, k, round_to)
 
     def topk(self, q: str, k: int = 10, round_to: int | None = None,
              clauses: list[tuple[str, float]] | None = None) -> DataFrame:

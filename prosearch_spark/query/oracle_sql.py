@@ -16,7 +16,7 @@ Scoring mirror: prosearch_spark.query.bm25.SCORE_EXPR verbatim.
 from __future__ import annotations
 
 from prosearch_spark.analyzer import analyze_query
-from prosearch_spark.query.bm25 import SCORE_EXPR
+from prosearch_spark.query.bm25 import MLT_TERM_EXPR, SCORE_EXPR
 
 # shared CTE prelude: token stream, tf, dl-denormalized postings,
 # term_stats, corpus stats — the SQL twin of index/build.py.
@@ -266,6 +266,46 @@ def topk_or_sql(q: str, k: int = 10, round_to: int = 6,
     SearchEngine.topk_or."""
     cte, _ = _scored_docs_cte_qualified(q, conjunctive=False,
                                         min_match=min_match)
+    return _rank_tail(cte, k, round_to)
+
+
+def more_like_this_sql(seed_doc_id: int, k: int = 10, max_terms: int = 8,
+                       min_df: int = 2, round_to: int = 6) -> str:
+    """MoreLikeThis oracle — twin of SearchEngine.more_like_this: the
+    seed doc's top ``max_terms`` terms by tf x BM25-idf (MLT_TERM_EXPR
+    verbatim, 6dp grid, ties -> term ASC, df >= min_df), then the
+    standard disjunctive BM25 ranking over exactly those terms with
+    uniform boost 1.0 and the seed doc excluded."""
+    mexpr = _qualify(MLT_TERM_EXPR)
+    score = _qualify(SCORE_EXPR)
+    cte = (
+        f"{INDEX_CTES},\n"
+        "mltsel AS (\n"
+        f"    SELECT p.term AS term, {mexpr} AS mscore\n"
+        "    FROM postings p\n"
+        "    JOIN term_stats t ON t.term = p.term\n"
+        "    CROSS JOIN stats\n"
+        f"    WHERE p.doc_id = {seed_doc_id} AND t.df >= {min_df}\n"
+        "),\n"
+        "qterms AS (\n"
+        "    SELECT term, 1.0::DOUBLE AS boost FROM (\n"
+        "        SELECT term, mscore FROM mltsel\n"
+        f"        ORDER BY mscore DESC, term ASC LIMIT {max_terms}\n"
+        "    )\n"
+        "),\n"
+        "scored AS (\n"
+        f"    SELECT p.doc_id AS doc_id, {score} AS s\n"
+        "    FROM qterms q\n"
+        "    JOIN postings p ON p.term = q.term\n"
+        "    JOIN term_stats t ON t.term = q.term\n"
+        "    CROSS JOIN stats\n"
+        f"    WHERE p.doc_id <> {seed_doc_id}\n"
+        "),\n"
+        "docs_scored AS (\n"
+        "    SELECT doc_id, sum(s) AS score, count(*) AS nmatch\n"
+        "    FROM scored GROUP BY doc_id\n"
+        ")"
+    )
     return _rank_tail(cte, k, round_to)
 
 

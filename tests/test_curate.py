@@ -144,6 +144,39 @@ def test_token_budget_sample_per_stratum_budgets(spark):
     assert by == {"en": 2, "de": 2}  # budget applies independently
 
 
+def test_mixture_budgets_exact_integers():
+    assert cu.mixture_budgets(4000, {"en": 0.5, "de": 0.2}) == \
+        {"en": 2000, "de": 800}
+    # floor, never round up: 3 * 0.33 = 0.99 -> 0
+    assert cu.mixture_budgets(3, {"x": 0.33}) == {"x": 0}
+
+
+def test_mixture_sample_splits_global_budget(spark):
+    # 4-token docs; weights 0.75/0.25 over budget 16 -> en budget 12
+    # (3 docs), de budget 4 (1 doc); zh unlisted -> budget 0, all drop
+    rows = [(i, "aa bb cc dd",
+             "en" if i < 5 else ("de" if i < 8 else "zh"))
+            for i in range(10)]
+    d = _docs(spark, rows)
+    out = cu.mixture_sample(d, budget_tokens=16,
+                            weights={"en": 0.75, "de": 0.25},
+                            strata_col="lang", content_col="text")
+    rows_out = out.collect()
+    by_budget = {r["stratum"]: r["stratum_budget"] for r in rows_out}
+    assert by_budget == {"en": 12, "de": 4, "zh": 0}
+    kept = [r for r in rows_out if r["keep"]]
+    per = {}
+    for r in kept:
+        per[r["stratum"]] = per.get(r["stratum"], 0) + 1
+    assert per == {"en": 3, "de": 1}
+    # within each stratum the kept set is the same hash-order prefix
+    # token_budget_sample keeps under the same per-stratum budget
+    twin = {(r["doc_id"]) for r in cu.token_budget_sample(
+        d.filter(F.col("lang") == "en"), budget_tokens=12,
+        strata_col="lang", content_col="text").collect() if r["keep"]}
+    assert {r["doc_id"] for r in kept if r["stratum"] == "en"} == twin
+
+
 # -- SQ8 ANN -----------------------------------------------------------------
 
 def _emb(spark, vecs):

@@ -388,3 +388,56 @@ def test_vector_streaming_sink_idempotent_and_compacts(spark, tmp_path):
             art.topk(qvec, 6, n_probe=4, round_to=6).collect()]
     assert full == [tuple(r) for r in
                     ix.segs.topk(qvec, 6, round_to=6).collect()]
+
+
+# -- MoreLikeThis ------------------------------------------------------------
+
+def _mlt_engine(spark, rows):
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.engine import SearchEngine
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    return SearchEngine(spark, build_index(d, text_col="text"))
+
+
+def test_more_like_this_selects_by_idf_and_excludes_seed(spark):
+    """Seed terms rank by tf x idf on the 6dp grid: with max_terms=2
+    and min_df=2, the seed's df=1 term is ineligible, the two shared
+    terms are selected (rarer one scores higher), the doc matching
+    BOTH selected terms outranks the one matching one, and the seed
+    itself never appears."""
+    eng = _mlt_engine(spark, [
+        (0, "apple banana cherry"),       # seed; cherry df=1
+        (1, "apple banana plum"),         # shares both selected terms
+        (2, "apple kiwi kiwi"),           # shares apple only
+        (3, "grape melon lemon"),         # shares nothing
+    ])
+    rows = eng.more_like_this(0, 10, max_terms=2, min_df=2,
+                              round_to=6).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 0 not in ids and 3 not in ids
+    assert ids == [1, 2]
+    assert rows[0]["score"] > rows[1]["score"]
+
+
+def test_more_like_this_max_terms_caps_selection(spark):
+    """max_terms=1 keeps only the highest-(mscore, term ASC) term:
+    'banana' (df 2) beats 'apple' (df 3) on idf, so doc 2 (apple-only)
+    drops out of the match set entirely."""
+    eng = _mlt_engine(spark, [
+        (0, "apple banana cherry"),
+        (1, "apple banana plum"),
+        (2, "apple kiwi kiwi"),
+        (3, "grape melon lemon"),
+    ])
+    ids = [r["doc_id"] for r in
+           eng.more_like_this(0, 10, max_terms=1, min_df=2,
+                              round_to=6).collect()]
+    assert ids == [1]
+
+
+def test_more_like_this_missing_seed_is_empty(spark):
+    eng = _mlt_engine(spark, [(0, "apple banana"), (1, "apple plum")])
+    out = eng.more_like_this(999, 10, round_to=6)
+    assert out.columns == ["rank", "doc_id", "score"]
+    assert out.count() == 0
