@@ -284,6 +284,22 @@ def main() -> None:
     sim.sq_topk(emb, query_id=0, k=10, candidates=40).collect()
     queries["knn_sq"] = round(time.perf_counter() - t0, 4)
 
+    # domain-mixture selection under a global token budget (round 5
+    # late): BPE-ish token counts + one window per stratum
+    t0 = time.perf_counter()
+    cu.mixture_sample(docs, budget_tokens=200_000,
+                      weights={"en": 0.5, "de": 0.2, "es": 0.2,
+                               "fr": 0.1},
+                      strata_col="lang", content_col="text").count()
+    queries["mixture_sample"] = round(time.perf_counter() - t0, 4)
+
+    # MoreLikeThis: bounded seed-term selection + disjunctive BM25
+    with query_mode(spark):
+        t0 = time.perf_counter()
+        eng.more_like_this(42, 10, max_terms=8, min_df=2,
+                           round_to=6).collect()
+        queries["q_mlt"] = round(time.perf_counter() - t0, 4)
+
     # -- LSH near-dup recall vs exact ground truth (measure, don't
     # guess: the bucketed scale path's quality, not just its speed).
     # Ground truth restricted to a 1000-vector slice so the exact
