@@ -2038,7 +2038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline_clean_search is r04-green on ops/textstats +
         # ops/dedup + index/build (no r5 diff) + SearchEngine.topk,
         # whose engine.py r5 diff is appended methods plus a
-        # default-preserving materialize_topk signature extension) ----
+        # default-preserving materialize_topk signature extension; the
+        # crawl_ops entries' module r5 diff is one appended function,
+        # distinct_hosts_approx — no existing path touched) ----
         "frame_sample": q_frame_sample,
         "pipeline_clean_search": q_pipeline_clean_search,
         "serve_routed_phrase": q_serve_routed_phrase,

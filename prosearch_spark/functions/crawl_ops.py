@@ -48,6 +48,22 @@ def distinct_hosts(docs: DataFrame, host_col: str = "repo") -> DataFrame:
     return docs.select(F.col(host_col).alias("host")).distinct()
 
 
+def distinct_hosts_approx(docs: DataFrame, host_col: str = "repo",
+                          rsd: float = 0.02) -> DataFrame:
+    """The 100 TB twin of the A3/A4 COUNT(DISTINCT host) probes:
+    Spark's ``approx_count_distinct`` (HyperLogLog++ — one pass,
+    fixed-size MERGEABLE sketch per partition, no shuffle of the
+    distinct values themselves, relative standard deviation ``rsd``).
+    Exact count-distinct shuffles every distinct key to dedupe; at
+    billions of URLs the crawler's queue-accounting probes want the
+    sketch. No DuckDB-identical oracle exists for an HLL estimate, so
+    like percentiles_agg_approx this stays OUT of the driver window;
+    the error-bound pytest is the executable evidence. Returns one row
+    (n_hosts_approx BIGINT)."""
+    return docs.agg(
+        F.approx_count_distinct(host_col, rsd).alias("n_hosts_approx"))
+
+
 def stats_with_zero_fill(spark: SparkSession, docs: DataFrame,
                          all_hosts: list[str],
                          host_col: str = "repo") -> DataFrame:

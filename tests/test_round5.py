@@ -441,3 +441,26 @@ def test_more_like_this_missing_seed_is_empty(spark):
     out = eng.more_like_this(999, 10, round_to=6)
     assert out.columns == ["rank", "doc_id", "score"]
     assert out.count() == 0
+
+
+def test_distinct_hosts_approx_error_bound(spark):
+    """The 100 TB count-distinct twin: approx_count_distinct (HLL++)
+    over a known-cardinality host column must land within the rsd
+    contract's practical envelope (4 sigma at rsd=0.02 on 500 true
+    distinct values), and the exact twin stays the ground truth. Like
+    the percentiles sketch, no DuckDB-identical oracle can exist —
+    this pytest is the executable evidence for the documented swap."""
+    from prosearch_spark.functions.crawl_ops import (
+        distinct_hosts,
+        distinct_hosts_approx,
+    )
+
+    true_n = 500
+    d = spark.range(10_000).select(
+        F.concat(F.lit("host-"), (F.col("id") % true_n).cast("string"))
+        .alias("repo"))
+    assert distinct_hosts(d).count() == true_n
+    out = distinct_hosts_approx(d, rsd=0.02).collect()
+    assert [c for c in out[0].asDict()] == ["n_hosts_approx"]
+    est = out[0]["n_hosts_approx"]
+    assert abs(est - true_n) <= true_n * 0.08, est
