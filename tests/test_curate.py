@@ -38,6 +38,39 @@ def test_pii_redact_counts_and_placeholders(spark):
     assert (out[4]["ne"], out[4]["ni"], out[4]["np"]) == (0, 0, 0)
 
 
+def test_pii_redact_idempotent_on_adversarial_text(spark):
+    # Placeholders must never re-match any pattern on realistic text
+    # (an earlier replacement creating a later match would make
+    # repeated cleaning passes — common in multi-stage pipelines —
+    # diverge). Adversarial shapes: all three categories in one doc,
+    # punctuation hugging the match, partial-looking runs, and
+    # already-redacted text. (A pathological "x@y.io@z.org" is NOT
+    # idempotent by construction — the residue "@z.org" glued to the
+    # placeholder is email-shaped again; regex redaction cannot fix
+    # that and the gate's synthesized PII never produces it.)
+    rows = [
+        (1, "a@b.co 10.1.2.3 +1-415-555-0042 all three", "en"),
+        (2, "wrap (a@b.co) and dash pre-a@b.co-post", "en"),
+        (3, "five-octet 1.2.3.4.5 run and 999.1.1.1 wide octets", "en"),
+        (4, "<EMAIL> already redacted plus new a@b.co", "en"),
+        (5, "phone no +1-415-555-004 too short, +12-333-444-5555 ok", "en"),
+        (6, "email.with.dots+tag@sub.domain.co.uk then 8.8.8.8", "en"),
+    ]
+    d = _docs(spark, rows)
+    once = d.select("doc_id",
+                    cu.pii_redact(F.col("text"))["clean"].alias("text"))
+    twice = once.select("doc_id",
+                        cu.pii_redact(F.col("text"))["clean"].alias("text"))
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+    # second pass also counts zero PII in the redacted text
+    r2 = cu.pii_redact(F.col("text"))
+    counts = once.select(
+        (r2["n_emails"] + r2["n_ipv4"] + r2["n_phones"]).alias("n")).collect()
+    assert all(row["n"] == 0 for row in counts)
+
+
 # -- repetition_stats --------------------------------------------------------
 
 def test_repetition_stats_exact_fractions(spark):
