@@ -298,6 +298,7 @@ class IndexArtifact:
                 doc_store=store,
                 record_basic=self.manifest.get("record_basic", False),
                 fast_fields=self.manifest.get("fast_fields") or None,
+                total_dl=int(agg["total"] or 0),
             )
         finally:
             alive.unpersist()
@@ -373,6 +374,7 @@ def save_index(spark: SparkSession, docs: DataFrame, path: str,
             n_docs=n_docs, avgdl=avgdl,
             n_buckets=n_buckets, analyzer=analyzer,
             record_basic=record_basic, fast_fields=fast_fields,
+            total_dl=int(agg["total"] or 0),
         )
     finally:
         postings.unpersist()
@@ -423,7 +425,8 @@ def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
                     analyzer: str,
                     doc_store: DataFrame | None = None,
                     record_basic: bool = False,
-                    fast_fields: dict[str, str] | None = None
+                    fast_fields: dict[str, str] | None = None,
+                    total_dl: int | None = None
                     ) -> IndexArtifact:
     # refuse to commit over a LIVE artifact: overwriting blocks under a
     # readable old manifest breaks the atomic-publish guarantee (a crash
@@ -470,6 +473,13 @@ def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
         "version": VERSION,
         "n_docs": int(n_docs),
         "avgdl": float(avgdl),
+        # exact integer sum(dl) over doc_stats, recorded at build time
+        # where every commit path already aggregated it — segment-stack
+        # pointer entries (SEGMENTS.json) need this exact integer, and
+        # reading it here saves one doc_stats scan per seal/adopt.
+        # Derivable as round(avgdl * n_docs) only under a float-error
+        # argument; the stored integer needs no argument.
+        **({"total_dl": int(total_dl)} if total_dl is not None else {}),
         "n_buckets": n_buckets,
         "analyzer": analyzer,
         "positions": "positions" in postings.columns,
@@ -615,6 +625,7 @@ def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
             doc_store=store,
             record_basic=record_basic,
             fast_fields=ff or None,
+            total_dl=int(agg["total"] or 0),
         )
     finally:
         merged.unpersist()

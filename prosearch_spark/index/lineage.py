@@ -246,6 +246,7 @@ class ResumableIndexBuild:
             n_buckets=self.n_buckets, analyzer=self.analyzer,
             record_basic=self.record_basic,
             fast_fields=self.fast_fields or None,
+            total_dl=int(agg["total"] or 0),
         )
         return artifact, self._write_metrics(
             artifact, extra_wall=time.perf_counter() - t0

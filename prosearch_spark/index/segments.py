@@ -98,9 +98,14 @@ class SegmentedIndex:
         """Publish an already-written segment dir: append its pointer
         entry (exact integer doc/length totals) and swap the pointer."""
         p = self._pointer()
-        agg = art.doc_stats().agg(F.sum("dl").alias("t")).collect()[0]
+        total = art.manifest.get("total_dl")
+        if total is None:
+            # artifact written before manifests recorded the exact
+            # integer sum(dl) — recompute it (one doc_stats scan)
+            agg = art.doc_stats().agg(F.sum("dl").alias("t")).collect()[0]
+            total = int(agg["t"] or 0)
         entry = {"name": name, "n_docs": art.manifest["n_docs"],
-                 "total_dl": int(agg["t"] or 0), **(meta or {})}
+                 "total_dl": int(total), **(meta or {})}
         self._publish(p["segments"] + [entry], p["gen"] + 1)
         return art
 
@@ -435,6 +440,7 @@ class SegmentedIndex:
                 doc_store=store,
                 record_basic=arts[0].manifest.get("record_basic", False),
                 fast_fields=arts[0].manifest.get("fast_fields") or None,
+                total_dl=int(agg["total"] or 0),
             )
         finally:
             postings.unpersist()
@@ -640,10 +646,30 @@ class SegmentedArtifactView:
 
     def _alive_totals(self) -> tuple[int, int]:
         if self._alive is None:
-            agg = self.doc_stats().agg(
-                F.count("*").alias("n"), F.sum("dl").alias("t")
-            ).collect()[0]
-            self._alive = (int(agg["n"] or 0), int(agg["t"] or 0))
+            # subtract the tombstoned rows' exact integer (count, dl)
+            # from the pointer's exact per-segment totals instead of
+            # re-aggregating every segment's doc_stats: reads the DIRTY
+            # segments only, so the cost is O(churned segments) not
+            # O(stack). Identical integers — (Σ alive) == (Σ all) −
+            # (Σ tombstoned ∩ present), and the semi-join intersection
+            # ignores phantom tombstones exactly like the anti-join the
+            # full scan applied. artifact.doc_stats() is raw (it never
+            # applies its own deletes), so the intersection sees the
+            # tombstoned rows.
+            dirty = [
+                s.doc_stats().withColumn("seg", F.lit(n))
+                for n, s in zip(self._names, self._segments)
+                if n in self._del_map
+            ]
+            dead = (
+                self._union(dirty)
+                .join(F.broadcast(self.deletes()), ["seg", "doc_id"],
+                      "left_semi")
+                .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+                .collect()[0]
+            )
+            self._alive = (self._n_docs - int(dead["n"] or 0),
+                           self._total_dl - int(dead["t"] or 0))
         return self._alive
 
     def stats(self) -> DataFrame:
