@@ -382,3 +382,39 @@ def test_positional_stack_serves_phrase_and_mixed(spark, corpus, tmp_path):
     b = [(r["doc_id"], r["score"])
          for r in want.phrase_topk("spark shuffle", 10, round_to=6).collect()]
     assert a == b
+
+
+def test_manifest_total_dl_exact_and_seal_fallback(spark, corpus, tmp_path):
+    """Round-5 late: every build path records the exact integer
+    sum(dl) in the manifest; sealing reads it back (no doc_stats
+    re-aggregation), and a pre-change manifest without the key still
+    seals correctly through the fallback scan."""
+    import json
+
+    art = save_index(spark, corpus, str(tmp_path / "a1"),
+                     text_col="content")
+    want = art.doc_stats().agg(F.sum("dl").alias("t")).collect()[0]["t"]
+    assert art.manifest["total_dl"] == int(want)
+
+    # seal via the manifest value: pointer entry carries the same int
+    si = SegmentedIndex(spark, str(tmp_path / "seg"), merge_factor=8)
+    si.commit(corpus, text_col="content")
+    entry = si._pointer()["segments"][-1]
+    assert entry["total_dl"] == int(want)
+
+    # fallback: strip the key from a copy's manifest, adopt() it —
+    # the seal must recompute the identical integer from doc_stats
+    import shutil
+
+    root2 = str(tmp_path / "seg2")
+    si2 = SegmentedIndex(spark, root2, merge_factor=8)
+    dst = os.path.join(root2, "segments", "legacy")
+    shutil.copytree(str(tmp_path / "a1"), dst)
+    mpath = os.path.join(dst, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m.pop("total_dl")
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    si2.adopt("legacy")
+    assert si2._pointer()["segments"][-1]["total_dl"] == int(want)
