@@ -1,0 +1,91 @@
+"""spark-submit entrypoint tests (jobs/): the curation job end-to-end
+on a tmp corpus — funnel report, survivors parquet, mixture budget
+accounting, and bit-for-bit determinism across re-runs."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from jobs.curate_job import main as curate_main
+
+
+def _content(i: int) -> str:
+    if i % 7 == 0:  # repetition-rule fodder
+        return "spam spam spam spam spam spam spam spam"
+    # varied, non-repetitive, quality-passing text (distinct tokens)
+    return " ".join(f"w{(i * 31 + j * 13) % 997}" for j in range(30))
+
+
+def _write_corpus(spark, path: str) -> None:
+    docs = spark.createDataFrame(
+        [(i, _content(i), ["en", "de", "es"][i % 3]) for i in range(300)],
+        "doc_id long, content string, lang string")
+    docs.write.mode("overwrite").parquet(path)
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "corpus")
+    out = str(tmp_path / "curated")
+    _write_corpus(spark, src)
+    # eval set = verbatim 12-token prefixes of a few corpus docs, so
+    # decontamination flags exactly those docs
+    ev = spark.createDataFrame(
+        [(" ".join(_content(i).split()[:12]),) for i in (3, 52, 101)],
+        "text string")
+    evp = str(tmp_path / "eval")
+    ev.write.parquet(evp)
+
+    rc = curate_main([
+        "--input", src, "--output", out, "--eval", evp,
+        "--rates", json.dumps({"en": 1.0, "de": 0.5, "es": 0.0}),
+        "--default-rate", "0.0",
+        "--budget-tokens", "2000",
+        "--weights", json.dumps({"en": 0.7, "de": 0.3}),
+    ])
+    assert rc == 0
+
+    report = json.load(open(f"{out}/report.json"))
+    assert report["n_input"] == 300
+    surv = spark.read.parquet(f"{out}/survivors")
+    n_surv = surv.count()
+    assert 0 < n_surv <= report["n_survivors"]  # mixture may cut further
+
+    # es is rate-0 sampled and has no mixture weight: none survive
+    assert surv.filter(F.col("lang") == "es").count() == 0
+    # mixture accounting: per-stratum token mass within its budget
+    for row in report["mixture"]:
+        assert row["n_tokens"] <= row["budget"]
+
+    # deterministic: re-running reproduces the same selection
+    out2 = str(tmp_path / "curated2")
+    rc = curate_main([
+        "--input", src, "--output", out2, "--eval", evp,
+        "--rates", json.dumps({"en": 1.0, "de": 0.5, "es": 0.0}),
+        "--default-rate", "0.0",
+        "--budget-tokens", "2000",
+        "--weights", json.dumps({"en": 0.7, "de": 0.3}),
+    ])
+    assert rc == 0
+    a = sorted(r["doc_id"] for r in surv.collect())
+    b = sorted(r["doc_id"] for r in
+               spark.read.parquet(f"{out2}/survivors").collect())
+    assert a == b
+
+
+def test_curate_job_without_eval_or_budget(spark, tmp_path):
+    src = str(tmp_path / "corpus")
+    out = str(tmp_path / "curated")
+    _write_corpus(spark, src)
+    rc = curate_main(["--input", src, "--output", out,
+                      "--rates", json.dumps({"en": 1.0}),
+                      "--default-rate", "1.0"])
+    assert rc == 0
+    report = json.load(open(f"{out}/report.json"))
+    # no eval set -> nothing contaminated; spam docs drop on
+    # quality/repetition, everything else passes rate-1.0 sampling
+    assert "contaminated" not in report["drop_mix"]
+    assert report["n_survivors"] == \
+        spark.read.parquet(f"{out}/survivors").count()
+    assert "mixture" not in report
