@@ -265,7 +265,6 @@ class IndexArtifact:
         # would otherwise re-decode the whole index ~5x
         alive = self.postings(None).persist()  # tombstones applied
         try:
-            term_stats = alive.groupBy("term").agg(F.count("*").alias("df"))
             # doc_stats from the PERSISTED table minus tombstones, NOT
             # from alive postings: the stored table carries zero-token
             # docs (dl=0) which have no postings, and n_docs/avgdl must
@@ -292,7 +291,7 @@ class IndexArtifact:
                 store = store.join(doc_stats.select("doc_id"),
                                    "doc_id", "left_semi")
             return _write_artifact(
-                self.spark, out_path, alive, term_stats, doc_stats,
+                self.spark, out_path, alive, doc_stats,
                 n_docs=n_docs, avgdl=avgdl,
                 n_buckets=self.n_buckets, analyzer=self.manifest["analyzer"],
                 doc_store=store,
@@ -368,9 +367,8 @@ def save_index(spark: SparkSession, docs: DataFrame, path: str,
         ).collect()[0]
         n_docs = int(agg["n"] or 0)
         avgdl = (agg["total"] or 0) / n_docs if n_docs else 0.0
-        term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
         return _write_artifact(
-            spark, path, postings, term_stats, doc_stats,
+            spark, path, postings, doc_stats,
             n_docs=n_docs, avgdl=avgdl,
             n_buckets=n_buckets, analyzer=analyzer,
             record_basic=record_basic, fast_fields=fast_fields,
@@ -420,7 +418,7 @@ def load_fielded_index(spark: SparkSession, path: str) -> dict[str, IndexArtifac
 
 
 def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
-                    term_stats: DataFrame, doc_stats: DataFrame,
+                    doc_stats: DataFrame,
                     n_docs: int, avgdl: float, n_buckets: int,
                     analyzer: str,
                     doc_store: DataFrame | None = None,
@@ -449,8 +447,21 @@ def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
         .partitionBy("tb")
         .parquet(os.path.join(path, "blocks"))
     )
+    # term_stats derive from the blocks just WRITTEN: df == Σ n over a
+    # term's blocks (every posting lands in exactly one block), so the
+    # integers are identical to a groupBy over the postings — but the
+    # input is the block METADATA (term, n, tb; column-pruned read),
+    # ~block_size smaller than the postings. At 100 TB this removes a
+    # full pass over the staged postings per commit; the tb partition
+    # column rides along for free (a term lives in one bucket).
+    try:
+        ts = spark.read.parquet(os.path.join(path, "blocks")) \
+            .groupBy("tb", "term").agg(F.sum("n").cast("long").alias("df"))
+    except Exception:
+        # empty corpus: the blocks dir has no part files to infer from
+        ts = spark.createDataFrame([], "tb int, term string, df long")
     (
-        term_stats.withColumn("tb", term_bucket(F.col("term"), n_buckets))
+        ts.select("term", "df", "tb")
         .repartition("tb").sortWithinPartitions("term")
         .write.mode("overwrite").partitionBy("tb")
         .parquet(os.path.join(path, "term_stats"))
@@ -555,7 +566,6 @@ def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
         new_postings.select(*cols)
     ).persist()  # multiple aggregations + encode sampling below
     try:
-        term_stats = merged.groupBy("term").agg(F.count("*").alias("df"))
         # one n_docs definition (see save_index): old doc_stats minus
         # the upserted ids, plus EVERY new doc (zero-token docs at dl=0)
         ff = artifact.manifest.get("fast_fields") or {}
@@ -618,7 +628,7 @@ def upsert_docs(spark: SparkSession, artifact: IndexArtifact,
                                 *[c for c in store.columns if c != "doc_id"])
             )
         return _write_artifact(
-            spark, out_path, merged, term_stats, doc_stats,
+            spark, out_path, merged, doc_stats,
             n_docs=n_docs, avgdl=avgdl,
             n_buckets=artifact.n_buckets,
             analyzer=artifact.manifest["analyzer"],

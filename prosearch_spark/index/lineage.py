@@ -220,7 +220,6 @@ class ResumableIndexBuild:
             # save_index, applied at finalize so split partials keep
             # true tf (dl accounting needs it anyway)
             postings = postings.withColumn("tf", F.lit(1).cast("long"))
-        term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
         # one n_docs definition across ALL commit paths (save_index/
         # merge/upsert/finalize): doc_stats covers every corpus doc,
         # zero-token docs at dl=0 — otherwise the same corpus would get
@@ -241,7 +240,7 @@ class ResumableIndexBuild:
         avgdl = (agg["total"] or 0) / n_docs if n_docs else 0.0
         artifact = _write_artifact(
             self.spark, os.path.join(self.path, "index"),
-            postings, term_stats, doc_stats,
+            postings, doc_stats,
             n_docs=n_docs, avgdl=avgdl,
             n_buckets=self.n_buckets, analyzer=self.analyzer,
             record_basic=self.record_basic,

@@ -403,10 +403,6 @@ class SegmentedIndex:
         postings = reduce(lambda a, b: a.unionByName(b),
                           [a.postings(None) for a in arts]).persist()
         try:
-            term_stats = postings.groupBy("term").agg(
-                F.count("*").alias("df")
-            )
-
             # doc_stats minus each segment's tombstones (merge applies
             # deletes physically, like artifact.merge); n_docs/avgdl
             # recomputed from the surviving rows — the ONE definition
@@ -433,7 +429,7 @@ class SegmentedIndex:
                     doc_stats.select("doc_id"), "doc_id", "left_semi")
             _write_artifact(
                 self.spark, os.path.join(self.root, "segments", name),
-                postings, term_stats, doc_stats,
+                postings, doc_stats,
                 n_docs=n_docs, avgdl=avgdl,
                 n_buckets=arts[0].n_buckets,
                 analyzer=arts[0].manifest["analyzer"],
