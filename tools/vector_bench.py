@@ -1,0 +1,109 @@
+"""Committed-IVF wall-clock evidence: brute scan vs partition-pruned probe.
+
+BENCH.md §2h pins the vector artifact's partition pruning structurally
+(PartitionFilters in the plan) because the 8k-vector gate table fits in
+one task either way. This script measures the same comparison at a
+size where pruning is visible: N topic-structured synthetic vectors
+(deterministic hash noise around one of T topic directions — the
+clustered shape real embedding corpora have), committed as an IVF
+store with C coarse buckets, then
+
+- brute: exact cosine top-k over the full store (one scan);
+- probed: VectorArtifact.topk with n_probe buckets (the scan opens
+  only the probed bucket DIRECTORIES);
+
+reporting wall seconds for both (min of 2 warm runs), the fraction of
+the store the probe reads, and recall@k of probed vs brute — the
+speed/recall trade the n_probe knob buys at any scale.
+
+Usage: python tools/vector_bench.py [n_vectors] [dim] [n_centroids]
+       [n_probe]   (defaults 200000 64 64 4). Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_cent = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    n_probe = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    n_topics = 32
+    k = 10
+
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.index.vectors import VectorArtifact, save_vector_index
+    from prosearch_spark.ops.similarity import cosine_topk
+    from prosearch_spark.session import get_spark
+
+    spark = get_spark("vector-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # deterministic clustered vectors: topic direction + 30% hash noise
+    def _h(a, b):
+        return (F.hash(a, b) % 1000) / 1000.0
+
+    js = F.sequence(F.lit(0), F.lit(dim - 1))
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            js,
+            lambda j: _h((F.col("id") % n_topics) + 1_000_000, j)
+            + F.lit(0.3) * _h(F.col("id"), j),
+        ).alias("embedding"),
+    )
+
+    root = tempfile.mkdtemp(prefix="vecbench_")
+    t0 = time.perf_counter()
+    va = save_vector_index(spark, emb, root, n_centroids=n_cent)
+    commit_s = time.perf_counter() - t0
+
+    qvec = [float(x) for x in
+            va.vectors().filter(F.col("vec_id") == 12345)
+            .head()["embedding"]]
+
+    def run_brute() -> tuple[float, list[int]]:
+        t = time.perf_counter()
+        rows = cosine_topk(va.vectors(), qvec, k, round_to=6).collect()
+        return time.perf_counter() - t, [r["vec_id"] for r in rows]
+
+    def run_probe() -> tuple[float, list[int]]:
+        t = time.perf_counter()
+        rows = va.topk(qvec, k, n_probe=n_probe).collect()
+        return time.perf_counter() - t, [r["vec_id"] for r in rows]
+
+    run_brute(); run_probe()  # warm (codegen + OS page cache)
+    (b1, brute_ids), (p1, probe_ids) = run_brute(), run_probe()
+    b2, _ = run_brute()
+    p2, _ = run_probe()
+    brute_s, probe_s = min(b1, b2), min(p1, p2)
+
+    probed = va.probe_buckets(qvec, n_probe)
+    n_read = va.vectors().filter(F.col("bucket").isin(probed)).count()
+
+    print(json.dumps({
+        "metric": "ivf_partition_pruning",
+        "n_vectors": n, "dim": dim, "n_centroids": n_cent,
+        "n_probe": n_probe,
+        "commit_sec": round(commit_s, 3),
+        "brute_topk_sec": round(brute_s, 3),
+        "probed_topk_sec": round(probe_s, 3),
+        "speedup": round(brute_s / probe_s, 2) if probe_s else None,
+        "store_fraction_read": round(n_read / n, 4),
+        "recall_at_k": round(
+            len(set(brute_ids) & set(probe_ids)) / k, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
