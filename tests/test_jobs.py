@@ -89,3 +89,41 @@ def test_curate_job_without_eval_or_budget(spark, tmp_path):
     assert report["n_survivors"] == \
         spark.read.parquet(f"{out}/survivors").count()
     assert "mixture" not in report
+
+
+def test_build_and_merge_jobs_end_to_end(spark, tmp_path):
+    """spark-submit lineage build -> delete-by-term -> merge job: the
+    committed artifact resumes, serves, tombstones, and compacts
+    through the CLI entrypoints alone."""
+    from jobs.build_index_job import main as build_main
+    from jobs.merge_job import main as merge_main
+    from prosearch_spark.index.artifact import IndexArtifact
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    src = str(tmp_path / "corpus")
+    _write_corpus(spark, src)
+    ck = str(tmp_path / "ckpt")
+    rc = build_main(["--input", src, "--output", ck,
+                     "--text-col", "content",
+                     "--analyzer", "white_lower", "--splits", "4",
+                     "--run-id", "t1"])
+    assert rc == 0
+    idx_path = f"{ck}/index"
+    art = IndexArtifact.load(spark, idx_path)
+    assert art.manifest["n_docs"] == 300
+    assert art.manifest["total_dl"] > 0
+
+    hits = BlockSearchEngine(spark, art).topk("w13", 5, round_to=6)
+    before = [(r["doc_id"], r["score"]) for r in hits.collect()]
+    assert before
+
+    # tombstone the spam docs (B7: term-matched ids), compact through
+    # the merge entrypoint
+    art.delete_docs(
+        art.postings(["spam"]).select("doc_id").distinct())
+    out = str(tmp_path / "gen1")
+    rc = merge_main(["--input", idx_path, "--output", out])
+    assert rc == 0
+    merged = IndexArtifact.load(spark, out)
+    assert merged.manifest["n_docs"] < 300  # spam docs physically gone
+    assert merged.deletes() is None
