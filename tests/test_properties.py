@@ -181,3 +181,47 @@ def test_dot_segment_rewrite_matches_rfc_random(segs):
         for pat, rep in _DOT_RULES:
             out = re.sub(pat, rep, out)
     assert out == remove_dot_segments_py(path), path
+
+
+@given(st.floats(min_value=0.0, max_value=1.0),
+       st.floats(min_value=0.0, max_value=1.0))
+def test_rate_threshold_hex_monotone_prop(r1, r2):
+    """Sampling-rate -> hex-threshold mapping is monotone under the
+    STRING comparison both engines use (fixed-width lowercase hex), so
+    raising a stratum's rate can only ADD kept docs — the property
+    that makes rate changes append-only for pipeline snapshots."""
+    from prosearch_spark.ops.curate import rate_threshold_hex
+
+    a, b = rate_threshold_hex(r1), rate_threshold_hex(r2)
+    assert len(a) == len(b) == 8
+    if r1 <= r2:
+        assert a <= b
+    else:
+        assert a >= b
+
+
+@given(st.integers(min_value=0, max_value=10**13),
+       st.dictionaries(st.text(st.characters(min_codepoint=97,
+                                             max_codepoint=122),
+                               min_size=1, max_size=6),
+                       st.floats(min_value=0.0, max_value=1.0),
+                       max_size=8))
+def test_mixture_budgets_props(budget, weights):
+    """Integer mixture budgets: each stratum gets floor(w x budget)
+    exactly, and when the weights are a (sub-)distribution the summed
+    budgets never exceed the global budget — token mass is conserved
+    no matter how the mixture is sliced."""
+    import math
+
+    from prosearch_spark.ops.curate import mixture_budgets
+
+    out = mixture_budgets(budget, weights)
+    assert set(out) == set(weights)
+    for s, w in weights.items():
+        assert out[s] == int(float(w) * budget)
+        assert out[s] <= math.floor(w * budget) + 1  # int() truncation
+    if sum(weights.values()) <= 1.0:
+        # truncation loses mass vs the exact products; the only growth
+        # source is float rounding of w*budget near an integer, worth
+        # at most 1 token per stratum
+        assert sum(out.values()) <= budget + len(weights)
