@@ -1966,8 +1966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only entries driver-green in a PRIOR round and code-untouched
     # this round (phrase_prefix/prefix/fuzzy/regex_topk: r03-green,
     # displaced by the late round-4 msearch/frame/pipeline entries;
-    # every tail entry is also re-attested by the 106/106
-    # check_oracle.py replica recorded in BENCH/README).
+    # every tail entry is also re-attested by the full 126/126
+    # check_oracle.py replica, run green this round at BOTH sf0.01 and
+    # sf0.001).
     return {
         # ---- new in round 5 (late): curation ladder + SQ8 ANN ----
         "mixture_sample": q_mixture_sample,
