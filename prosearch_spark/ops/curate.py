@@ -333,6 +333,116 @@ def mixture_sample(docs: DataFrame, budget_tokens: int,
     )
 
 
+# -- chunking + sequence packing ---------------------------------------------
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 512,
+                    stride: int | None = None,
+                    content_col: str = "content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-size token windows: (doc_id,
+    chunk_idx, start_token, n_tokens, chunk_text) — the
+    context-window preparation step between curation and tokenization.
+
+    Windows start every ``stride`` tokens (default ``chunk_tokens``,
+    i.e. disjoint; smaller stride = overlapping windows) and hold up
+    to ``chunk_tokens`` whitespace tokens. With ``chunk_tokens >=
+    stride`` every token of every doc lands in the window starting at
+    its floor-stride position — total, deterministic coverage
+    (``chunk_tokens < stride`` is allowed and samples gaps instead);
+    empty docs yield no chunks.
+
+    Pure column expressions + one explode — no shuffle: the 100 TB
+    cost is the corpus scan itself (same shape as the tokenize stage,
+    build.py). The HOF lambdas here are fine off the query hot path
+    (CLAUDE.md pins the restriction to hot projections)."""
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = white_lower_tokens(content_col)
+    n = F.size(toks)
+    # start offsets 0, stride, 2*stride ... < n (token positions are
+    # 1-based for slice)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((n - 1), F.lit(0)) - F.pmod(F.greatest(n - 1, F.lit(0)),
+                                               F.lit(stride)),
+        F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            s.cast("long").alias("start_token"),
+            F.least(F.lit(chunk_tokens), n - s).cast("long")
+            .alias("n_tokens"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens))
+            .alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), n.alias("n"),
+                    F.explode(chunks).alias("c"))
+        .filter(F.col("n") > 0)
+        .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"),
+                F.col("c.start_token").alias("start_token"),
+                F.col("c.n_tokens").alias("n_tokens"),
+                F.col("c.chunk_text").alias("chunk_text"))
+    )
+
+
+def pack_sequences(chunks: DataFrame, context_tokens: int,
+                   strata_col: str | None = None,
+                   n_tokens_col: str = "n_tokens",
+                   id_col: str = "doc_id",
+                   idx_col: str = "chunk_idx",
+                   salt: str = "s1") -> DataFrame:
+    """Streaming-concatenation packing into fixed ``context_tokens``
+    sequences (the GPT-style sample-packing step): chunks are laid end
+    to end in a deterministic salted-hash order (ties to (doc_id,
+    chunk_idx)) and the token stream is cut every ``context_tokens``.
+
+    Returns (doc_id, chunk_idx, stratum, n_tokens, pack_id, offset,
+    spans_boundary): ``pack_id`` is the sequence the chunk STARTS in,
+    ``offset`` its start position there, and ``spans_boundary`` marks
+    chunks split across two sequences (real packing splits documents
+    at context edges rather than padding). Integer arithmetic
+    end-to-end: pack_id = (cumsum_before) div context, exactly
+    reproducible across engines and cluster sizes.
+
+    One window per stratum (pass ``strata_col``; a single global
+    stream serializes into one partition — same trap and same fix as
+    token_budget_sample: shard the stream, pack per shard)."""
+    if context_tokens <= 0:
+        raise ValueError("context_tokens must be positive")
+    stratum = (F.col(strata_col) if strata_col is not None
+               else F.lit("all")).alias("stratum")
+    pri = _hash_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                 F.col(idx_col).cast("string")), salt)
+    w = (Window.partitionBy("stratum")
+         .orderBy(F.asc("pri"), F.asc("doc_id"), F.asc("chunk_idx"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = chunks.select(
+        F.col(id_col).alias("doc_id"), F.col(idx_col).alias("chunk_idx"),
+        stratum, F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        pri.alias("pri"))
+    cum = F.sum("n_tokens").over(w).cast("long")
+    before = (cum - F.col("n_tokens")).alias("cum_before")
+    return (
+        base.withColumn("cum_before", before)
+        .select(
+            "doc_id", "chunk_idx", "stratum", "n_tokens",
+            (F.col("cum_before") / context_tokens).cast("long")
+            .alias("pack_id"),
+            F.pmod(F.col("cum_before"), F.lit(context_tokens))
+            .cast("long").alias("offset"),
+            ((F.pmod(F.col("cum_before"), F.lit(context_tokens))
+              + F.col("n_tokens")) > context_tokens)
+            .alias("spans_boundary"),
+        )
+    )
+
+
 # -- composed curation funnel ------------------------------------------------
 
 def curation_funnel(docs: DataFrame, eval_df: DataFrame,

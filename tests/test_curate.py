@@ -289,3 +289,95 @@ def test_curation_funnel_stage_priority(spark):
     assert out[3]["drop_stage"] == "contaminated"
     assert out[4]["drop_stage"] == "sampled_out"
     assert out[5]["keep"] is True and out[5]["drop_stage"] is None
+
+
+# -- chunking + packing ------------------------------------------------------
+
+def test_chunk_documents_exact_windows(spark):
+    d = _docs(spark, [
+        (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "en"),  # 10 tokens
+        (2, "a b c", "en"),
+        (3, "", "en"),          # empty -> no chunks
+        (4, "solo", "en"),
+    ])
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_token"], r["n_tokens"],
+         r["chunk_text"])
+        for r in cu.chunk_documents(d, chunk_tokens=4, stride=4,
+                                    content_col="text").collect())
+    assert out == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, 4, "t4 t5 t6 t7"),
+        (1, 2, 8, 2, "t8 t9"),
+        (2, 0, 0, 3, "a b c"),
+        (4, 0, 0, 1, "solo"),
+    ]
+    # overlapping windows: stride 2, chunk 4 — starts 0,2,4,...
+    ov = sorted(
+        (r["chunk_idx"], r["start_token"], r["n_tokens"])
+        for r in cu.chunk_documents(
+            d.filter(F.col("doc_id") == 1), chunk_tokens=4, stride=2,
+            content_col="text").collect())
+    assert ov == [(0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4), (4, 8, 2)]
+
+
+def test_chunk_documents_covers_every_token(spark):
+    d = _docs(spark, [(i, " ".join(f"x{j}" for j in range(5 + i * 7)), "en")
+                      for i in range(8)])
+    chunks = cu.chunk_documents(d, chunk_tokens=6, stride=6,
+                                content_col="text")
+    # disjoint windows: per-doc token mass equals the doc's token count
+    got = {r["doc_id"]: r["t"] for r in
+           chunks.groupBy("doc_id").agg(F.sum("n_tokens").alias("t"))
+           .collect()}
+    assert got == {i: 5 + i * 7 for i in range(8)}
+
+
+def test_pack_sequences_streaming_cut(spark):
+    d = _docs(spark, [
+        (1, " ".join(f"w{j}" for j in range(10)), "en"),
+        (2, " ".join(f"y{j}" for j in range(7)), "en"),
+        (3, " ".join(f"z{j}" for j in range(5)), "en"),
+    ])
+    chunks = cu.chunk_documents(d, chunk_tokens=4, stride=4,
+                                content_col="text")
+    packed = cu.pack_sequences(chunks, context_tokens=8).collect()
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in packed}
+    assert len(rows) == chunks.count()
+    # reconstruct the stream in the window's deterministic order and
+    # recompute pack/offset/straddle with plain ints (the twin)
+    import hashlib
+
+    def pri(doc, idx):
+        return hashlib.sha256(f"{doc}:{idx}:s1".encode()).hexdigest()[:8]
+
+    ordered = sorted(rows.values(),
+                     key=lambda r: (pri(r["doc_id"], r["chunk_idx"]),
+                                    r["doc_id"], r["chunk_idx"]))
+    cum = 0
+    for r in ordered:
+        assert r["pack_id"] == cum // 8
+        assert r["offset"] == cum % 8
+        assert r["spans_boundary"] == (cum % 8 + r["n_tokens"] > 8)
+        cum += r["n_tokens"]
+    # every full pack holds exactly context tokens: total mass check
+    assert cum == sum(r["n_tokens"] for r in ordered)
+
+
+def test_pack_sequences_per_stratum_streams(spark):
+    d = _docs(spark, [(i, " ".join(f"t{j}" for j in range(9)),
+                       ["en", "de"][i % 2]) for i in range(6)])
+    chunks = cu.chunk_documents(d, chunk_tokens=3, stride=3,
+                                content_col="text")
+    withlang = chunks.join(d.select("doc_id", "lang"), "doc_id")
+    packed = cu.pack_sequences(withlang, context_tokens=9,
+                               strata_col="lang")
+    # streams are independent per stratum: each stratum's offsets
+    # start at 0 and its token mass is self-contained
+    agg = {r["stratum"]: r for r in
+           packed.groupBy("stratum").agg(
+               F.sum("n_tokens").alias("t"),
+               F.min("offset").alias("mn")).collect()}
+    assert set(agg) == {"en", "de"}
+    for s in agg.values():
+        assert s["mn"] == 0 and s["t"] == 27  # 3 docs x 9 tokens
