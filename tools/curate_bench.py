@@ -75,6 +75,20 @@ def main() -> None:
             .filter(F.col("keep")).count()
         mix_s = time.perf_counter() - t0
 
+        # chunk + pack: the explode fan-out plus the per-stratum
+        # packing window — the context-prep cost per corpus doc
+        t0 = time.perf_counter()
+        ch = cu.chunk_documents(docs, chunk_tokens=64, stride=64,
+                                content_col="content")
+        n_packs = (
+            cu.pack_sequences(
+                ch.join(docs.select("doc_id", "lang"), "doc_id"),
+                context_tokens=512, strata_col="lang")
+            .agg(F.countDistinct("stratum", "pack_id").alias("p"))
+            .collect()[0]["p"]
+        )
+        pack_s = time.perf_counter() - t0
+
         out["rungs"].append({
             "n_docs": n,
             "funnel_sec": round(funnel_s, 3),
@@ -84,6 +98,9 @@ def main() -> None:
             "mixture_sec": round(mix_s, 3),
             "mixture_us_per_doc": round(1e6 * mix_s / n, 2),
             "mixture_kept": kept,
+            "chunk_pack_sec": round(pack_s, 3),
+            "chunk_pack_us_per_doc": round(1e6 * pack_s / n, 2),
+            "n_packs": n_packs,
         })
         funnel.unpersist()
         docs.unpersist()
