@@ -277,3 +277,32 @@ def test_multi_topk_plan_is_partitioned_and_broadcast(spark, corpus):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunking_has_no_shuffle_and_packing_exactly_one(spark, corpus,
+                                                         tmp_path):
+    """chunk_documents is scan -> Generate -> project (zero Exchange:
+    the 100 TB cost is the corpus scan itself); pack_sequences adds
+    EXACTLY one hash exchange — the per-stratum window partitioning —
+    and nothing else (a second exchange would mean the stream is being
+    re-shuffled somewhere it shouldn't be)."""
+    from prosearch_spark.ops import curate as cu
+
+    # materialize: the synthetic corpus fixture's lazy dense-id window
+    # would otherwise contribute its own exchange to the plan
+    corpus.write.parquet(str(tmp_path / "c"))
+    corpus = spark.read.parquet(str(tmp_path / "c"))
+
+    ch = cu.chunk_documents(corpus, chunk_tokens=16, stride=16)
+    p = _plan(ch)
+    assert "Generate" in p and "Exchange" not in p
+
+    packed = cu.pack_sequences(ch.join(
+        corpus.select("doc_id", "lang"), "doc_id"),
+        context_tokens=64, strata_col="lang")
+    pp = _plan(packed)
+    # the join's broadcast exchange doesn't repartition rows; count
+    # only shuffle exchanges
+    n_shuffles = pp.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, pp
+    assert "Window" in pp
