@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import json
 import os
+import time
+from contextlib import contextmanager
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,6 +64,7 @@ class SegmentedIndex:
         self.spark = spark
         self.root = root
         self.merge_factor = merge_factor
+        self._lock_held = False
         os.makedirs(os.path.join(root, "segments"), exist_ok=True)
         if not os.path.exists(os.path.join(root, POINTER)):
             self._publish([], gen=0)
@@ -73,10 +76,61 @@ class SegmentedIndex:
             return json.load(f)
 
     def _publish(self, segs: list[str], gen: int) -> None:
+        payload = {"segments": segs, "gen": gen}
         tmp = os.path.join(self.root, POINTER + ".tmp")
         with open(tmp, "w") as f:
-            json.dump({"segments": segs, "gen": gen}, f)
+            json.dump(payload, f)
+        # append-only snapshot history FIRST, current pointer last: a
+        # crash between the two leaves the current pointer authoritative
+        # and at worst an orphan history file for a gen that never
+        # published (harmless — as_of reads are explicit by gen)
+        hdir = os.path.join(self.root, "history")
+        os.makedirs(hdir, exist_ok=True)
+        with open(os.path.join(hdir, f"SEGMENTS-{gen:06d}.json"),
+                  "w") as f:
+            json.dump(payload, f)
         os.replace(tmp, os.path.join(self.root, POINTER))
+
+    # -- writer lock (Tantivy INDEX_WRITER_LOCK analog) ------------------------
+
+    @contextmanager
+    def writer_lock(self, stale_sec: float = 3600.0):
+        """Exclusive-writer guard: an O_EXCL lock file under the root
+        (the Tantivy ``.tantivy-writer.lock`` shape — one IndexWriter
+        per index). Raises immediately when another LIVE writer holds
+        it; a lock older than ``stale_sec`` is presumed crashed and
+        broken automatically (the reference's manual-delete recovery,
+        automated). Reentrant within this SegmentedIndex instance so
+        compound operations (force_merge -> merge_once) nest freely.
+
+        Commit/adopt/upsert/merge/gc acquire it implicitly; hold it
+        explicitly around multi-step admin sequences."""
+        if self._lock_held:
+            yield
+            return
+        lock = os.path.join(self.root, "WRITER.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            age = time.time() - os.path.getmtime(lock)
+            if age <= stale_sec:
+                raise ValueError(
+                    f"writer lock held (age {age:.0f}s < stale_sec "
+                    f"{stale_sec:.0f}); one writer per stack — delete "
+                    f"{lock} only if the holder is known dead")
+            os.unlink(lock)  # stale: crashed holder
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+        self._lock_held = True
+        try:
+            yield
+        finally:
+            self._lock_held = False
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     def segments(self) -> list[IndexArtifact]:
         p = self._pointer()
@@ -123,37 +177,40 @@ class SegmentedIndex:
         writes the segment's doc store (S4) so the stack is servable
         through ArtifactSearcher.
         """
-        if name is None:
-            # skip auto-generated names whose dir already exists: a
-            # crash between save_index and _seal leaves an orphan dir
-            # at gen+1 while gen is unchanged, and save_index refuses
-            # an existing manifest — without the skip every further
-            # default-named commit would wedge until a manual
-            # gc()/adopt() (r3 ADVICE finding). The orphan stays
-            # adopt()/gc() fodder either way.
-            n = self._pointer()["gen"]
-            while True:
-                n += 1
-                name = f"seg-{n:06d}"
-                if not os.path.exists(
-                        os.path.join(self.root, "segments", name)):
-                    break
-        art = save_index(self.spark, docs,
-                         os.path.join(self.root, "segments", name),
-                         **save_kwargs)
-        if store_cols:
-            art.write_doc_store(docs, store_cols,
-                                id_col=save_kwargs.get("id_col", "doc_id"))
-        return self._seal(art, name, meta)
+        with self.writer_lock():
+            if name is None:
+                # skip auto-generated names whose dir already exists: a
+                # crash between save_index and _seal leaves an orphan
+                # dir at gen+1 while gen is unchanged, and save_index
+                # refuses an existing manifest — without the skip every
+                # further default-named commit would wedge until a
+                # manual gc()/adopt() (r3 ADVICE finding). The orphan
+                # stays adopt()/gc() fodder either way.
+                n = self._pointer()["gen"]
+                while True:
+                    n += 1
+                    name = f"seg-{n:06d}"
+                    if not os.path.exists(
+                            os.path.join(self.root, "segments", name)):
+                        break
+            art = save_index(self.spark, docs,
+                             os.path.join(self.root, "segments", name),
+                             **save_kwargs)
+            if store_cols:
+                art.write_doc_store(
+                    docs, store_cols,
+                    id_col=save_kwargs.get("id_col", "doc_id"))
+            return self._seal(art, name, meta)
 
     def adopt(self, name: str, meta: dict | None = None) -> IndexArtifact:
         """Complete a commit that crashed between segment write and
         pointer publish: the dir holds a full manifest but no pointer
         entry — load it and publish. No-op-safe only when the caller
         has checked ``has_segment`` first."""
-        art = IndexArtifact.load(
-            self.spark, os.path.join(self.root, "segments", name))
-        return self._seal(art, name, meta)
+        with self.writer_lock():
+            art = IndexArtifact.load(
+                self.spark, os.path.join(self.root, "segments", name))
+            return self._seal(art, name, meta)
 
     def upsert(self, docs: DataFrame, id_col: str = "doc_id",
                name: str | None = None, meta: dict | None = None,
@@ -169,6 +226,12 @@ class SegmentedIndex:
         replaced docs stop matching immediately, collection stats
         refresh on compaction (delete_docs NOTE, artifact.py).
         """
+        with self.writer_lock():
+            return self._upsert_locked(docs, id_col, name, meta,
+                                       **save_kwargs)
+
+    def _upsert_locked(self, docs, id_col, name, meta,
+                       **save_kwargs) -> IndexArtifact:
         ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
         segs = self.segments()
         names = [e["name"] for e in self._pointer()["segments"]]
@@ -220,21 +283,38 @@ class SegmentedIndex:
         return self.commit(docs, name=name, meta=meta,
                            id_col=id_col, **save_kwargs)
 
-    def gc(self) -> list[str]:
+    def gc(self, retain_history: int = 0) -> list[str]:
         """Remove segment dirs no longer referenced by the current
         pointer (merged-away inputs, orphaned crash leftovers). A
         deployment age-gates this behind its slowest reader's pointer;
-        here it is an explicit sweep, never run by commit/merge."""
+        here it is an explicit sweep, never run by commit/merge.
+
+        ``retain_history=N`` additionally keeps every segment
+        referenced by the last N recorded snapshots (Iceberg snapshot
+        expiry): those generations stay ``as_of``-readable; older
+        history files are pruned so the history listing matches what
+        is actually readable."""
         import shutil
 
-        alive = {e["name"] for e in self._pointer()["segments"]}
-        segdir = os.path.join(self.root, "segments")
-        removed = []
-        for d in sorted(os.listdir(segdir)):
-            if d not in alive:
-                shutil.rmtree(os.path.join(segdir, d))
-                removed.append(d)
-        return removed
+        with self.writer_lock():
+            alive = {e["name"] for e in self._pointer()["segments"]}
+            gens = self.history()
+            keep_gens = gens[-retain_history:] if retain_history > 0 else []
+            for g in keep_gens:
+                with open(os.path.join(self.root, "history",
+                                       f"SEGMENTS-{g:06d}.json")) as f:
+                    alive |= {e["name"] for e in json.load(f)["segments"]}
+            for g in gens:
+                if g not in keep_gens and g != self._pointer()["gen"]:
+                    os.unlink(os.path.join(self.root, "history",
+                                           f"SEGMENTS-{g:06d}.json"))
+            segdir = os.path.join(self.root, "segments")
+            removed = []
+            for d in sorted(os.listdir(segdir)):
+                if d not in alive:
+                    shutil.rmtree(os.path.join(segdir, d))
+                    removed.append(d)
+            return removed
 
     # -- query view ------------------------------------------------------------
 
@@ -302,15 +382,53 @@ class SegmentedIndex:
         min_dl still cover the dead postings, so every bound can only
         be LOOSER than the alive-only bound — pruning weakens, never
         breaks."""
-        segs = self.segments()
-        if not segs:
+        return self._view_from_pointer(self._pointer())
+
+    def _view_from_pointer(self, p: dict) -> "SegmentedArtifactView":
+        if not p["segments"]:
             raise ValueError("no committed segments")
-        p = self._pointer()
-        names = [e["name"] for e in p["segments"]]
+        segs = []
+        for e in p["segments"]:
+            d = os.path.join(self.root, "segments", e["name"])
+            if not os.path.exists(os.path.join(d, "manifest.json")):
+                raise ValueError(
+                    f"segment {e['name']} of gen {p['gen']} no longer "
+                    "exists — gc() expired this snapshot (retain more "
+                    "history or re-read the current pointer)")
+            segs.append(IndexArtifact.load(self.spark, d))
         return SegmentedArtifactView(
-            self.spark, segs, names=names,
+            self.spark, segs, names=[e["name"] for e in p["segments"]],
             n_docs=sum(e["n_docs"] for e in p["segments"]),
             total_dl=sum(e["total_dl"] for e in p["segments"]))
+
+    # -- snapshots (Iceberg time travel over the pointer history) --------------
+
+    def history(self) -> list[int]:
+        """Generations with a recorded snapshot, ascending."""
+        hdir = os.path.join(self.root, "history")
+        if not os.path.isdir(hdir):
+            return []
+        return sorted(
+            int(f[len("SEGMENTS-"):-len(".json")])
+            for f in os.listdir(hdir)
+            if f.startswith("SEGMENTS-") and f.endswith(".json"))
+
+    def as_of(self, gen: int) -> "SegmentedArtifactView":
+        """The stack AS OF generation ``gen`` — the Iceberg
+        time-travel read over the append-only pointer history every
+        ``_publish`` records. Snapshots reference the same immutable
+        segment dirs, so any snapshot is readable (scores and all)
+        until ``gc()`` physically removes segments the current pointer
+        no longer holds; ``gc(retain_history=N)`` keeps the last N
+        snapshots' segments alive for exactly this read."""
+        hfile = os.path.join(self.root, "history",
+                             f"SEGMENTS-{gen:06d}.json")
+        if not os.path.exists(hfile):
+            raise ValueError(
+                f"no snapshot recorded for gen {gen}; "
+                f"available: {self.history()}")
+        with open(hfile) as f:
+            return self._view_from_pointer(json.load(f))
 
     def topk(self, q: str, k: int = 10,
              round_to: int | None = None) -> DataFrame:
@@ -377,6 +495,10 @@ class SegmentedIndex:
                 else candidates)
         if not cand or len(cand) < 2:
             return False
+        with self.writer_lock():
+            return self._merge_locked(cand)
+
+    def _merge_locked(self, cand: list[str]) -> bool:
         p = self._pointer()
         gen = p["gen"] + 1
         name = f"seg-{gen:06d}"

@@ -418,3 +418,79 @@ def test_manifest_total_dl_exact_and_seal_fallback(spark, corpus, tmp_path):
         json.dump(m, f)
     si2.adopt("legacy")
     assert si2._pointer()["segments"][-1]["total_dl"] == int(want)
+
+
+def test_snapshot_time_travel_reads(spark, corpus, tmp_path):
+    """as_of(gen) reads the stack AS OF a prior pointer — scores and
+    doc sets match what as_artifact served at that generation; gc with
+    retain_history keeps exactly the retained snapshots readable."""
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    si = SegmentedIndex(spark, str(tmp_path / "snap"), merge_factor=99)
+    si.commit(corpus.filter(F.col("doc_id") % 2 == 0),
+              text_col="content")
+    gen1 = si._pointer()["gen"]
+    want_gen1 = [
+        (r["doc_id"], r["score"])
+        for r in BlockSearchEngine(spark, si.as_artifact())
+        .topk("spark", 10, round_to=6).collect()]
+
+    si.commit(corpus.filter(F.col("doc_id") % 2 == 1),
+              text_col="content")
+    gen2 = si._pointer()["gen"]
+    assert si.history() == [0, gen1, gen2]
+
+    # time travel: gen1's view serves only the even docs, scores
+    # identical to what it served live
+    got = [(r["doc_id"], r["score"])
+           for r in BlockSearchEngine(spark, si.as_of(gen1))
+           .topk("spark", 10, round_to=6).collect()]
+    assert got == want_gen1
+    assert all(d % 2 == 0 for d, _ in got)
+    # and the current view differs (both parities present)
+    cur = [r["doc_id"] for r in
+           BlockSearchEngine(spark, si.as_artifact())
+           .topk("spark", 10, round_to=6).collect()]
+    assert any(d % 2 == 1 for d in cur)
+
+    # merge away the inputs, then gc retaining ONE snapshot: the
+    # retained gen (the merge result) reads; gen1's segments are gone
+    si.force_merge()
+    gen3 = si._pointer()["gen"]
+    si.gc(retain_history=1)
+    assert si.as_of(gen3) is not None
+    with pytest.raises(ValueError, match="no snapshot|no longer"):
+        si.as_of(gen1)
+
+
+def test_writer_lock_excludes_and_recovers(spark, corpus, tmp_path):
+    """One writer per stack (Tantivy INDEX_WRITER_LOCK): a held lock
+    refuses a second writer, compound ops re-enter their own lock, a
+    stale lock from a dead holder is broken automatically."""
+    import os as _os
+
+    root = str(tmp_path / "lock")
+    si = SegmentedIndex(spark, root, merge_factor=2)
+    other = SegmentedIndex(spark, root, merge_factor=2)
+
+    with si.writer_lock():
+        with pytest.raises(ValueError, match="writer lock held"):
+            with other.writer_lock():
+                pass
+        # reentrant for the holder: commit inside the held lock works
+        si.commit(corpus.filter(F.col("doc_id") < 40),
+                  text_col="content")
+    # released: the other instance can write now
+    other.commit(corpus.filter(F.col("doc_id") >= 40),
+                 text_col="content")
+    # compound op (force_merge -> merge_once -> _publish) self-nests
+    assert si.force_merge() is True
+
+    # stale lock: fake a crashed holder by back-dating the file
+    lock = _os.path.join(root, "WRITER.lock")
+    with open(lock, "w") as f:
+        f.write("{}")
+    _os.utime(lock, (1, 1))
+    with other.writer_lock(stale_sec=60):
+        pass  # broken + acquired
+    assert not _os.path.exists(lock)
