@@ -94,43 +94,47 @@ class SegmentedIndex:
     # -- writer lock (Tantivy INDEX_WRITER_LOCK analog) ------------------------
 
     @contextmanager
-    def writer_lock(self, stale_sec: float = 3600.0):
-        """Exclusive-writer guard: an O_EXCL lock file under the root
-        (the Tantivy ``.tantivy-writer.lock`` shape — one IndexWriter
-        per index). Raises immediately when another LIVE writer holds
-        it; a lock older than ``stale_sec`` is presumed crashed and
-        broken automatically (the reference's manual-delete recovery,
-        automated). Reentrant within this SegmentedIndex instance so
-        compound operations (force_merge -> merge_once) nest freely.
+    def writer_lock(self):
+        """Exclusive-writer guard: ``flock`` on a lock file under the
+        root (the Tantivy ``.tantivy-writer.lock`` shape — one
+        IndexWriter per index, held via fs2-style advisory locking).
+        Raises immediately when another live writer holds it.
+
+        flock rather than an O_EXCL marker file on purpose: the kernel
+        releases the lock the instant the holding process dies — a
+        crashed committer never wedges recovery (the streaming sink's
+        crash/re-delivery invariant: restart, adopt(), continue),
+        and there is no stale-age heuristic to tune. Reentrant within
+        this SegmentedIndex instance so compound operations
+        (force_merge -> merge_once) nest freely.
 
         Commit/adopt/upsert/merge/gc acquire it implicitly; hold it
         explicitly around multi-step admin sequences."""
         if self._lock_held:
             yield
             return
+        import fcntl
+
         lock = os.path.join(self.root, "WRITER.lock")
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            age = time.time() - os.path.getmtime(lock)
-            if age <= stale_sec:
-                raise ValueError(
-                    f"writer lock held (age {age:.0f}s < stale_sec "
-                    f"{stale_sec:.0f}); one writer per stack — delete "
-                    f"{lock} only if the holder is known dead")
-            os.unlink(lock)  # stale: crashed holder
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
-        self._lock_held = True
-        try:
-            yield
-        finally:
-            self._lock_held = False
             try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except BlockingIOError:
+                raise ValueError(
+                    "writer lock held by a live process; one writer "
+                    f"per stack ({lock})")
+            os.truncate(fd, 0)
+            os.write(fd, json.dumps(
+                {"pid": os.getpid(), "ts": time.time()}).encode())
+            self._lock_held = True
+            try:
+                yield
+            finally:
+                self._lock_held = False
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
     def segments(self) -> list[IndexArtifact]:
         p = self._pointer()

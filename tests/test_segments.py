@@ -486,11 +486,15 @@ def test_writer_lock_excludes_and_recovers(spark, corpus, tmp_path):
     # compound op (force_merge -> merge_once -> _publish) self-nests
     assert si.force_merge() is True
 
-    # stale lock: fake a crashed holder by back-dating the file
+    # crashed holder: flock dies with its file descriptor (the kernel
+    # releases it), so a leftover lock FILE never blocks recovery —
+    # the streaming sink's crash/re-delivery invariant
+    import fcntl
+
     lock = _os.path.join(root, "WRITER.lock")
-    with open(lock, "w") as f:
-        f.write("{}")
-    _os.utime(lock, (1, 1))
-    with other.writer_lock(stale_sec=60):
-        pass  # broken + acquired
-    assert not _os.path.exists(lock)
+    fd = _os.open(lock, _os.O_CREAT | _os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    _os.close(fd)  # "crash": no explicit unlock
+    assert _os.path.exists(lock)
+    with other.writer_lock():
+        pass  # acquired despite the leftover file
