@@ -39,8 +39,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
-from contextlib import contextmanager
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +50,7 @@ from prosearch_spark.index.artifact import (
     save_index,
 )
 from prosearch_spark.index.build import InvertedIndex
+from prosearch_spark.index.locks import exclusive_writer_lock
 
 POINTER = "SEGMENTS.json"
 
@@ -64,7 +63,7 @@ class SegmentedIndex:
         self.spark = spark
         self.root = root
         self.merge_factor = merge_factor
-        self._lock_held = False
+        self._lock_held = [False]  # reentrancy cell (see locks.py)
         os.makedirs(os.path.join(root, "segments"), exist_ok=True)
         if not os.path.exists(os.path.join(root, POINTER)):
             self._publish([], gen=0)
@@ -93,48 +92,12 @@ class SegmentedIndex:
 
     # -- writer lock (Tantivy INDEX_WRITER_LOCK analog) ------------------------
 
-    @contextmanager
     def writer_lock(self):
-        """Exclusive-writer guard: ``flock`` on a lock file under the
-        root (the Tantivy ``.tantivy-writer.lock`` shape — one
-        IndexWriter per index, held via fs2-style advisory locking).
-        Raises immediately when another live writer holds it.
-
-        flock rather than an O_EXCL marker file on purpose: the kernel
-        releases the lock the instant the holding process dies — a
-        crashed committer never wedges recovery (the streaming sink's
-        crash/re-delivery invariant: restart, adopt(), continue),
-        and there is no stale-age heuristic to tune. Reentrant within
-        this SegmentedIndex instance so compound operations
-        (force_merge -> merge_once) nest freely.
-
-        Commit/adopt/upsert/merge/gc acquire it implicitly; hold it
-        explicitly around multi-step admin sequences."""
-        if self._lock_held:
-            yield
-            return
-        import fcntl
-
-        lock = os.path.join(self.root, "WRITER.lock")
-        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
-        try:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except BlockingIOError:
-                raise ValueError(
-                    "writer lock held by a live process; one writer "
-                    f"per stack ({lock})")
-            os.truncate(fd, 0)
-            os.write(fd, json.dumps(
-                {"pid": os.getpid(), "ts": time.time()}).encode())
-            self._lock_held = True
-            try:
-                yield
-            finally:
-                self._lock_held = False
-                fcntl.flock(fd, fcntl.LOCK_UN)
-        finally:
-            os.close(fd)
+        """Exclusive-writer guard (see locks.exclusive_writer_lock:
+        flock, kernel-released on holder death, reentrant per
+        instance). Commit/adopt/upsert/merge/gc acquire it implicitly;
+        hold it explicitly around multi-step admin sequences."""
+        return exclusive_writer_lock(self.root, self._lock_held)
 
     def segments(self) -> list[IndexArtifact]:
         p = self._pointer()

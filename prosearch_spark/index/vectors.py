@@ -176,9 +176,18 @@ class VectorSegments:
         self.root = root
         self.id_col = id_col
         self.vec_col = vec_col
+        self._lock_held = [False]  # reentrancy cell (see locks.py)
         os.makedirs(os.path.join(root, "segments"), exist_ok=True)
         if not os.path.exists(os.path.join(root, POINTER)):
             self._publish([], gen=0)
+
+    def writer_lock(self):
+        """One writer per vector stack (locks.exclusive_writer_lock:
+        flock, kernel-released on holder death, reentrant per
+        instance). commit/adopt/upsert acquire it implicitly."""
+        from prosearch_spark.index.locks import exclusive_writer_lock
+
+        return exclusive_writer_lock(self.root, self._lock_held)
 
     # -- pointer ------------------------------------------------------------
 
@@ -208,28 +217,31 @@ class VectorSegments:
         """Seal ``emb`` as a new immutable segment; vectors are fully
         written BEFORE the pointer swap (a crash leaves an orphan dir
         and the old view — adopt() completes it)."""
-        if name is None:
-            n = self._pointer()["gen"]
-            while True:
-                n += 1
-                name = f"seg-{n:06d}"
-                if not os.path.exists(self._seg_path(name)):
-                    break
-        out = emb.select(
-            F.col(self.id_col).cast("long").alias("vec_id"),
-            F.col(self.vec_col).alias("embedding"),
-        )
-        out.write.parquet(self._seg_path(name))
-        return self.adopt(name)
+        with self.writer_lock():
+            if name is None:
+                n = self._pointer()["gen"]
+                while True:
+                    n += 1
+                    name = f"seg-{n:06d}"
+                    if not os.path.exists(self._seg_path(name)):
+                        break
+            out = emb.select(
+                F.col(self.id_col).cast("long").alias("vec_id"),
+                F.col(self.vec_col).alias("embedding"),
+            )
+            out.write.parquet(self._seg_path(name))
+            return self.adopt(name)
 
     def adopt(self, name: str) -> str:
         """Publish an already-written segment dir (crash-completion —
         the streaming sink's re-delivery path)."""
-        p = self._pointer()
-        n = int(self.spark.read.parquet(self._seg_path(name)).count())
-        self._publish(p["segments"] + [{"name": name, "n_vectors": n}],
-                      p["gen"] + 1)
-        return name
+        with self.writer_lock():
+            p = self._pointer()
+            n = int(self.spark.read.parquet(self._seg_path(name)).count())
+            self._publish(p["segments"] + [{"name": name,
+                                            "n_vectors": n}],
+                          p["gen"] + 1)
+            return name
 
     def _tagged(self) -> DataFrame:
         """ONE multi-path scan of every alive segment, each row tagged
@@ -259,15 +271,17 @@ class VectorSegments:
         probe scan + one broadcast semi-join, appended as (seg,
         vec_id) delete rows — then seal ``emb`` as a new segment.
         Work is O(stack probe + batch), never O(corpus rewrite)."""
-        ids = emb.select(F.col(self.id_col).cast("long").alias("vec_id"))
-        if self.segment_names():
-            hits = (
-                self._tagged().select("seg", "vec_id")
-                .join(F.broadcast(ids), "vec_id", "left_semi")
-            )
-            hits.write.mode("append").parquet(
-                os.path.join(self.root, "deletes"))
-        return self.commit(emb, name=name)
+        with self.writer_lock():
+            ids = emb.select(F.col(self.id_col).cast("long")
+                             .alias("vec_id"))
+            if self.segment_names():
+                hits = (
+                    self._tagged().select("seg", "vec_id")
+                    .join(F.broadcast(ids), "vec_id", "left_semi")
+                )
+                hits.write.mode("append").parquet(
+                    os.path.join(self.root, "deletes"))
+            return self.commit(emb, name=name)
 
     # -- query view ---------------------------------------------------------
 
