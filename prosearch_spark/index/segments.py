@@ -200,55 +200,96 @@ class SegmentedIndex:
     def _upsert_locked(self, docs, id_col, name, meta,
                        **save_kwargs) -> IndexArtifact:
         ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
-        segs = self.segments()
-        names = [e["name"] for e in self._pointer()["segments"]]
-        if segs:
-            # ONE tagged probe across the whole stack (the r3 path
-            # scheduled 1-2 jobs PER alive segment per batch: a
-            # limit(1).count() probe plus a delete-side recompute of
-            # the same join — flat-cost now, r3 verdict item 6).
-            # Homogeneous stacks read every doc_stats tree in a SINGLE
-            # multi-path parquet scan (per-segment read.parquet calls
-            # each pay a footer/listing job) with the segment name
-            # recovered from the file path; mixed-schema stacks fall
-            # back to the per-segment union (still one JOIN).
-            uniform = len({
-                tuple(sorted((s.manifest.get("fast_fields") or {})
-                             .items()))
-                for s in segs}) == 1
-            if uniform:
-                tagged = self.spark.read.parquet(*[
-                    os.path.join(self.root, "segments", n, "doc_stats")
-                    for n in names
-                ]).select(
-                    "doc_id",
-                    F.regexp_extract(F.col("_metadata.file_path"),
-                                     r"segments/([^/]+)/doc_stats",
-                                     1).alias("seg"),
-                )
-            else:
-                tagged = reduce(
-                    lambda a, b: a.unionByName(b),
-                    [s.doc_stats().select(F.lit(n).alias("seg"),
-                                          "doc_id")
-                     for n, s in zip(names, segs)],
-                )
-            # ONE broadcast semi-join over the whole scan (joining per
-            # branch would rebuild the ids broadcast per segment)
-            probe = tagged.join(F.broadcast(ids), "doc_id",
-                                "left_semi").persist()
-            try:
-                hit_names = {r["seg"] for r in
-                             probe.select("seg").distinct().collect()}
-                for n, art in zip(names, segs):
-                    if n in hit_names:
-                        art.delete_docs(
-                            probe.filter(F.col("seg") == n)
-                            .select("doc_id"))
-            finally:
-                probe.unpersist()
+        self._tombstone(ids)
         return self.commit(docs, name=name, meta=meta,
                            id_col=id_col, **save_kwargs)
+
+    def _tombstone(self, ids: DataFrame) -> None:
+        """Mark ``ids`` deleted in every alive segment that holds them.
+
+        ONE tagged probe across the whole stack (the r3 path scheduled
+        1-2 jobs PER alive segment per batch: a limit(1).count() probe
+        plus a delete-side recompute of the same join — flat-cost now,
+        r3 verdict item 6). Homogeneous stacks read every doc_stats
+        tree in a SINGLE multi-path parquet scan (per-segment
+        read.parquet calls each pay a footer/listing job) with the
+        segment name recovered from the file path; mixed-schema stacks
+        fall back to the per-segment union (still one JOIN)."""
+        segs = self.segments()
+        if not segs:
+            return
+        names = [e["name"] for e in self._pointer()["segments"]]
+        uniform = len({
+            tuple(sorted((s.manifest.get("fast_fields") or {})
+                         .items()))
+            for s in segs}) == 1
+        if uniform:
+            tagged = self.spark.read.parquet(*[
+                os.path.join(self.root, "segments", n, "doc_stats")
+                for n in names
+            ]).select(
+                "doc_id",
+                F.regexp_extract(F.col("_metadata.file_path"),
+                                 r"segments/([^/]+)/doc_stats",
+                                 1).alias("seg"),
+            )
+        else:
+            tagged = reduce(
+                lambda a, b: a.unionByName(b),
+                [s.doc_stats().select(F.lit(n).alias("seg"),
+                                      "doc_id")
+                 for n, s in zip(names, segs)],
+            )
+        # ONE broadcast semi-join over the whole scan (joining per
+        # branch would rebuild the ids broadcast per segment)
+        probe = tagged.join(F.broadcast(ids), "doc_id",
+                            "left_semi").persist()
+        try:
+            hit_names = {r["seg"] for r in
+                         probe.select("seg").distinct().collect()}
+            for n, art in zip(names, segs):
+                if n in hit_names:
+                    art.delete_docs(
+                        probe.filter(F.col("seg") == n)
+                        .select("doc_id"))
+        finally:
+            probe.unpersist()
+
+    def delete_docs(self, ids: DataFrame,
+                    id_col: str = "doc_id") -> None:
+        """B7 over the stack WITHOUT reindexing: tombstone ``ids`` in
+        every alive segment that holds them (segment-scoped delete
+        rows — the live view and WAND serving already apply them). No
+        new segment is sealed; stats refresh physically on merge, like
+        the single-artifact delete_docs."""
+        with self.writer_lock():
+            self._tombstone(
+                ids.select(F.col(id_col).cast("long").alias("doc_id")))
+
+    def delete_by_term(self, term: str) -> None:
+        """Tantivy ``delete_term`` parity: tombstone every doc whose
+        ALIVE postings contain ``term`` at call time (docs already
+        tombstoned — e.g. an upsert's dead old version — stay dead
+        where they are; their live re-adds only match through their
+        own postings)."""
+        import shutil
+        import uuid
+
+        with self.writer_lock():
+            view = self.as_artifact()
+            ids = view.postings([term]).filter(
+                F.col("term") == term).select("doc_id").distinct()
+            # MATERIALIZE before tombstoning: ids reads the stack's
+            # current deletes (via the live view); a lazy plan
+            # re-evaluated mid-write would see the deletes it is
+            # itself creating. persist() is no guarantee (eviction
+            # recomputes) — a temp parquet is.
+            tmp = os.path.join(self.root, f"tmp-delete-{uuid.uuid4().hex}")
+            try:
+                ids.write.parquet(tmp)
+                self._tombstone(self.spark.read.parquet(tmp))
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
 
     def gc(self, retain_history: int = 0) -> list[str]:
         """Remove segment dirs no longer referenced by the current

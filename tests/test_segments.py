@@ -498,3 +498,44 @@ def test_writer_lock_excludes_and_recovers(spark, corpus, tmp_path):
     assert _os.path.exists(lock)
     with other.writer_lock():
         pass  # acquired despite the leftover file
+
+
+def test_stack_delete_docs_and_delete_by_term(spark, corpus, tmp_path):
+    """Direct stack deletes (no reindex): tombstoned ids vanish from
+    live serving; delete_by_term kills every alive doc containing the
+    term; compact-then-query hash-matches the live view."""
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    si = SegmentedIndex(spark, str(tmp_path / "del"), merge_factor=99)
+    for i in range(2):
+        si.commit(corpus.filter(F.col("doc_id") % 2 == i),
+                  text_col="content")
+
+    # delete an explicit id set
+    target = [r["doc_id"] for r in BlockSearchEngine(
+        spark, si.as_artifact()).topk("spark", 3, round_to=6).collect()]
+    si.delete_docs(spark.createDataFrame([(d,) for d in target],
+                                         "doc_id long"))
+    live = [r["doc_id"] for r in BlockSearchEngine(
+        spark, si.as_artifact()).topk("spark", 10, round_to=6).collect()]
+    assert not set(live) & set(target)
+
+    # live scores hash-match compaction of the same logical state
+    want = [(r["doc_id"], r["score"]) for r in BlockSearchEngine(
+        spark, si.as_artifact()).topk("spark", 10, round_to=6).collect()]
+    si.force_merge()
+    got = [(r["doc_id"], r["score"]) for r in BlockSearchEngine(
+        spark, si.as_artifact()).topk("spark", 10, round_to=6).collect()]
+    assert got == want
+
+    # delete_by_term: no alive doc contains the term afterwards
+    v = si.as_artifact()
+    assert v.postings(["spark"]).filter(
+        F.col("term") == "spark").count() > 0
+    si.delete_by_term("spark")
+    v = si.as_artifact()
+    assert v.postings(["spark"]).filter(
+        F.col("term") == "spark").count() == 0
+    # other terms' docs survive
+    assert BlockSearchEngine(spark, v).topk(
+        "python", 5, round_to=6).count() > 0
