@@ -130,12 +130,14 @@ class SegmentedStreamingIndexer:
     rows — harmless under the read-side anti-join).
     """
 
+    SHA_COL = "content_sha"
+
     def __init__(self, spark: SparkSession, root: str,
                  merge_factor: int = 8, compact_inline: bool = True,
                  merge_size_by: str = "n_docs",
                  text_col: str = "text", id_col: str = "doc_id",
                  lang_col: str = "lang", analyzer: str = "white_lower",
-                 n_buckets: int = 8):
+                 n_buckets: int = 8, skip_unchanged: bool = False):
         from prosearch_spark.index.segments import SegmentedIndex
 
         self.index = SegmentedIndex(spark, root, merge_factor=merge_factor)
@@ -149,11 +151,48 @@ class SegmentedStreamingIndexer:
         self.lang_col = lang_col
         self.analyzer = analyzer
         self.n_buckets = n_buckets
+        # recrawl checksum dedupe (P5/B11 — the reference's crawler
+        # marks an unchanged recrawl "cached" and skips reprocessing,
+        # CrawlerRunner.java:134-175): store sha256(text) as a fast
+        # field and drop incoming docs whose LIVE stored version has
+        # the same hash before the upsert pays tokenize+index+
+        # tombstone. Enable from the FIRST commit — segments with and
+        # without the field are non-uniform for the merge policy.
+        self.skip_unchanged = skip_unchanged
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if self.skip_unchanged and not self.index.has_segment(
+                f"seg-b{batch_id:09d}"):
+            batch = self._drop_unchanged(batch)
+            if batch.isEmpty():
+                return  # whole batch already live and identical
         self._seal(batch, batch_id, {"batch_id": batch_id})
+
+    def _drop_unchanged(self, batch: DataFrame) -> DataFrame:
+        """Remove docs whose alive stored version carries the same
+        content sha. Probe = the stack's (live) doc_stats scanned once
+        against the BROADCAST batch hashes; unchanged ids come back
+        batch-sized and anti-join the batch broadcast-side — the
+        stored side is never shuffled."""
+        if not self.index.segments():
+            return batch
+        inc = batch.select(
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.sha2(F.col(self.text_col), 256).alias("sha"))
+        stored = self.index.as_artifact().doc_stats()
+        if self.SHA_COL not in stored.columns:
+            return batch  # stack predates skip_unchanged
+        unchanged = (
+            stored.select("doc_id", F.col(self.SHA_COL).alias("sha"))
+            .join(F.broadcast(inc), ["doc_id", "sha"], "left_semi")
+            .select("doc_id")
+        )
+        return batch.join(
+            F.broadcast(unchanged.withColumnRenamed("doc_id",
+                                                    self.id_col)),
+            self.id_col, "left_anti")
 
     def _seal(self, batch: DataFrame, batch_id: int, meta: dict) -> None:
         """Seal one (possibly pre-filtered) batch as the batch_id's
@@ -161,6 +200,11 @@ class SegmentedStreamingIndexer:
         name = f"seg-b{batch_id:09d}"
         if self.index.has_segment(name):
             return
+        kwargs = {}
+        if self.skip_unchanged:
+            batch = batch.withColumn(
+                "__sha", F.sha2(F.col(self.text_col), 256))
+            kwargs["fast_fields"] = {self.SHA_COL: "__sha"}
         seg_dir = os.path.join(self.index.root, "segments", name)
         if os.path.exists(os.path.join(seg_dir, "manifest.json")):
             self.index.adopt(name, meta=meta)
@@ -170,7 +214,7 @@ class SegmentedStreamingIndexer:
                               text_col=self.text_col, id_col=self.id_col,
                               analyzer=self.analyzer,
                               lang_col=self.lang_col,
-                              n_buckets=self.n_buckets)
+                              n_buckets=self.n_buckets, **kwargs)
         if self.compact_inline:
             # a real deployment runs this loop in the background; the
             # pointer-swap protocol makes either placement safe. When

@@ -321,3 +321,53 @@ def test_curated_stream_gates_each_batch(spark, tmp_path):
     ix.process_batch(w0, 0)
     assert [e["name"] for e in ix.index._pointer()["segments"]] == before
     assert scan("w0") == [5, 6]
+
+
+def test_skip_unchanged_recrawl_dedupe(spark, tmp_path):
+    """P5/B11 recrawl economics: a re-delivered URL whose content sha
+    is unchanged is dropped BEFORE the upsert pays tokenize+index+
+    tombstone; changed and new docs index normally; an all-unchanged
+    batch seals no segment."""
+    from prosearch_spark.query.engine import SearchEngine
+    from prosearch_spark.streaming.ingest import SegmentedStreamingIndexer
+
+    STREAM_SCHEMA = "doc_id long, text string, lang string"
+
+    def _scan(spark, si, term):
+        eng = SearchEngine(spark, si.as_index([term]))
+        return sorted(r["doc_id"]
+                      for r in eng.match_scan(term).collect())
+
+    ix = SegmentedStreamingIndexer(spark, str(tmp_path / "segs"),
+                                   n_buckets=4, compact_inline=False,
+                                   skip_unchanged=True)
+    w0 = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta", "en"),
+         (3, "epsilon zeta", "en")], STREAM_SCHEMA)
+    ix.process_batch(w0, 0)
+    assert len(ix.index._pointer()["segments"]) == 1
+
+    # recrawl: 1 unchanged, 2 changed, 4 new
+    w1 = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma CHANGED", "en"),
+         (4, "eta theta", "en")], STREAM_SCHEMA)
+    ix.process_batch(w1, 1)
+    segs = ix.index._pointer()["segments"]
+    assert len(segs) == 2
+    # the new segment holds only the changed + new docs
+    assert segs[-1]["n_docs"] == 2
+    # doc 1 still served (from the original segment, not re-indexed);
+    # doc 2's new content matches, old content does not
+    assert _scan(spark, ix.index, "alpha") == [1]
+    assert _scan(spark, ix.index, "changed") == [2]
+    assert _scan(spark, ix.index, "delta") == []
+    assert _scan(spark, ix.index, "eta") == [4]
+
+    # an entirely-unchanged recrawl seals nothing
+    ix.process_batch(w1, 2)
+    assert len(ix.index._pointer()["segments"]) == 2
+
+    # the stack stays merge-uniform (sha fast field on every segment)
+    assert ix.index.force_merge() is True
+    assert _scan(spark, ix.index, "changed") == [2]
+    assert _scan(spark, ix.index, "alpha") == [1]
