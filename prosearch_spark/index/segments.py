@@ -428,7 +428,14 @@ class SegmentedIndex:
         segment dirs, so any snapshot is readable (scores and all)
         until ``gc()`` physically removes segments the current pointer
         no longer holds; ``gc(retain_history=N)`` keeps the last N
-        snapshots' segments alive for exactly this read."""
+        snapshots' segments alive for exactly this read.
+
+        Snapshot scope is segment MEMBERSHIP, not tombstone state:
+        per-segment delete files are index-wide and applied at read
+        time, so a snapshot reflects deletes made after it was taken
+        (and delete_docs alone bumps no generation). This is the
+        Lucene live-docs model, not Iceberg's snapshot-scoped delete
+        files; pinned by test_snapshot_sees_later_tombstones."""
         hfile = os.path.join(self.root, "history",
                              f"SEGMENTS-{gen:06d}.json")
         if not os.path.exists(hfile):

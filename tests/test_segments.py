@@ -539,3 +539,25 @@ def test_stack_delete_docs_and_delete_by_term(spark, corpus, tmp_path):
     # other terms' docs survive
     assert BlockSearchEngine(spark, v).topk(
         "python", 5, round_to=6).count() > 0
+
+
+def test_snapshot_sees_later_tombstones(spark, corpus, tmp_path):
+    """Documented snapshot semantics: as_of pins segment MEMBERSHIP;
+    per-segment delete files are shared, read-time state (the Lucene
+    live-docs model) — a doc tombstoned AFTER a snapshot is dead in
+    that snapshot too, while a segment ADDED after it stays invisible."""
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    si = SegmentedIndex(spark, str(tmp_path / "snapdel"), merge_factor=99)
+    si.commit(corpus.filter(F.col("doc_id") < 100), text_col="content")
+    g1 = si._pointer()["gen"]
+    si.commit(corpus.filter(F.col("doc_id") >= 100), text_col="content")
+
+    victim = BlockSearchEngine(spark, si.as_of(g1)).topk(
+        "spark", 1, round_to=6).collect()[0]["doc_id"]
+    si.delete_docs(spark.createDataFrame([(victim,)], "doc_id long"))
+
+    snap_ids = [r["doc_id"] for r in BlockSearchEngine(
+        spark, si.as_of(g1)).topk("spark", 20, round_to=6).collect()]
+    assert victim not in snap_ids          # later tombstone visible
+    assert all(d < 100 for d in snap_ids)  # later segment invisible
