@@ -293,6 +293,16 @@ def main() -> None:
                       strata_col="lang", content_col="text").count()
     queries["mixture_sample"] = round(time.perf_counter() - t0, 4)
 
+    # chunk + pack (round 5 late): context-window prep over the whole
+    # corpus — stride windows + the per-stratum packing cumsum
+    t0 = time.perf_counter()
+    cu.pack_sequences(
+        cu.chunk_documents(docs, chunk_tokens=64, stride=64,
+                           content_col="text")
+        .join(docs.select("doc_id", "lang"), "doc_id"),
+        context_tokens=512, strata_col="lang").count()
+    queries["chunk_pack"] = round(time.perf_counter() - t0, 4)
+
     # MoreLikeThis: bounded seed-term selection + disjunctive BM25
     with query_mode(spark):
         t0 = time.perf_counter()
