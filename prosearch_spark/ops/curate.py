@@ -165,8 +165,13 @@ def decontaminate(docs: DataFrame, eval_df: DataFrame, n: int = 5,
     (thousands of prompts) never forces a corpus shuffle.
     """
     doc_sh = shingles(docs, content_col=content_col, id_col=id_col, n=n)
+    # eval ids exist only to satisfy shingles()'s id slot before the
+    # order-insensitive .distinct(); still, a CONTENT hash keeps the
+    # repo's determinism rule intact (index/ids.py bans
+    # monotonically_increasing_id — partition-layout-dependent — so the
+    # pattern must not look copyable from here either)
     ev_sh = (
-        shingles(eval_df.select(F.monotonically_increasing_id().alias("eid"),
+        shingles(eval_df.select(F.sha2(F.col(eval_col), 256).alias("eid"),
                                 F.col(eval_col)),
                  content_col=eval_col, id_col="eid", n=n)
         .select("shingle").distinct()

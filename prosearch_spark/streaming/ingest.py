@@ -276,24 +276,36 @@ class CuratedSegmentedStreamingIndexer(SegmentedStreamingIndexer):
             return
         if self.index.has_segment(f"seg-b{batch_id:09d}"):
             return  # re-delivered batch: skip the funnel recompute
+        # ONE funnel evaluation per batch (r5 verdict: the unpersisted
+        # DAG re-ran for the drop collect, the emptiness probe, AND the
+        # seal — a ~3x constant on the always-on ingest path): persist
+        # the verdict, materialize it via the drop-count groupBy (now
+        # unconditional — it is batch-sized and its 'kept' row answers
+        # the emptiness probe for free), and let _seal's upsert read
+        # the cached rows. Job count pinned by
+        # test_curated_batch_funnel_runs_once.
         verdict = curation_funnel(
             batch, self.eval_df, self.rates, strata_col=self.strata_col,
             content_col=self.text_col, id_col=self.id_col,
             n=self.shingle_n, salt=self.salt,
-            default_rate=self.default_rate)
-        meta = {"batch_id": batch_id}
-        if self.track_drops:
-            meta["curation_drops"] = {
+            default_rate=self.default_rate).persist()
+        try:
+            drops = {
                 (r["drop_stage"] or "kept"): r["count"]
                 for r in verdict.groupBy("drop_stage").count().collect()
             }
-        survivors = batch.join(
-            verdict.filter(F.col("keep")).select(
-                F.col("doc_id").alias(self.id_col)),
-            self.id_col, "left_semi")
-        if survivors.isEmpty():
-            return  # a fully-dropped batch seals no segment
-        self._seal(survivors, batch_id, meta)
+            meta = {"batch_id": batch_id}
+            if self.track_drops:
+                meta["curation_drops"] = drops
+            if drops.get("kept", 0) == 0:
+                return  # a fully-dropped batch seals no segment
+            survivors = batch.join(
+                verdict.filter(F.col("keep")).select(
+                    F.col("doc_id").alias(self.id_col)),
+                self.id_col, "left_semi")
+            self._seal(survivors, batch_id, meta)
+        finally:
+            verdict.unpersist()
 
 
 class FieldedSegmentedStreamingIndexer:

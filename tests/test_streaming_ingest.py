@@ -323,6 +323,41 @@ def test_curated_stream_gates_each_batch(spark, tmp_path):
     assert scan("w0") == [5, 6]
 
 
+def test_curated_batch_funnel_runs_once(spark, tmp_path):
+    """r5 verdict (What's wrong #1): one micro-batch must evaluate the
+    curation funnel ONCE — persisted, materialized by the drop-count
+    collect (whose 'kept' row answers the emptiness probe), reused by
+    the seal. Measured on this batch shape: 94 jobs with the funnel
+    unpersisted (drop collect + isEmpty + seal each re-ran the DAG),
+    38 with the persist — the bound sits between the two."""
+    from prosearch_spark.streaming.ingest import (
+        CuratedSegmentedStreamingIndexer,
+    )
+
+    long_tail = " ".join(f"w{i}" for i in range(20))
+    ev = spark.createDataFrame([("alpha beta gamma delta epsilon",)],
+                               "text string")
+    ix = CuratedSegmentedStreamingIndexer(
+        spark, str(tmp_path / "csegs"), eval_df=ev,
+        rates={"keep": 1.0}, strata_col="lang", n_buckets=4,
+        compact_inline=False)
+    w0 = spark.createDataFrame(
+        [(1, "ha ha ha", "keep"),
+         (5, f"other {long_tail} the a it", "keep")], SCHEMA)
+    sc = spark.sparkContext
+    sc.setJobGroup("curated-batch", "funnel job count")
+    try:
+        ix.process_batch(w0, 0)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("curated-batch")
+    assert 0 < len(jobs) <= 50, len(jobs)
+    # and the batch still sealed its survivors with the drop meta
+    segs = ix.index._pointer()["segments"]
+    assert [e["name"] for e in segs] == ["seg-b000000000"]
+    assert segs[0]["curation_drops"] == {"quality": 1, "kept": 1}
+
+
 def test_skip_unchanged_recrawl_dedupe(spark, tmp_path):
     """P5/B11 recrawl economics: a re-delivered URL whose content sha
     is unchanged is dropped BEFORE the upsert pays tokenize+index+
