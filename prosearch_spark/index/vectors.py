@@ -195,10 +195,30 @@ class VectorSegments:
         with open(os.path.join(self.root, POINTER)) as f:
             return json.load(f)
 
-    def _publish(self, segs: list[dict], gen: int) -> None:
+    def _publish(self, segs: list[dict], gen: int,
+                 deletes: str | None = None) -> None:
+        """Swap the pointer, recording the snapshot FIRST (segments.py
+        order: a crash between the two leaves the current pointer
+        authoritative and at worst an orphan history file). The pointer
+        also names the current ``deletes`` dir (round 6 — gc() swaps in
+        a compacted one); ``deletes=None`` carries the current name
+        forward."""
+        if deletes is None:
+            ppath = os.path.join(self.root, POINTER)
+            if os.path.exists(ppath):
+                with open(ppath) as f:
+                    deletes = json.load(f).get("deletes", "deletes")
+            else:
+                deletes = "deletes"
+        payload = {"segments": segs, "gen": gen, "deletes": deletes}
         tmp = os.path.join(self.root, POINTER + ".tmp")
         with open(tmp, "w") as f:
-            json.dump({"segments": segs, "gen": gen}, f)
+            json.dump(payload, f)
+        hdir = os.path.join(self.root, "history")
+        os.makedirs(hdir, exist_ok=True)
+        with open(os.path.join(hdir, f"VSEGMENTS-{gen:06d}.json"),
+                  "w") as f:
+            json.dump(payload, f)
         os.replace(tmp, os.path.join(self.root, POINTER))
 
     def has_segment(self, name: str) -> bool:
@@ -243,11 +263,12 @@ class VectorSegments:
                           p["gen"] + 1)
             return name
 
-    def _tagged(self) -> DataFrame:
-        """ONE multi-path scan of every alive segment, each row tagged
-        with its segment name from the file path (no per-segment
-        jobs)."""
-        names = self.segment_names()
+    def _tagged(self, names: list[str] | None = None) -> DataFrame:
+        """ONE multi-path scan of every alive segment (or an explicit
+        snapshot membership), each row tagged with its segment name
+        from the file path (no per-segment jobs)."""
+        if names is None:
+            names = self.segment_names()
         if not names:
             return self.spark.createDataFrame(
                 [], "seg string, vec_id long, embedding array<float>")
@@ -259,8 +280,12 @@ class VectorSegments:
             "vec_id", "embedding",
         )
 
+    def _deletes_dir(self) -> str:
+        return os.path.join(self.root,
+                            self._pointer().get("deletes", "deletes"))
+
     def _deletes(self) -> DataFrame | None:
-        d = os.path.join(self.root, "deletes")
+        d = self._deletes_dir()
         if not os.path.exists(d):
             return None
         return self.spark.read.parquet(d)
@@ -279,19 +304,21 @@ class VectorSegments:
                     self._tagged().select("seg", "vec_id")
                     .join(F.broadcast(ids), "vec_id", "left_semi")
                 )
-                hits.write.mode("append").parquet(
-                    os.path.join(self.root, "deletes"))
+                hits.write.mode("append").parquet(self._deletes_dir())
             return self.commit(emb, name=name)
 
     # -- query view ---------------------------------------------------------
 
-    def live(self) -> DataFrame:
+    def live(self, names: list[str] | None = None) -> DataFrame:
         """Alive (vec_id, embedding) rows: the tagged scan minus the
         per-segment tombstones — deletes kill a doc's OLD segment rows
         only, so an upserted id stays alive in its newest segment
         (the per-segment alive-bitset model; one global anti-join on
-        vec_id alone would erase the re-add)."""
-        v = self._tagged()
+        vec_id alone would erase the re-add). ``names`` restricts the
+        scan to a snapshot's membership (as_of); tombstones are always
+        the CURRENT set — the same membership-is-versioned /
+        deletes-are-read-time scope the lexical as_of has."""
+        v = self._tagged(names)
         d = self._deletes()
         if d is not None:
             v = v.join(F.broadcast(d), ["seg", "vec_id"], "left_anti")
@@ -314,8 +341,147 @@ class VectorSegments:
                    round_to: int = 6) -> VectorArtifact:
         """Fold the live rows into a partition-pruned IVF artifact
         (tier 1) — tombstones applied physically, the stack left
-        untouched for slower readers; the caller swaps its pointer."""
+        untouched for slower readers; the caller swaps its pointer.
+        In-stack compaction (the thing that bounds the stack itself)
+        is :meth:`force_merge` + :meth:`gc`."""
         return save_vector_index(self.spark, self.live(), path,
                                  n_centroids=n_centroids,
                                  id_col="vec_id", vec_col="embedding",
+                                 round_to=round_to)
+
+    # -- lifecycle: merge / snapshots / gc (round 6 — segments.py parity) -----
+
+    def force_merge(self) -> str | None:
+        """Rewrite the LIVE rows as one clean segment and publish a
+        pointer holding only it — tombstones applied physically
+        (merge.rs:18-31 semantics: merge folds the alive-bitset into
+        the new segment). Old segment dirs and the delete rows that
+        reference them stay on disk for snapshot readers until
+        :meth:`gc` sweeps them (delete files die with their segment
+        dirs, exactly the lexical model). Returns the new segment
+        name, or None on an empty stack."""
+        with self.writer_lock():
+            p = self._pointer()
+            if not p["segments"]:
+                return None
+            gen = p["gen"]
+            while True:
+                gen += 1
+                name = f"seg-{gen:06d}"
+                if not os.path.exists(self._seg_path(name)):
+                    break
+            self.live().write.parquet(self._seg_path(name))
+            n = int(self.spark.read.parquet(self._seg_path(name)).count())
+            self._publish([{"name": name, "n_vectors": n}], p["gen"] + 1)
+            return name
+
+    def history(self) -> list[int]:
+        """Generations with a recorded snapshot, ascending."""
+        hdir = os.path.join(self.root, "history")
+        if not os.path.isdir(hdir):
+            return []
+        return sorted(
+            int(f[len("VSEGMENTS-"):-len(".json")])
+            for f in os.listdir(hdir)
+            if f.startswith("VSEGMENTS-") and f.endswith(".json"))
+
+    def as_of(self, gen: int) -> "VectorStackSnapshot":
+        """The stack AS OF generation ``gen`` — the same time-travel
+        read the lexical stack serves (segments.as_of): snapshot scope
+        is segment MEMBERSHIP; tombstones are index-wide and applied
+        at read time, so a snapshot reflects deletes made after it was
+        taken (the Lucene live-docs model). Readable until gc()
+        removes segments the current pointer no longer holds;
+        ``gc(retain_history=N)`` keeps the last N snapshots' segments
+        alive for exactly this read."""
+        hfile = os.path.join(self.root, "history",
+                             f"VSEGMENTS-{gen:06d}.json")
+        if not os.path.exists(hfile):
+            raise ValueError(
+                f"no snapshot recorded for gen {gen}; "
+                f"available: {self.history()}")
+        with open(hfile) as f:
+            names = [e["name"] for e in json.load(f)["segments"]]
+        for n in names:
+            if not os.path.exists(self._seg_path(n)):
+                raise ValueError(
+                    f"segment {n} of gen {gen} no longer exists — gc() "
+                    "expired this snapshot (retain more history or "
+                    "re-read the current pointer)")
+        return VectorStackSnapshot(self, names)
+
+    def gc(self, retain_history: int = 0) -> list[str]:
+        """Remove segment dirs no longer referenced by the current
+        pointer (merged-away inputs, orphaned crash leftovers);
+        ``retain_history=N`` keeps the segments of the last N recorded
+        snapshots as_of-readable and prunes older history files —
+        segments.gc semantics exactly.
+
+        Vector twist: tombstones live in ONE pointer-named delete dir
+        rather than per-segment files, so sweeping a segment also
+        COMPACTS the deletes — surviving rows are rewritten to a new
+        dir and the pointer swaps to it (crash-safe: the old dir stays
+        authoritative until the swap; after the swap it is dead
+        weight and is removed). This closes the r5 'deletes/ appends
+        forever' growth: after force_merge + gc the delete set is
+        empty and the dir is gone."""
+        import shutil
+
+        with self.writer_lock():
+            p = self._pointer()
+            alive = {e["name"] for e in p["segments"]}
+            gens = self.history()
+            keep_gens = gens[-retain_history:] if retain_history > 0 else []
+            for g in keep_gens:
+                with open(os.path.join(
+                        self.root, "history",
+                        f"VSEGMENTS-{g:06d}.json")) as f:
+                    alive |= {e["name"] for e in json.load(f)["segments"]}
+            for g in gens:
+                if g not in keep_gens and g != p["gen"]:
+                    os.unlink(os.path.join(self.root, "history",
+                                           f"VSEGMENTS-{g:06d}.json"))
+            segdir = os.path.join(self.root, "segments")
+            removed = []
+            for d in sorted(os.listdir(segdir)):
+                if d not in alive:
+                    shutil.rmtree(os.path.join(segdir, d))
+                    removed.append(d)
+            old_name = p.get("deletes", "deletes")
+            old_dir = os.path.join(self.root, old_name)
+            if removed and os.path.exists(old_dir):
+                kept = (self.spark.read.parquet(old_dir)
+                        .filter(F.col("seg").isin(sorted(alive))))
+                gen = p["gen"] + 1
+                new_name = f"deletes-{gen:06d}"
+                if kept.isEmpty():
+                    # publish a name whose dir does not exist — the
+                    # read side treats it as 'no deletes'
+                    self._publish(p["segments"], gen, deletes=new_name)
+                else:
+                    kept.write.parquet(os.path.join(self.root, new_name))
+                    self._publish(p["segments"], gen, deletes=new_name)
+                shutil.rmtree(old_dir)
+            return removed
+
+
+class VectorStackSnapshot:
+    """A read view of a VectorSegments stack pinned to one snapshot's
+    segment membership (:meth:`VectorSegments.as_of`). Tombstones are
+    read-time and index-wide — the lexical snapshot scope."""
+
+    def __init__(self, segs: VectorSegments, names: list[str]):
+        self._segs = segs
+        self.names = list(names)
+
+    def live(self) -> DataFrame:
+        return self._segs.live(self.names)
+
+    def topk(self, query_vec: list[float], k: int = 10,
+             round_to: int | None = 6) -> DataFrame:
+        return cosine_topk(self.live(), query_vec, k, round_to=round_to)
+
+    def multi_topk(self, queries: DataFrame, k: int = 10,
+                   round_to: int | None = 6) -> DataFrame:
+        return multi_cosine_topk(self.live(), queries, k,
                                  round_to=round_to)
