@@ -1229,6 +1229,15 @@ def q_knn_stack_live(spark, sf_dir):
         segs.commit(emb.filter((F.col("vec_id") >= 1)
                                & (F.col("vec_id") < b)))
         segs.upsert(emb.filter(F.col("vec_id") >= a))
+        # round 6: exercise the FULL lifecycle under the same oracle —
+        # fold the tombstones physically (force_merge), sweep the old
+        # dirs + compact the delete set (gc), then upsert an overlap
+        # again so the query ALSO re-pays the live (seg, vec_id)
+        # anti-join over the gc'd stack. Values are the raw table's at
+        # every step, so the flat cosine oracle pins each transition.
+        segs.force_merge()
+        segs.gc()
+        segs.upsert(emb.filter(F.col("vec_id") >= b))
         return segs
 
     segs = _memo_artifact("vectors_stack", sf_dir, build)
@@ -1686,6 +1695,39 @@ def q_curation_funnel(spark, sf_dir):
 MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
 MLT_SEED = 42
 
+# chunk/pack gate parameters (round 6): overlapping stride windows,
+# packed into fixed contexts across 4 deterministic hash shards
+CHUNK_TOKENS, CHUNK_STRIDE = 32, 24
+PACK_CTX, PACK_SHARDS = 64, 4
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (round 6 — gated at last: r5 shipped it
+    pytest-only under a saturated window): split every doc into
+    32-token windows starting every 24 tokens (overlapping —
+    chunk_tokens >= stride gives total coverage). Pure projection +
+    one explode, no shuffle; the DuckDB twin recomputes the windows
+    from generate_series + list slices."""
+    return cu.chunk_documents(_docs(spark, sf_dir),
+                              chunk_tokens=CHUNK_TOKENS,
+                              stride=CHUNK_STRIDE, content_col="text")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing in the SHARDED form that scales
+    (round 6): chunks are laid end to end in salted-hash order within
+    4 deterministic hash shards (first hex digit of the SAME ordering
+    hash — no extra shuffle key), the token stream is cut every 64
+    tokens, and pack ids renumber globally via per-shard ceil(tokens/
+    context) offsets (one 4-row aggregate). Integer arithmetic
+    end-to-end; the single-partition global window of the naive form
+    is gone from the plan (pinned in test_round6)."""
+    chunks = cu.chunk_documents(_docs(spark, sf_dir),
+                                chunk_tokens=CHUNK_TOKENS,
+                                stride=CHUNK_STRIDE, content_col="text")
+    return cu.pack_sequences(chunks, context_tokens=PACK_CTX,
+                             n_shards=PACK_SHARDS)
+
 
 def q_mixture_sample(spark, sf_dir):
     """Domain-mixture selection under one GLOBAL token budget (round 5
@@ -1970,6 +2012,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check_oracle.py replica, run green this round at BOTH sf0.01 and
     # sf0.001).
     return {
+        # ---- new in round 6 ----
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         # ---- new in round 5 (late): curation ladder + SQ8 ANN ----
         "mixture_sample": q_mixture_sample,
         "more_like_this": q_more_like_this,
@@ -2162,6 +2207,32 @@ d AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tl
     FROM documents
+)
+"""
+
+# chunk CTE chain over `d` (ends in ch: one row per stride window) —
+# shared by the chunk gate and the pack gate so the two stages cannot
+# drift apart; literals come from the SAME Python constants the Spark
+# entries pass
+_CHUNK_CTES = f"""
+nn AS (
+    SELECT doc_id, tl, len(tl) AS n FROM d WHERE len(tl) > 0
+),
+st AS (
+    SELECT doc_id, tl, n,
+           unnest(generate_series(
+               0, (n - 1) - ((n - 1) % {CHUNK_STRIDE}),
+               {CHUNK_STRIDE})) AS s
+    FROM nn
+),
+ch AS (
+    SELECT doc_id,
+           (s // {CHUNK_STRIDE})::INT AS chunk_idx,
+           s::BIGINT AS start_token,
+           least({CHUNK_TOKENS}, n - s)::BIGINT AS n_tokens,
+           array_to_string(tl[(s + 1):(s + {CHUNK_TOKENS})], ' ')
+               AS chunk_text
+    FROM st
 )
 """
 
@@ -2413,6 +2484,55 @@ def oracle_sql() -> dict[str, str]:
                         ELSE bucket <= '{cu.rate_threshold_hex(0.0)}'
                    END AS keep
             FROM samp
+        """,
+        "chunk_documents": f"""
+            WITH {_TL_CTE}, {_CHUNK_CTES}
+            SELECT doc_id, chunk_idx, start_token, n_tokens, chunk_text
+            FROM ch
+        """,
+        "pack_sequences": f"""
+            WITH {_TL_CTE}, {_CHUNK_CTES},
+            pb AS (
+                SELECT doc_id, chunk_idx, n_tokens,
+                       substr(sha256(doc_id::VARCHAR || ':' ||
+                                     chunk_idx::VARCHAR || ':s1'),
+                              1, 8) AS pri
+                FROM ch
+            ),
+            sh AS (
+                SELECT *,
+                       ((strpos('0123456789abcdef', substr(pri, 1, 1))
+                         - 1) % {PACK_SHARDS})::INT AS shard
+                FROM pb
+            ),
+            c AS (
+                SELECT doc_id, chunk_idx, shard, n_tokens,
+                       (sum(n_tokens) OVER (
+                            PARTITION BY shard
+                            ORDER BY pri ASC, doc_id ASC, chunk_idx ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+                        - n_tokens)::BIGINT AS cum_before
+                FROM sh
+            ),
+            offs AS (
+                SELECT shard,
+                       coalesce(sum((tot + {PACK_CTX - 1}) // {PACK_CTX})
+                                OVER (ORDER BY shard ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING),
+                                0)::BIGINT AS pack_offset
+                FROM (SELECT shard, sum(n_tokens)::BIGINT AS tot
+                      FROM sh GROUP BY shard)
+            )
+            SELECT c.doc_id, c.chunk_idx,
+                   CAST(c.shard AS VARCHAR) AS stratum, c.n_tokens,
+                   (o.pack_offset + c.cum_before // {PACK_CTX})::BIGINT
+                       AS pack_id,
+                   (c.cum_before % {PACK_CTX})::BIGINT AS "offset",
+                   (c.cum_before % {PACK_CTX}) + c.n_tokens > {PACK_CTX}
+                       AS spans_boundary
+            FROM c JOIN offs o USING (shard)
         """,
         "token_budget_sample": """
             WITH t AS (

@@ -397,6 +397,7 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 512,
 
 def pack_sequences(chunks: DataFrame, context_tokens: int,
                    strata_col: str | None = None,
+                   n_shards: int | None = None,
                    n_tokens_col: str = "n_tokens",
                    id_col: str = "doc_id",
                    idx_col: str = "chunk_idx",
@@ -414,37 +415,83 @@ def pack_sequences(chunks: DataFrame, context_tokens: int,
     end-to-end: pack_id = (cumsum_before) div context, exactly
     reproducible across engines and cluster sizes.
 
-    One window per stratum (pass ``strata_col``; a single global
-    stream serializes into one partition — same trap and same fix as
-    token_budget_sample: shard the stream, pack per shard)."""
+    One window per stratum (pass ``strata_col``), or — for a single
+    global stream — ``n_shards`` (round 6, the r5 default-ergonomics
+    fix): the stream is split into N deterministic shards by the first
+    hex digit of the SAME salted hash that orders it, each shard packs
+    independently (window partitioned by shard — the single-partition
+    trap is gone from the plan), and pack_ids renumber globally by
+    per-shard offsets (one n_shards-row aggregate: shard s starts at
+    sum over s' < s of ceil(shard_tokens / context)). n_shards=1 is
+    bit-identical to the unsharded global stream; larger N trades a
+    bounded amount of pack-boundary padding slack (< n_shards partial
+    packs) for full parallelism."""
     if context_tokens <= 0:
         raise ValueError("context_tokens must be positive")
-    stratum = (F.col(strata_col) if strata_col is not None
-               else F.lit("all")).alias("stratum")
+    if strata_col is not None and n_shards is not None:
+        raise ValueError("pass strata_col or n_shards, not both")
     pri = _hash_bucket(
         F.concat(F.col(id_col).cast("string"), F.lit(":"),
                  F.col(idx_col).cast("string")), salt)
-    w = (Window.partitionBy("stratum")
-         .orderBy(F.asc("pri"), F.asc("doc_id"), F.asc("chunk_idx"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    stratum = (F.col(strata_col) if strata_col is not None
+               else F.lit("all")).alias("stratum")
     base = chunks.select(
         F.col(id_col).alias("doc_id"), F.col(idx_col).alias("chunk_idx"),
         stratum, F.col(n_tokens_col).cast("long").alias("n_tokens"),
         pri.alias("pri"))
+    part_col = "stratum"
+    if n_shards is not None:
+        if n_shards <= 0:
+            raise ValueError("n_shards must be positive")
+        # first hex digit of the ordering hash -> shard in [0, N);
+        # locate() is the strpos() both engines share, so the oracle
+        # reproduces the split with no data literals. Kept as an INT
+        # column so shard offsets order numerically (a string stratum
+        # would order '10' < '2').
+        base = base.withColumn(
+            "shard",
+            F.pmod(
+                F.expr("locate(substring(pri, 1, 1), '0123456789abcdef')")
+                - F.lit(1),
+                F.lit(n_shards)).cast("int")
+        ).withColumn("stratum", F.col("shard").cast("string"))
+        part_col = "shard"
+    w = (Window.partitionBy(part_col)
+         .orderBy(F.asc("pri"), F.asc("doc_id"), F.asc("chunk_idx"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum("n_tokens").over(w).cast("long")
-    before = (cum - F.col("n_tokens")).alias("cum_before")
-    return (
-        base.withColumn("cum_before", before)
-        .select(
-            "doc_id", "chunk_idx", "stratum", "n_tokens",
-            (F.col("cum_before") / context_tokens).cast("long")
-            .alias("pack_id"),
-            F.pmod(F.col("cum_before"), F.lit(context_tokens))
-            .cast("long").alias("offset"),
-            ((F.pmod(F.col("cum_before"), F.lit(context_tokens))
-              + F.col("n_tokens")) > context_tokens)
-            .alias("spans_boundary"),
+    out = base.withColumn("cum_before", (cum - F.col("n_tokens"))
+                          .cast("long"))
+    local_pack = F.expr(f"cum_before div {context_tokens}")
+    if n_shards is not None:
+        # per-shard token totals -> global pack-id offsets: ONE
+        # n_shards-row aggregate + a metadata-sized running sum,
+        # broadcast back (integer arithmetic end-to-end)
+        woff = (Window.orderBy(F.asc("shard"))
+                .rowsBetween(Window.unboundedPreceding, -1))
+        offs = (
+            base.groupBy("shard")
+            .agg(F.sum("n_tokens").cast("long").alias("tot"))
+            .withColumn("n_packs",
+                        F.expr(f"(tot + {context_tokens - 1}) "
+                               f"div {context_tokens}"))
+            .withColumn("pack_offset",
+                        F.coalesce(F.sum("n_packs").over(woff), F.lit(0))
+                        .cast("long"))
+            .select("shard", "pack_offset")
         )
+        out = out.join(F.broadcast(offs), "shard")
+        pack_id = (F.col("pack_offset") + local_pack).cast("long")
+    else:
+        pack_id = local_pack.cast("long")
+    return out.select(
+        "doc_id", "chunk_idx", "stratum", "n_tokens",
+        pack_id.alias("pack_id"),
+        F.pmod(F.col("cum_before"), F.lit(context_tokens))
+        .cast("long").alias("offset"),
+        ((F.pmod(F.col("cum_before"), F.lit(context_tokens))
+          + F.col("n_tokens")) > context_tokens)
+        .alias("spans_boundary"),
     )
 
 

@@ -117,6 +117,53 @@ def main() -> None:
     out["query_stack"] = {"n_segments": n_segs,
                           "topk_wand_sec": round(stack_s, 3)}
     out["query_merged"] = {"topk_wand_sec": round(merged_s, 3)}
+
+    # -- vector sink (round 6): the same O(batch) per-trigger claim for
+    # the embedding side, plus the lifecycle costs the round added —
+    # force_merge (fold tombstones physically), gc (sweep + COMPACT the
+    # delete set: rows before vs after is the unbounded-growth fix).
+    from prosearch_spark.streaming.ingest import VectorStreamingIndexer
+
+    dim = 64
+
+    def emb_of(ids_df, shift: int):
+        return ids_df.select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (((F.col("doc_id") * 7 + j * 3 + shift) % 11)
+                           - 5).cast("float")).alias("embedding"))
+
+    vix = VectorStreamingIndexer(
+        spark, tempfile.mkdtemp(prefix="segbench_vec_"))
+    t0 = time.perf_counter()
+    vix.process_batch(emb_of(docs.select("doc_id"), 0), 0)
+    vbase_s = time.perf_counter() - t0
+    v_wave = []
+    for w, wave in enumerate(waves, start=1):
+        t0 = time.perf_counter()
+        vix.process_batch(emb_of(wave.select("doc_id"), w), w)
+        v_wave.append(round(time.perf_counter() - t0, 3))
+    d = vix.segs._deletes()
+    ndel_before = 0 if d is None else int(d.count())
+    t0 = time.perf_counter()
+    vix.segs.force_merge()
+    merge_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    removed = vix.segs.gc()
+    gc_s = time.perf_counter() - t0
+    d = vix.segs._deletes()
+    out["vector"] = {
+        "dim": dim,
+        "base_commit_sec": round(vbase_s, 3),
+        "wave_sec": v_wave,
+        "wave_mean_sec": round(sum(v_wave) / len(v_wave), 3),
+        "force_merge_sec": round(merge_s, 3),
+        "gc_sec": round(gc_s, 3),
+        "gc_removed_segments": len(removed),
+        "deletes_rows_before_gc": ndel_before,
+        "deletes_rows_after_gc": 0 if d is None else int(d.count()),
+    }
     print(json.dumps(out))
 
 
