@@ -1982,6 +1982,34 @@ def q_msearch_knn(spark, sf_dir):
                                  10, round_to=ROUND)
 
 
+def q_hybrid_rrf_ivf(spark, sf_dir):
+    """Hybrid RRF with BOTH legs on their 100 TB paths (round 6 — the
+    r5 gated hybrids ran the semantic leg as an exact full-table
+    scan): Block-Max WAND over the committed lexical artifact fused
+    with the 2-probe partition-pruned IVF vector artifact (6 of 8
+    bucket directories never read — PartitionFilters pinned in
+    test_round6). The oracle composes the conjunctive-BM25 CTE with
+    knn_ivf's quantizer/probe CTEs and the shared RRF fusion double."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.index.vectors import save_vector_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+    from prosearch_spark.query.hybrid import hybrid_topk_ivf
+
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_hyb_"), text_col="text"))
+    emb = _emb(spark, sf_dir)
+    vart = _memo_artifact("vectors_ivf", sf_dir, lambda: save_vector_index(
+        spark, emb.filter(F.col("vec_id") != 0),
+        tempfile.mkdtemp(prefix="prosearch_vec_"), n_centroids=8,
+        round_to=ROUND))
+    return hybrid_topk_ivf(BlockSearchEngine(spark, art), vart, Q_AND2,
+                           _qvec0(emb), k=10, depth=50, n_probe=2,
+                           round_to=ROUND)
+
+
 def q_msearch_hybrid(spark, sf_dir):
     """Batched HYBRID search (round 5): 4 lexical queries
     (MSEARCH_QUERIES[:4]) pair with 4 query vectors (vec_id < 4,
@@ -2015,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 6 ----
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "hybrid_rrf_ivf": q_hybrid_rrf_ivf,
         # ---- new in round 5 (late): curation ladder + SQ8 ANN ----
         "mixture_sample": q_mixture_sample,
         "more_like_this": q_more_like_this,
@@ -2605,6 +2634,9 @@ def oracle_sql() -> dict[str, str]:
         "msearch_hybrid": osql.multi_hybrid_rrf_sql(
             MSEARCH_QUERIES[:4], n_queries_vec=4, k=10, depth=50,
             k0=60, round_to=ROUND),
+        "hybrid_rrf_ivf": osql.hybrid_rrf_ivf_sql(
+            Q_AND2, k=10, depth=50, round_to=ROUND,
+            n_centroids=8, n_probe=2),
         "hybrid_rrf": osql.hybrid_rrf_sql(Q_AND2, k=10, depth=50,
                                           k0=60, round_to=ROUND),
         "hybrid_rrf_wand": osql.hybrid_rrf_sql(Q_AND2, k=10, depth=50,

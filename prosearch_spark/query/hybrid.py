@@ -134,6 +134,31 @@ def multi_hybrid_topk(engine, emb: DataFrame, queries: list[str],
     return rrf_fuse_batch(lex, sem, k=k, k0=k0, round_to=round_to)
 
 
+def hybrid_topk_ivf(engine, vec_art, q: str, query_vec: list[float],
+                    k: int = 10, depth: int = 50, n_probe: int = 2,
+                    k0: int = DEFAULT_K0,
+                    round_to: int | None = 6) -> DataFrame:
+    """Hybrid serving with BOTH legs on their scale paths (round 6 —
+    the only fusion shape that survives 100 TB of embeddings): the
+    semantic leg is the COMMITTED IVF artifact's partition-pruned
+    probe (index/vectors.VectorArtifact.topk — n_probe bucket
+    directories read, ``PartitionFilters`` at the scan, pinned in
+    test_round6) instead of an exact full-table cosine scan; the
+    lexical leg takes Block-Max WAND when the engine has it
+    (``topk_wand`` — exact, so leg ranks match any other lexical
+    engine) and plain ``topk`` otherwise. Fusion itself is unchanged:
+    two <= ``depth``-row lists, one full-outer join
+    (:func:`rrf_fuse`)."""
+    if hasattr(engine, "topk_wand"):
+        lex, _stats = engine.topk_wand(q, depth, round_to=round_to)
+    else:
+        lex = engine.topk(q, depth, round_to=round_to)
+    sem = vec_art.topk(query_vec, depth, n_probe=n_probe,
+                       round_to=round_to) \
+        .withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse(lex, sem, k=k, k0=k0, round_to=round_to)
+
+
 def hybrid_topk(engine, emb: DataFrame, q: str, query_vec: list[float],
                 k: int = 10, depth: int = 50, k0: int = DEFAULT_K0,
                 round_to: int | None = 6, id_col: str = "vec_id",

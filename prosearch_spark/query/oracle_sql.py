@@ -1617,6 +1617,91 @@ FROM fused
 ORDER BY rrf_score DESC, doc_id ASC LIMIT {k}"""
 
 
+def hybrid_rrf_ivf_sql(q: str, k: int = 10, depth: int = 50,
+                       k0: int = 60, round_to: int = 6,
+                       n_centroids: int = 8, n_probe: int = 2,
+                       qvec_id: int = 0) -> str:
+    """query/hybrid.hybrid_topk_ivf twin: conjunctive-BM25 lexical leg
+    (WAND is exact, so one oracle serves flat and WAND engines) fused
+    with the IVF PROBE as the semantic leg — the same sampled-member
+    quantizer / rounded-l2 assignment / probe CTEs as knn_ivf_sql, cut
+    at ``depth`` inside the probed buckets only (vector CTEs prefixed
+    v* to avoid colliding with the lexical index CTEs). Fusion is the
+    fixed-order two-term 1/(k0+rank) double, rounded before the final
+    rank — bit-identical in both engines."""
+    cte, _ = _scored_docs_cte_qualified(q, conjunctive=True)
+    l2 = ("round(list_dot_product({a}, {a})"
+          " - 2.0 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}), {r})")
+    return f"""WITH {cte},
+lex AS (
+    SELECT rank, doc_id FROM (
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+               doc_id
+        FROM (SELECT doc_id, round(score, {round_to}) AS score FROM docs_scored)
+    ) WHERE rank <= {depth}
+),
+ve AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id <> {qvec_id}
+),
+vq AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+    WHERE vec_id = {qvec_id}
+),
+cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id ASC)::INT AS cidx, v AS cv
+    FROM (SELECT vec_id, v FROM ve ORDER BY vec_id ASC LIMIT {n_centroids})
+),
+assigned AS (
+    SELECT ve.vec_id, ve.v, c.cidx,
+           {l2.format(a='ve.v', b='c.cv', r=round_to)} AS d
+    FROM ve CROSS JOIN cent c
+),
+bucketed AS (
+    SELECT vec_id, v, cidx AS bucket FROM (
+        SELECT vec_id, v, cidx,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cidx ASC) AS rn
+        FROM assigned
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT cidx FROM (
+        SELECT c.cidx, {l2.format(a='vq.qv', b='c.cv', r=round_to)} AS d
+        FROM cent c CROSS JOIN vq
+    ) ORDER BY d ASC, cidx ASC LIMIT {n_probe}
+),
+sem_scored AS (
+    SELECT b.vec_id AS doc_id,
+           round(list_dot_product(b.v, vq.qv)
+                 / (sqrt(list_dot_product(b.v, b.v))
+                    * sqrt(list_dot_product(vq.qv, vq.qv))),
+                 {round_to}) AS cosine
+    FROM bucketed b JOIN probe p ON b.bucket = p.cidx
+    CROSS JOIN vq
+),
+sem AS (
+    SELECT rank, doc_id FROM (
+        SELECT row_number() OVER (ORDER BY cosine DESC, doc_id ASC)::INT AS rank,
+               doc_id
+        FROM sem_scored
+    ) WHERE rank <= {depth}
+),
+fused AS (
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({k0} + lex.rank), 0.0)
+                 + coalesce(1.0 / ({k0} + sem.rank), 0.0),
+                 {round_to}) AS rrf_score,
+           lex.rank AS lex_rank, sem.rank AS sem_rank
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)::INT AS rank,
+       doc_id, rrf_score, lex_rank, sem_rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {k}"""
+
+
 def multi_knn_cosine_sql(n_queries: int = 4, k: int = 10,
                          round_to: int = 6) -> str:
     """ops/similarity.multi_cosine_topk twin: query vectors are

@@ -188,6 +188,34 @@ def test_pack_sequences_sharded_equals_single_stream_and_scales(spark):
     assert "windowspecdefinition(shard" in plan, plan
 
 
+def test_hybrid_ivf_fused_plan_prunes_partitions(spark, corpus, tmp_path):
+    """hybrid_topk_ivf: the FUSED plan still carries the IVF probe's
+    PartitionFilters (the non-probed bucket dirs are never read even
+    under the fusion join), the lexical leg rides WAND, and the result
+    equals the manual rrf_fuse(topk_wand, artifact.topk) composition."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.index.vectors import save_vector_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+    from prosearch_spark.query.hybrid import hybrid_topk_ivf, rrf_fuse
+
+    art = save_index(spark, corpus, str(tmp_path / "lex"),
+                     text_col="content")
+    emb = _toy_emb(spark, n=40)
+    vart = save_vector_index(spark, emb, str(tmp_path / "vec"),
+                             n_centroids=4)
+    eng = BlockSearchEngine(spark, art)
+    fused = hybrid_topk_ivf(eng, vart, "join hash", QVEC, k=10,
+                            depth=20, n_probe=2, round_to=6)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    lex, _stats = eng.topk_wand("join hash", 20, round_to=6)
+    sem = vart.topk(QVEC, 20, n_probe=2, round_to=6) \
+        .withColumnRenamed("vec_id", "doc_id")
+    want = [tuple(r) for r in rrf_fuse(lex, sem, k=10,
+                                       round_to=6).collect()]
+    assert [tuple(r) for r in fused.collect()] == want
+
+
 def test_vector_streaming_sink_then_lifecycle(spark, tmp_path):
     """The streaming sink's stack supports the full lifecycle: ingest
     batches, force_merge + gc, and the live query is unchanged —
