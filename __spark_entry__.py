@@ -1206,6 +1206,30 @@ def q_knn_ivf_artifact(spark, sf_dir):
     return art.topk(qvec, 10, n_probe=2, round_to=ROUND)
 
 
+def q_knn_sq_ivf(spark, sf_dir):
+    """SQ-within-IVF (round 6 — the FAISS ``IVF,SQ8`` composition the
+    r5 docstring only promised): the committed store's 2-of-8 bucket
+    probe prunes partition DIRECTORIES, then the candidate pass reads
+    ONLY the 1-byte commit-time SQ8 code column (4x smaller than the
+    float32 vectors) and selects by EXACT integer dot; only the top-40
+    winners' embeddings are re-read for the exact-cosine re-rank. The
+    oracle re-derives centroids, buckets, bounds, and codes from the
+    raw table — manifest bounds and stored codes must not change a
+    result (VectorArtifact.sq_topk)."""
+    import tempfile
+
+    from prosearch_spark.index.vectors import save_vector_index
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    art = _memo_artifact("vectors_ivf", sf_dir, lambda: save_vector_index(
+        spark, emb.filter(F.col("vec_id") != 0),
+        tempfile.mkdtemp(prefix="prosearch_vec_"), n_centroids=8,
+        round_to=ROUND))
+    return art.sq_topk(qvec, 10, n_probe=2, candidates=40, round_to=ROUND)
+
+
 def q_knn_stack_live(spark, sf_dir):
     """LIVE tombstoned VECTOR stack (round 5): two committed embedding
     segments whose overlap is upserted (old rows tombstoned
@@ -1757,6 +1781,36 @@ def q_more_like_this(spark, sf_dir):
                               round_to=ROUND)
 
 
+def q_more_like_this_blocks(spark, sf_dir):
+    """MoreLikeThis over the COMMITTED artifact through the router
+    (round 6 — the production related-docs shape): seed term
+    frequencies come from the doc-store POINT FETCH + re-analysis
+    (S5 + T1 — never a postings scan: postings bucket by TERM, so one
+    doc's rows span every bucket), selection scoring is the same
+    MLT_TERM_EXPR string over bucket-pruned term_stats, and the final
+    query is disjunctive Block-Max WAND asked for k+1 with the seed
+    dropped after the exact ranking (ArtifactSearcher.more_like_this
+    -> block_engine.more_like_this). Same oracle as the flat MLT —
+    the committed path must not change results."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    def build():
+        art = save_index(
+            spark, _docs(spark, sf_dir),
+            tempfile.mkdtemp(prefix="prosearch_mltstore_"),
+            text_col="text")
+        art.write_doc_store(_docs(spark, sf_dir), ["text"])
+        return art
+
+    art = _memo_artifact("mlt_store", sf_dir, build)
+    hits, _plan = ArtifactSearcher(spark, art).more_like_this(
+        MLT_SEED, 10, max_terms=8, min_df=2, round_to=ROUND)
+    return hits
+
+
 def _curated_stream_stack(spark, sf_dir):
     """Segment stack built through the CURATED streaming sink (round 5
     late): each micro-batch passes the full curation funnel (quality ->
@@ -2044,6 +2098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "hybrid_rrf_ivf": q_hybrid_rrf_ivf,
+        "more_like_this_blocks": q_more_like_this_blocks,
+        "knn_sq_ivf": q_knn_sq_ivf,
         # ---- new in round 5 (late): curation ladder + SQ8 ANN ----
         "mixture_sample": q_mixture_sample,
         "more_like_this": q_more_like_this,
@@ -2463,6 +2519,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "more_like_this": osql.more_like_this_sql(
             MLT_SEED, 10, max_terms=8, min_df=2, round_to=ROUND),
+        # the committed-artifact MLT must reproduce the flat MLT
+        # exactly — one oracle, two physical plans
+        "more_like_this_blocks": osql.more_like_this_sql(
+            MLT_SEED, 10, max_terms=8, min_df=2, round_to=ROUND),
         "decontaminate": f"""
             WITH {_TL_CTE}, {_DECON_CTES}
             SELECT doc_id, n_shingles, n_overlap, contamination_ratio,
@@ -2629,6 +2689,11 @@ def oracle_sql() -> dict[str, str]:
         # committed partition-pruned IVF must not change a result
         "knn_ivf_artifact": osql.knn_ivf_sql(k=10, n_centroids=8,
                                              n_probe=2, round_to=ROUND),
+        # SQ-within-IVF: probe prune x 1-byte codes, every stage
+        # re-derived from the raw table by the oracle
+        "knn_sq_ivf": osql.knn_sq_ivf_sql(k=10, n_centroids=8,
+                                          n_probe=2, candidates=40,
+                                          round_to=ROUND),
         # live tombstoned vector stack == flat cosine over the true set
         "knn_stack_live": _KNN_COSINE_SQL,
         "msearch_hybrid": osql.multi_hybrid_rrf_sql(

@@ -710,6 +710,86 @@ class BlockSearchEngine:
             d = d.join(ex_docs, "doc_id", "left_anti")
         return rank_topk(d, k, round_to)
 
+    def more_like_this(self, seed_doc_id: int, k: int = 10,
+                       max_terms: int = 8, min_df: int = 2,
+                       round_to: int | None = None,
+                       min_prune_blocks: int | None = None,
+                       text_col: str = "text"
+                       ) -> tuple[DataFrame, dict]:
+        """MoreLikeThis over a COMMITTED artifact — the production
+        related-docs shape (serve.rs:336-453 navigation analog; the
+        flat-engine twin is SearchEngine.more_like_this).
+
+        This implements the flat docstring's own 100 TB recipe: the
+        seed's term frequencies come from the DOC-STORE POINT FETCH
+        (S5) + re-analysis (T1, the white_lower Python twin — one doc,
+        driver-side, no postings-scale scan), NOT a postings filter:
+        postings are bucketed by TERM, so "all postings of one doc"
+        would scan every bucket. Selection scoring is Spark-side with
+        ``MLT_TERM_EXPR`` — the ONE SQL string shared with the flat
+        engine and the DuckDB oracle — over the bucket-pruned
+        term_stats of the seed's own terms (<= one doc's vocabulary),
+        so the selected seed-term set is identical to the flat path by
+        construction (6dp grid, ties -> term ASC, df >= min_df).
+
+        The final query is DISJUNCTIVE Block-Max WAND (topk_wand_or)
+        with uniform boost 1.0, asked for k+1 hits; the seed row is
+        then dropped and ranks renumbered. Exactness: topk_wand_or is
+        exact under (rounded score DESC, doc_id ASC), and the top-k of
+        corpus-minus-seed is precisely the first k of the global
+        top-(k+1) with the seed removed — whether or not the seed made
+        the list. Excluding AFTER an exact k+1 ranking keeps the WAND
+        theta sound (a pre-exclusion theta seeded off the usually
+        top-ranked seed doc would be too tight for the survivors).
+        """
+        from prosearch_spark.analyzer import white_lower_py
+        from prosearch_spark.query.bm25 import MLT_TERM_EXPR
+        from prosearch_spark.query.engine import TOPK_SCHEMA
+
+        store = self.artifact.doc_store()
+        if store is None:
+            raise ValueError(
+                "more_like_this needs a doc_store (write_doc_store with "
+                "the analyzed text column) for the S5 seed fetch")
+        rows = (store.filter(F.col("doc_id") == seed_doc_id)
+                .select(text_col).collect())
+        empty = (self.spark.createDataFrame([], TOPK_SCHEMA),
+                 {"blocks_total": 0, "blocks_decoded": 0})
+        if not rows or rows[0][0] is None:
+            return empty
+        from collections import Counter
+        tf = Counter(white_lower_py(rows[0][0]))
+        if not tf:
+            return empty
+        seed_tf = self.spark.createDataFrame(
+            [(t, int(c)) for t, c in sorted(tf.items())],
+            "term string, tf long")
+        sel = (
+            self.artifact.term_stats(sorted(tf))
+            .filter(F.col("df") >= min_df)
+            .join(F.broadcast(seed_tf), "term")
+            .crossJoin(F.broadcast(self.artifact.stats()))
+            .withColumn("mscore", F.expr(MLT_TERM_EXPR))
+            .orderBy(F.desc("mscore"), F.asc("term"))
+            .limit(max_terms)
+        )
+        clauses = [(r["term"], 1.0) for r in sel.select("term").collect()]
+        if not clauses:
+            return empty
+        hits, stats = self.topk_wand_or(
+            "", k + 1, round_to=round_to,
+            min_prune_blocks=min_prune_blocks, clauses=clauses)
+        from pyspark.sql import Window
+        out = (
+            hits.filter(F.col("doc_id") != seed_doc_id)
+            # <= k+1 rows: the harmless k-row rank window
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.asc("rank"))).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("rank", "doc_id", "score")
+        )
+        return out, stats
+
     def topk_filtered(self, q: str, predicate: str, k: int = 10,
                       round_to: int | None = None,
                       clauses: list[tuple[str, float]] | None = None

@@ -1561,6 +1561,88 @@ FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
 
+def knn_sq_ivf_sql(k: int = 10, n_centroids: int = 8, n_probe: int = 2,
+                   candidates: int = 40, round_to: int = 6) -> str:
+    """DuckDB twin of VectorArtifact.sq_topk (SQ-within-IVF): the
+    knn_ivf_sql coarse ladder (sampled-member centroids -> rounded-l2
+    assignment -> n_probe buckets) restricted to probed rows, then the
+    knn_sq algebra INSIDE them — exact (gmin, gmax) bounds over the
+    store, floor-quantized codes, exact-integer dot candidates
+    (sq_score DESC, vec_id ASC, LIMIT candidates), exact-cosine
+    re-rank. Every stage re-derived from the raw table: the committed
+    store's manifest bounds/codes/buckets must not change a result."""
+    l2 = ("round(list_dot_product({a}, {a})"
+          " - 2.0 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}), {r})")
+    quant = ("list_transform({v}, x -> CAST(least(greatest(floor((x - gmin)"
+             " * 255.0 / (gmax - gmin)), 0), 255) AS DOUBLE))")
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id <> 0
+),
+q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+    WHERE vec_id = 0
+),
+cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id ASC)::INT AS cidx, v AS cv
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT {n_centroids})
+),
+assigned AS (
+    SELECT e.vec_id, e.v, c.cidx,
+           {l2.format(a='e.v', b='c.cv', r=round_to)} AS d
+    FROM e CROSS JOIN cent c
+),
+bucketed AS (
+    SELECT vec_id, v, cidx AS bucket FROM (
+        SELECT vec_id, v, cidx,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cidx ASC) AS rn
+        FROM assigned
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT cidx FROM (
+        SELECT c.cidx, {l2.format(a='q.qv', b='c.cv', r=round_to)} AS d
+        FROM cent c CROSS JOIN q
+    ) ORDER BY d ASC, cidx ASC LIMIT {n_probe}
+),
+stats AS (
+    SELECT min(list_min(v)) AS gmin, max(list_max(v)) AS gmax FROM e
+),
+qs AS (
+    SELECT {quant.format(v='qv')} AS qsig FROM q CROSS JOIN stats
+),
+probed AS (
+    SELECT b.vec_id, b.v FROM bucketed b
+    JOIN probe p ON b.bucket = p.cidx
+),
+cand AS (
+    SELECT pr.vec_id,
+           CAST(list_dot_product({quant.format(v='pr.v')}, qsig)
+                AS BIGINT) AS sq_score,
+           pr.v
+    FROM probed pr CROSS JOIN qs CROSS JOIN stats
+),
+top AS (
+    SELECT * FROM cand
+    ORDER BY sq_score DESC, vec_id ASC LIMIT {candidates}
+),
+resc AS (
+    SELECT t.vec_id, t.sq_score,
+           round(list_dot_product(t.v, q.qv)
+                 / (sqrt(list_dot_product(t.v, t.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))),
+                 {round_to}) AS cosine
+    FROM top t CROSS JOIN q
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INT AS rank,
+       vec_id, sq_score, cosine
+FROM resc ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
 _COSINE_SQL = (
     "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), {q})\n"
     "      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),\n"

@@ -70,6 +70,24 @@ class ArtifactSearcher:
         df, _stats = self.block.topk_wand(q, k, round_to)
         return df, "wand"
 
+    def more_like_this(self, seed_doc_id: int, k: int = 10,
+                       round_to: int | None = None,
+                       max_terms: int = 8, min_df: int = 2
+                       ) -> tuple[DataFrame, str]:
+        """Related-docs navigation over the committed deployment
+        (serve.rs:336-453's per-result navigation analog): delegates
+        to the artifact MLT (doc-store seed fetch + re-analysis +
+        disjunctive Block-Max WAND — block_engine.more_like_this).
+        On a fielded deployment MLT still runs over the single-field
+        body artifact passed as ``artifact``: seed-term selection is a
+        per-TERM statistic and the reference's MLT shape is unfielded;
+        fielded boosts are a query-string concern the related-docs
+        query never has."""
+        hits, _stats = self.block.more_like_this(
+            seed_doc_id, k, max_terms=max_terms, min_df=min_df,
+            round_to=round_to, text_col=self.body_col)
+        return hits, "mlt_wand_or"
+
     def msearch(self, queries: list[str], k: int = 10,
                 round_to: int | None = None) -> DataFrame:
         """Batched serving (the Elasticsearch ``_msearch`` analog):

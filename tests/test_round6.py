@@ -242,3 +242,97 @@ def test_vector_streaming_sink_then_lifecycle(spark, tmp_path):
     ix.process_batch(b1, 1)
     assert [tuple(r) for r in ix.segs.topk(QVEC, 6, round_to=6).collect()] \
         == before
+
+
+def test_artifact_mlt_matches_flat_and_routes(spark, corpus, tmp_path):
+    """MoreLikeThis over the committed artifact (r5 verdict item 4):
+    seed terms from the doc-store point fetch + re-analysis, final
+    query via disjunctive WAND with the seed dropped AFTER the exact
+    k+1 ranking — must reproduce the flat engine's MLT exactly, and
+    the router must expose it."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+    from prosearch_spark.query.engine import SearchEngine
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    flat = SearchEngine(spark, build_index(corpus, text_col="content"))
+    art = save_index(spark, corpus, str(tmp_path / "mlt_art"),
+                     text_col="content")
+
+    # no doc_store yet -> the S5 seed fetch must refuse, not scan
+    with pytest.raises(ValueError, match="doc_store"):
+        BlockSearchEngine(spark, art).more_like_this(3, 5)
+
+    art.write_doc_store(corpus, ["content"])
+    be = BlockSearchEngine(spark, art)
+    for seed in (3, 17):
+        want = [tuple(r) for r in flat.more_like_this(
+            seed, 7, max_terms=6, min_df=2, round_to=6).collect()]
+        # forced-pruning plan and the short-circuit plan both match
+        for mpb in (0, None):
+            got, _stats = be.more_like_this(
+                seed, 7, max_terms=6, min_df=2, round_to=6,
+                min_prune_blocks=mpb, text_col="content")
+            assert [tuple(r) for r in got.collect()] == want
+    hits, plan = ArtifactSearcher(spark, art, body_col="content") \
+        .more_like_this(3, 7, round_to=6, max_terms=6, min_df=2)
+    assert plan == "mlt_wand_or"
+    assert [tuple(r) for r in hits.collect()] == [
+        tuple(r) for r in flat.more_like_this(
+            3, 7, max_terms=6, min_df=2, round_to=6).collect()]
+
+
+def test_sq_within_ivf_prunes_and_reads_codes_only(spark, tmp_path):
+    """VectorArtifact.sq_topk (r5 verdict item 6): the candidate scan
+    carries the probe's PartitionFilters AND projects only
+    (vec_id, code) — never the float32 embeddings; the exact re-rank
+    equals brute-force cosine restricted to the integer-dot winners."""
+    from prosearch_spark.index.vectors import save_vector_index
+    from prosearch_spark.ops.similarity import cosine_topk
+
+    emb = _toy_emb(spark, n=60)
+    art = save_vector_index(spark, emb, str(tmp_path / "sqivf"),
+                            n_centroids=4)
+    assert art.manifest["gmax"] > art.manifest["gmin"]
+
+    out = art.sq_topk(QVEC, k=5, n_probe=2, candidates=12, round_to=6)
+    rows = out.collect()
+    assert [r["rank"] for r in rows] == list(range(1, 6))
+
+    # plan pin: partition pruning + code-only projection on the
+    # candidate pass (the embedding column must not be read there)
+    buckets = art.probe_buckets(QVEC, 2)
+    probed = art.vectors().filter(F.col("bucket").isin(buckets))
+    qcodes = F.array(*[F.lit(0).cast("long")] * 8)
+    codes = F.transform(F.col("code"), lambda c: c.cast("long") + F.lit(128))
+    cand_plan = (
+        probed.select("vec_id", F.aggregate(
+            F.zip_with(codes, qcodes, lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, v: acc + v).alias("s"))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in cand_plan and "bucket" in cand_plan
+    scan_schema = cand_plan[cand_plan.index("ReadSchema"):].splitlines()[0]
+    assert "code" in scan_schema and "embedding" not in scan_schema, \
+        scan_schema
+
+    # semantics: exact cosine over the integer-dot candidate set
+    cand_ids = [r["vec_id"] for r in
+                probed.select("vec_id", F.aggregate(
+                    F.zip_with(
+                        codes,
+                        F.array(*[F.lit(min(max(
+                            __import__("math").floor(
+                                (x - art.manifest["gmin"]) * 255.0
+                                / (art.manifest["gmax"]
+                                   - art.manifest["gmin"])), 0), 255))
+                            .cast("long") for x in QVEC]),
+                        lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("sq"))
+                .orderBy(F.desc("sq"), F.asc("vec_id")).limit(12)
+                .collect()]
+    want = [(r["rank"], r["vec_id"], r["cosine"]) for r in cosine_topk(
+        probed.filter(F.col("vec_id").isin(cand_ids)), QVEC, 5,
+        round_to=6).collect()]
+    assert [(r["rank"], r["vec_id"], r["cosine"]) for r in rows] == want
