@@ -2036,6 +2036,31 @@ def q_msearch_knn(spark, sf_dir):
                                  10, round_to=ROUND)
 
 
+def q_msearch_knn_ivf(spark, sf_dir):
+    """Batched PARTITION-PRUNED semantic msearch (round 6 — the
+    committed-store twin of msearch_knn, whose exact full scan is not
+    a 100 TB plan): 4 query vectors (vec_id < 4) probe the IVF
+    artifact per query, then the WHOLE batch runs as ONE job — a
+    single scan of the union of probed bucket directories
+    (PartitionFilters), a broadcast (query_id, bucket) probe-map
+    equi-join so each row scores only against the queries that probed
+    its bucket, and a partitioned-window per-query rank. The oracle
+    re-derives the quantizer, per-query probes, and rankings from the
+    raw table (VectorArtifact.multi_topk)."""
+    import tempfile
+
+    from prosearch_spark.index.vectors import save_vector_index
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    art = _memo_artifact("vectors_ivf4", sf_dir, lambda: save_vector_index(
+        spark, emb.filter(F.col("vec_id") >= 4),
+        tempfile.mkdtemp(prefix="prosearch_vec4_"), n_centroids=8,
+        round_to=ROUND))
+    return art.multi_topk(qs, 10, n_probe=2, round_to=ROUND)
+
+
 def q_hybrid_rrf_ivf(spark, sf_dir):
     """Hybrid RRF with BOTH legs on their 100 TB paths (round 6 — the
     r5 gated hybrids ran the semantic leg as an exact full-table
@@ -2082,6 +2107,38 @@ def q_msearch_hybrid(spark, sf_dir):
                              round_to=ROUND)
 
 
+def q_msearch_hybrid_ivf(spark, sf_dir):
+    """Batched hybrid with BOTH legs on their 100 TB paths (round 6):
+    the lexical batch rides the committed artifact's multi_topk (one
+    shared bucket/term-pruned decode) and the semantic batch rides the
+    COMMITTED IVF store's batched probe (union-of-probed-buckets scan
+    + broadcast probe-map equi-join — PartitionFilters pinned in
+    test_round6); per-query RRF fusion is one partitioned window.
+    Three jobs for the whole batch, but the semantic job reads
+    ~n_probe/n_centroids of the store instead of all of it
+    (hybrid.multi_hybrid_topk_ivf)."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.index.vectors import save_vector_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+    from prosearch_spark.query.hybrid import multi_hybrid_topk_ivf
+
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_hybm_"), text_col="text"))
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    vart = _memo_artifact("vectors_ivf4", sf_dir, lambda: save_vector_index(
+        spark, emb.filter(F.col("vec_id") >= 4),
+        tempfile.mkdtemp(prefix="prosearch_vec4_"), n_centroids=8,
+        round_to=ROUND))
+    return multi_hybrid_topk_ivf(
+        BlockSearchEngine(spark, art), vart, MSEARCH_QUERIES[:4], qs,
+        k=10, depth=50, n_probe=2, round_to=ROUND)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS THE DRIVER'S CHECK ORDER (the driver gates exactly
     # the FIRST 50 keys). New-this-round entries lead (r6: chunk/pack,
@@ -2099,6 +2156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_ivf": q_hybrid_rrf_ivf,
         "more_like_this_blocks": q_more_like_this_blocks,
         "knn_sq_ivf": q_knn_sq_ivf,
+        "msearch_knn_ivf": q_msearch_knn_ivf,
+        "msearch_hybrid_ivf": q_msearch_hybrid_ivf,
         # ---- new in round 5 (late): curation ladder + SQ8 ANN ----
         "mixture_sample": q_mixture_sample,
         "more_like_this": q_more_like_this,
@@ -2147,12 +2206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serve_routed_term": q_serve_routed_term,
         "serve_routed_stack": q_serve_routed_stack,
         "serve_routed_fielded": q_serve_routed_fielded,
-        "bm25_topk_fielded_wand": q_bm25_topk_fielded_wand,
-        "bm25_topk_fielded_blocks": q_bm25_topk_fielded_blocks,
-        # ---- the 50-entry window ends HERE in round 6 (5 new r6
+        # ---- the 50-entry window ends HERE in round 6 (7 new r6
         # entries lead the dict). Displaced this round, all
         # driver-green in r04/r05 on paths untouched or append-only in
-        # r6: bm25_topk_fielded (query/fielded.py has NO r6 diff),
+        # r6: bm25_topk_fielded_wand / bm25_topk_fielded_blocks /
+        # bm25_topk_fielded (query/fielded.py has NO r6 diff),
         # segmented_search / segmented_upsert_search / segmented_wand
         # (index/segments.py has NO r6 diff — the r6 vector-lifecycle
         # work lives in index/vectors.py, a separate module), and
@@ -2161,7 +2219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # more_like_this_blocks; artifact.py save_index/engine paths
         # untouched). Every tail entry is also re-attested by the full
         # check_oracle.py replica, run green this round at sf0.01
-        # (131/131). ----
+        # (131/131 pre-msearch-ivf, rerun after the final additions). ----
+        "bm25_topk_fielded_wand": q_bm25_topk_fielded_wand,
+        "bm25_topk_fielded_blocks": q_bm25_topk_fielded_blocks,
         "bm25_topk_fielded": q_bm25_topk_fielded,
         "segmented_search": q_segmented_search,
         "segmented_upsert_search": q_segmented_upsert_search,
@@ -2706,6 +2766,16 @@ def oracle_sql() -> dict[str, str]:
         "knn_sq_ivf": osql.knn_sq_ivf_sql(k=10, n_centroids=8,
                                           n_probe=2, candidates=40,
                                           round_to=ROUND),
+        # batched IVF msearch: per-query probe ladder + the batched
+        # probe-map equi-join, all re-derived from the raw table
+        "msearch_knn_ivf": osql.multi_knn_ivf_sql(
+            n_queries=4, k=10, n_centroids=8, n_probe=2,
+            round_to=ROUND),
+        # batched hybrid over the batched IVF leg: lexical batch CTE +
+        # per-query probe ladder + the shared RRF fusion double
+        "msearch_hybrid_ivf": osql.multi_hybrid_rrf_ivf_sql(
+            MSEARCH_QUERIES[:4], n_queries_vec=4, k=10, depth=50,
+            k0=60, n_centroids=8, n_probe=2, round_to=ROUND),
         # live tombstoned vector stack == flat cosine over the true set
         "knn_stack_live": _KNN_COSINE_SQL,
         "msearch_hybrid": osql.multi_hybrid_rrf_sql(

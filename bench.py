@@ -310,6 +310,40 @@ def main() -> None:
                            round_to=6).collect()
         queries["q_mlt"] = round(time.perf_counter() - t0, 4)
 
+    # -- round 6: committed-path serving shapes -------------------------------
+    # artifact MLT: doc-store seed fetch + MLT_TERM_EXPR selection +
+    # disjunctive WAND(k+1) — the production related-docs query
+    blk.artifact.write_doc_store(docs, ["text"])
+    with query_mode(spark):
+        t0 = time.perf_counter()
+        mhits, _ms = blk.more_like_this(42, 10, max_terms=8, min_df=2,
+                                        round_to=6)
+        mhits.collect()
+        queries["q_mlt_blocks"] = round(time.perf_counter() - t0, 4)
+
+    # committed IVF store: commit once, then the partition-pruned
+    # probe, the SQ-within-IVF ladder, and the IVF-leg hybrid
+    from prosearch_spark.index.vectors import save_vector_index
+    from prosearch_spark.query.hybrid import hybrid_topk_ivf
+
+    t0 = time.perf_counter()
+    vart = save_vector_index(
+        spark, emb.filter(F.col("vec_id") != 0),
+        tempfile.mkdtemp(prefix="bench_vec_"), n_centroids=8)
+    queries["ivf_commit"] = round(time.perf_counter() - t0, 4)
+    with query_mode(spark):
+        t0 = time.perf_counter()
+        vart.topk(qvec, 10, n_probe=2, round_to=6).collect()
+        queries["q_knn_ivf_probe"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        vart.sq_topk(qvec, 10, n_probe=2, candidates=40,
+                     round_to=6).collect()
+        queries["q_knn_sq_ivf"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        hybrid_topk_ivf(blk, vart, "join hash", qvec, k=10, depth=50,
+                        n_probe=2, round_to=6).collect()
+        queries["q_hybrid_ivf"] = round(time.perf_counter() - t0, 4)
+
     # -- LSH near-dup recall vs exact ground truth (measure, don't
     # guess: the bucketed scale path's quality, not just its speed).
     # Ground truth restricted to a 1000-vector slice so the exact

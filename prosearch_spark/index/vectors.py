@@ -188,6 +188,66 @@ class VectorArtifact:
             F.col("bucket").isin(self.probe_buckets(query_vec, n_probe)))
         return cosine_topk(cand, query_vec, k, round_to=round_to)
 
+    def multi_topk(self, queries: DataFrame, k: int = 10,
+                   n_probe: int = 2,
+                   round_to: int | None = 6) -> DataFrame:
+        """Batched partition-pruned ANN — the msearch shape for the
+        COMMITTED store (round 6; the r5 ``multi_cosine_topk`` batch
+        exact-scans the full table, which is not a 100 TB plan).
+
+        ``queries`` is a small (query_id, qv) DataFrame (the msearch
+        batch contract). Probe buckets are computed driver-side per
+        query (n_centroids floats each — metadata), then the WHOLE
+        batch runs as ONE job: a single scan of the UNION of all
+        probed bucket directories (PartitionFilters — non-probed dirs
+        are never read even for a batch), an equi-join against the
+        broadcast (query_id, bucket) probe map so each row scores ONLY
+        against the queries that probed its bucket (never a cross
+        join), and a PARTITIONED-window per-query rank
+        (WindowGroupLimit). Per-query results are identical to
+        :meth:`topk` — same probe rule, same candidate set, same
+        round-before-rank + (cosine DESC, vec_id ASC) ties.
+
+        Returns (query_id, rank, vec_id, cosine).
+        """
+        from pyspark.sql import Window
+
+        from prosearch_spark.ops.similarity import _norm
+
+        qrows = queries.select("query_id", "qv").collect()  # batch-sized
+        probe_pairs = [
+            (r["query_id"],
+             b) for r in qrows
+            for b in self.probe_buckets([float(x) for x in r["qv"]],
+                                        n_probe)]
+        if not probe_pairs:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, vec_id long, cosine double")
+        buckets = sorted({b for _, b in probe_pairs})
+        pm = self.spark.createDataFrame(
+            probe_pairs, "query_id long, bucket int")
+        # qv widened to double so the elementwise math is the same
+        # float-times-double the single-query literal path runs
+        qd = queries.select(
+            "query_id", F.col("qv").cast("array<double>").alias("qv"))
+        cand = (
+            self.vectors().filter(F.col("bucket").isin(buckets))
+            .join(F.broadcast(pm), "bucket")
+            .join(F.broadcast(qd), "query_id")
+        )
+        sim = _dot(F.col("embedding"), F.col("qv")) / (
+            _norm(F.col("embedding")) * _norm(F.col("qv")))
+        d = cand.select("query_id", "vec_id", sim.alias("cosine"))
+        if round_to is not None:
+            d = d.withColumn("cosine", F.round("cosine", round_to))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id"))
+        return (
+            d.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine")
+        )
+
     def sq_topk(self, query_vec: list[float], k: int = 10,
                 n_probe: int = 2, candidates: int = 40,
                 round_to: int | None = 6) -> DataFrame:

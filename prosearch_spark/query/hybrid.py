@@ -134,6 +134,27 @@ def multi_hybrid_topk(engine, emb: DataFrame, queries: list[str],
     return rrf_fuse_batch(lex, sem, k=k, k0=k0, round_to=round_to)
 
 
+def multi_hybrid_topk_ivf(engine, vec_art, queries: list[str],
+                          qvecs: DataFrame, k: int = 10, depth: int = 50,
+                          n_probe: int = 2, k0: int = DEFAULT_K0,
+                          round_to: int | None = 6) -> DataFrame:
+    """Batched hybrid with BOTH legs on their 100 TB paths (round 6):
+    the lexical batch rides ``engine.multi_topk`` (one shared
+    bucket/term-pruned decode) and the semantic batch rides the
+    COMMITTED IVF artifact's batched probe
+    (:meth:`index.vectors.VectorArtifact.multi_topk` — one scan of the
+    union of probed bucket directories, broadcast probe-map equi-join,
+    partitioned rank); fusion is the same per-query
+    :func:`rrf_fuse_batch`. Still three jobs for the whole batch, but
+    the semantic job now reads ~n_probe/n_centroids of the store
+    instead of all of it."""
+    lex = engine.multi_topk(queries, depth, round_to=round_to)
+    sem = vec_art.multi_topk(qvecs, depth, n_probe=n_probe,
+                             round_to=round_to) \
+        .withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse_batch(lex, sem, k=k, k0=k0, round_to=round_to)
+
+
 def hybrid_topk_ivf(engine, vec_art, q: str, query_vec: list[float],
                     k: int = 10, depth: int = 50, n_probe: int = 2,
                     k0: int = DEFAULT_K0,

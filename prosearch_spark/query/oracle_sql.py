@@ -1561,6 +1561,75 @@ FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
 
+def multi_knn_ivf_sql(n_queries: int = 4, k: int = 10,
+                      n_centroids: int = 8, n_probe: int = 2,
+                      round_to: int = 6) -> str:
+    """VectorArtifact.multi_topk twin: query vectors are
+    embeddings[vec_id < n_queries] (query_id = vec_id — no data
+    literals), the store is the rest; the knn_ivf quantizer/probe
+    ladder runs PER QUERY (probe rank partitioned by query_id) and
+    each candidate row scores only against the queries that probed
+    its bucket — exactly the batched equi-join the Spark side runs."""
+    l2 = ("round(list_dot_product({a}, {a})"
+          " - 2.0 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}), {r})")
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id >= {n_queries}
+),
+qs AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < {n_queries}
+),
+cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id ASC)::INT AS cidx, v AS cv
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT {n_centroids})
+),
+assigned AS (
+    SELECT e.vec_id, e.v, c.cidx,
+           {l2.format(a='e.v', b='c.cv', r=round_to)} AS d
+    FROM e CROSS JOIN cent c
+),
+bucketed AS (
+    SELECT vec_id, v, cidx AS bucket FROM (
+        SELECT vec_id, v, cidx,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cidx ASC) AS rn
+        FROM assigned
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT query_id, cidx FROM (
+        SELECT qs.query_id, c.cidx,
+               row_number() OVER (
+                   PARTITION BY qs.query_id
+                   ORDER BY {l2.format(a='qs.qv', b='c.cv', r=round_to)}
+                            ASC, c.cidx ASC) AS rn
+        FROM cent c CROSS JOIN qs
+    ) WHERE rn <= {n_probe}
+),
+scored AS (
+    SELECT p.query_id, b.vec_id,
+           round(list_dot_product(b.v, qs.qv)
+                 / (sqrt(list_dot_product(b.v, b.v))
+                    * sqrt(list_dot_product(qs.qv, qs.qv))),
+                 {round_to}) AS cosine
+    FROM bucketed b
+    JOIN probe p ON b.bucket = p.cidx
+    JOIN qs ON qs.query_id = p.query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC)::INT AS rank,
+           vec_id, cosine
+    FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def knn_sq_ivf_sql(k: int = 10, n_centroids: int = 8, n_probe: int = 2,
                    candidates: int = 40, round_to: int = 6) -> str:
     """DuckDB twin of VectorArtifact.sq_topk (SQ-within-IVF): the
@@ -1861,6 +1930,124 @@ sem_scored AS (
     SELECT qs.query_id, e.vec_id AS doc_id, {cos} AS cosine
     FROM embeddings e CROSS JOIN qs
     WHERE e.vec_id >= {n_queries_vec}
+),
+sem AS (
+    SELECT query_id, rank, doc_id FROM (
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, doc_id ASC)::INT AS rank,
+               doc_id
+        FROM sem_scored
+    ) WHERE rank <= {depth}
+),
+fused AS (
+    SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+           coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({k0} + lex.rank), 0.0)
+                 + coalesce(1.0 / ({k0} + sem.rank), 0.0),
+                 {round_to}) AS rrf_score,
+           lex.rank AS lex_rank, sem.rank AS sem_rank
+    FROM lex FULL OUTER JOIN sem
+      ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+)
+SELECT query_id, rank, doc_id, rrf_score, lex_rank, sem_rank FROM (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC)::INT AS rank,
+           doc_id, rrf_score, lex_rank, sem_rank
+    FROM fused
+) WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
+def multi_hybrid_rrf_ivf_sql(queries: list[str], n_queries_vec: int,
+                             k: int = 10, depth: int = 50, k0: int = 60,
+                             n_centroids: int = 8, n_probe: int = 2,
+                             round_to: int = 6) -> str:
+    """query/hybrid.multi_hybrid_topk_ivf twin: the
+    multi_hybrid_rrf_sql lexical batch fused with the BATCHED
+    partition-pruned IVF leg (multi_knn_ivf_sql's per-query
+    quantizer/probe ladder over the store vec_id >= n_queries_vec)
+    instead of the exact full-table cosine batch."""
+    parsed = [(qi, analyze_query(q)) for qi, q in enumerate(queries)]
+    rows = [(qi, t, b) for qi, cl in parsed for t, b in cl]
+    score = _qualify(SCORE_EXPR)
+    qvals = ", ".join(f"({qi}, {_sql_str(t)}, {b!r}::DOUBLE)"
+                      for qi, t, b in rows)
+    nvals = ", ".join(f"({qi}, {len(cl)})" for qi, cl in parsed if cl)
+    l2 = ("round(list_dot_product({a}, {a})"
+          " - 2.0 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}), {r})")
+    return f"""WITH {INDEX_CTES},
+qterms(query_id, term, boost) AS (SELECT * FROM (VALUES {qvals})),
+qn(query_id, n_clauses) AS (SELECT * FROM (VALUES {nvals})),
+lex_scored AS (
+    SELECT q.query_id, p.doc_id AS doc_id, {score} AS s
+    FROM qterms q
+    JOIN postings p ON p.term = q.term
+    JOIN term_stats t ON t.term = q.term
+    CROSS JOIN stats
+),
+lex_kept AS (
+    SELECT d.query_id, d.doc_id, round(d.score, {round_to}) AS score
+    FROM (SELECT query_id, doc_id, sum(s) AS score, count(*) AS nmatch
+          FROM lex_scored GROUP BY query_id, doc_id) d
+    JOIN qn USING (query_id)
+    WHERE d.nmatch = qn.n_clauses
+),
+lex AS (
+    SELECT query_id, rank, doc_id FROM (
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC)::INT AS rank,
+               doc_id
+        FROM lex_kept
+    ) WHERE rank <= {depth}
+),
+e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id >= {n_queries_vec}
+),
+qs AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < {n_queries_vec}
+),
+cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id ASC)::INT AS cidx, v AS cv
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT {n_centroids})
+),
+assigned AS (
+    SELECT e.vec_id, e.v, c.cidx,
+           {l2.format(a='e.v', b='c.cv', r=round_to)} AS d
+    FROM e CROSS JOIN cent c
+),
+bucketed AS (
+    SELECT vec_id, v, cidx AS bucket FROM (
+        SELECT vec_id, v, cidx,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cidx ASC) AS rn
+        FROM assigned
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT query_id, cidx FROM (
+        SELECT qs.query_id, c.cidx,
+               row_number() OVER (
+                   PARTITION BY qs.query_id
+                   ORDER BY {l2.format(a='qs.qv', b='c.cv', r=round_to)}
+                            ASC, c.cidx ASC) AS rn
+        FROM cent c CROSS JOIN qs
+    ) WHERE rn <= {n_probe}
+),
+sem_scored AS (
+    SELECT p.query_id, b.vec_id AS doc_id,
+           round(list_dot_product(b.v, qs.qv)
+                 / (sqrt(list_dot_product(b.v, b.v))
+                    * sqrt(list_dot_product(qs.qv, qs.qv))),
+                 {round_to}) AS cosine
+    FROM bucketed b
+    JOIN probe p ON b.bucket = p.cidx
+    JOIN qs ON qs.query_id = p.query_id
 ),
 sem AS (
     SELECT query_id, rank, doc_id FROM (

@@ -336,3 +336,32 @@ def test_sq_within_ivf_prunes_and_reads_codes_only(spark, tmp_path):
         probed.filter(F.col("vec_id").isin(cand_ids)), QVEC, 5,
         round_to=6).collect()]
     assert [(r["rank"], r["vec_id"], r["cosine"]) for r in rows] == want
+
+
+def test_vector_artifact_multi_topk_batches_and_prunes(spark, tmp_path):
+    """VectorArtifact.multi_topk: one scan of the UNION of probed
+    bucket dirs (PartitionFilters survive the batch joins), each row
+    scores only against the queries that probed its bucket, and every
+    per-query slice equals the single-query topk."""
+    from prosearch_spark.index.vectors import save_vector_index
+
+    emb = _toy_emb(spark, n=80)
+    art = save_vector_index(spark, emb.filter(F.col("vec_id") >= 4),
+                            str(tmp_path / "mivf"), n_centroids=5)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    batch = art.multi_topk(qs, k=6, n_probe=2, round_to=6)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+    qrows = qs.collect()
+    assert set(got) == {r["query_id"] for r in qrows}
+    for r in qrows:
+        single = [(x["rank"], x["vec_id"], x["cosine"]) for x in art.topk(
+            [float(v) for v in r["qv"]], 6, n_probe=2,
+            round_to=6).collect()]
+        assert got[r["query_id"]] == single, r["query_id"]

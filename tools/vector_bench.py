@@ -81,11 +81,23 @@ def main() -> None:
         rows = va.topk(qvec, k, n_probe=n_probe).collect()
         return time.perf_counter() - t, [r["vec_id"] for r in rows]
 
-    run_brute(); run_probe()  # warm (codegen + OS page cache)
+    def run_sq() -> tuple[float, list[int]]:
+        # SQ-within-IVF (round 6): same probe prune, but the candidate
+        # pass projects ONLY the 1-byte code column (dim bytes/vec vs
+        # 4*dim for float32 — the two levers multiply), then re-reads
+        # just the winners' embeddings for the exact re-rank
+        t = time.perf_counter()
+        rows = va.sq_topk(qvec, k, n_probe=n_probe, candidates=4 * k,
+                          round_to=6).collect()
+        return time.perf_counter() - t, [r["vec_id"] for r in rows]
+
+    run_brute(); run_probe(); run_sq()  # warm (codegen + OS page cache)
     (b1, brute_ids), (p1, probe_ids) = run_brute(), run_probe()
+    (s1, sq_ids) = run_sq()
     b2, _ = run_brute()
     p2, _ = run_probe()
-    brute_s, probe_s = min(b1, b2), min(p1, p2)
+    s2, _ = run_sq()
+    brute_s, probe_s, sq_s = min(b1, b2), min(p1, p2), min(s1, s2)
 
     probed = va.probe_buckets(qvec, n_probe)
     n_read = va.vectors().filter(F.col("bucket").isin(probed)).count()
@@ -97,10 +109,17 @@ def main() -> None:
         "commit_sec": round(commit_s, 3),
         "brute_topk_sec": round(brute_s, 3),
         "probed_topk_sec": round(probe_s, 3),
+        "sq_ivf_topk_sec": round(sq_s, 3),
         "speedup": round(brute_s / probe_s, 2) if probe_s else None,
+        "sq_speedup_vs_brute": round(brute_s / sq_s, 2) if sq_s else None,
         "store_fraction_read": round(n_read / n, 4),
+        # the candidate pass's per-vector scan bytes: probed buckets x
+        # 1-byte codes vs the full store x 4-byte floats
+        "candidate_bytes_per_vec": {"sq_code": dim, "float32": 4 * dim},
         "recall_at_k": round(
             len(set(brute_ids) & set(probe_ids)) / k, 3),
+        "sq_recall_at_k": round(
+            len(set(brute_ids) & set(sq_ids)) / k, 3),
     }))
     spark.stop()
 
