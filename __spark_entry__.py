@@ -1211,7 +1211,7 @@ def q_knn_sq_ivf(spark, sf_dir):
     r5 docstring only promised): the committed store's 2-of-8 bucket
     probe prunes partition DIRECTORIES, then the candidate pass reads
     ONLY the 1-byte commit-time SQ8 code column (4x smaller than the
-    float32 vectors) and selects by EXACT integer dot; only the top-40
+    float32 vectors) and selects by the asymmetric ADC dot; only the top-40
     winners' embeddings are re-read for the exact-cosine re-rank. The
     oracle re-derives centroids, buckets, bounds, and codes from the
     raw table — manifest bounds and stored codes must not change a
@@ -1859,8 +1859,11 @@ def q_curated_stream_search(spark, sf_dir):
 
 
 def q_knn_sq(spark, sf_dir):
-    """Scalar-quantized ANN (round 5 late): global-uniform SQ8 codes
-    -> integer-dot candidate scan (exact ints, bit-deterministic) ->
+    """Scalar-quantized ANN (round 5 late; round 6 fixes the candidate
+    rule): SQ8 codes of the UNIT-NORMALIZED vectors -> ASYMMETRIC
+    code-vs-raw-unit-query dot (FAISS ADC — symmetric quantized-both-
+    sides dots carry a per-candidate code-sum bias that collapsed
+    recall to 0 on varied-norm corpora, tools/vector_bench.py) ->
     exact-cosine re-rank of the top 40. The 4x-smaller-codes scan is
     the FAISS QT_8bit_uniform shape; composes with the IVF partition
     layout. Oracle recomputes bounds, codes, and both rankings."""
@@ -2410,6 +2413,9 @@ _STRAT_CASE = " ".join(
 
 _SQ_QUANT = ("list_transform({v}, x -> CAST(least(greatest(floor((x - gmin)"
              " * 255.0 / (gmax - gmin)), 0), 255) AS DOUBLE))")
+# SQ codes quantize the UNIT-NORMALIZED vector (similarity.unit_col
+# twin) so the integer dot approximates COSINE, not inner product
+_SQ_UNIT = "list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v})))"
 
 # repetition CTE chain over `d` (ends in repv: per-doc fracs + verdict)
 # — shared by the standalone oracle and the curation funnel
@@ -2718,34 +2724,37 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "knn_sq": f"""
-            WITH stats AS (
-                SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS gmin,
-                       max(list_max(CAST(embedding AS DOUBLE[]))) AS gmax
-                FROM embeddings
+            WITH en AS (
+                SELECT vec_id, v,
+                       {_SQ_UNIT.format(v='v')} AS nv
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings)
+            ),
+            stats AS (
+                SELECT min(list_min(nv)) AS gmin,
+                       max(list_max(nv)) AS gmax
+                FROM en
             ),
             q AS (
-                SELECT CAST(embedding AS DOUBLE[]) AS qv
-                FROM embeddings WHERE vec_id = 0
-            ),
-            qs AS (
-                SELECT {_SQ_QUANT.format(v='qv')} AS qsig, qv
-                FROM q CROSS JOIN stats
+                SELECT v AS qv, nv AS qnv FROM en WHERE vec_id = 0
             ),
             cand AS (
+                -- ASYMMETRIC (ADC): quantized doc codes x RAW unit
+                -- query; selection orders on the raw double, the
+                -- reported score is rounded (ulp-proof value hash)
                 SELECT e.vec_id,
-                       CAST(list_dot_product(
-                           {_SQ_QUANT.format(v='CAST(e.embedding AS DOUBLE[])')},
-                           qsig) AS BIGINT) AS sq_score,
-                       CAST(e.embedding AS DOUBLE[]) AS ev, qv
-                FROM embeddings e CROSS JOIN qs CROSS JOIN stats
+                       list_dot_product({_SQ_QUANT.format(v='e.nv')},
+                                        q.qnv) AS sq_raw,
+                       e.v AS ev, q.qv AS qv
+                FROM en e CROSS JOIN q CROSS JOIN stats
                 WHERE e.vec_id != 0
             ),
             top AS (
                 SELECT * FROM cand
-                ORDER BY sq_score DESC, vec_id ASC LIMIT 40
+                ORDER BY sq_raw DESC, vec_id ASC LIMIT 40
             ),
             resc AS (
-                SELECT vec_id, sq_score,
+                SELECT vec_id, round(sq_raw, {ROUND}) AS sq_score,
                        round(list_dot_product(ev, qv)
                              / (sqrt(list_dot_product(ev, ev))
                                 * sqrt(list_dot_product(qv, qv))), {ROUND}) AS cosine

@@ -107,14 +107,23 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
     # buckets just to learn the bounds; codes are quantized-128 as
     # 1-byte tinyints (4x smaller than float32 — the candidate pass
     # reads ONLY this column, sq_topk), recovered exactly at read.
-    from prosearch_spark.ops.similarity import sq_bounds, sq_quantize_col
+    from prosearch_spark.ops.similarity import (
+        sq_bounds,
+        sq_quantize_col,
+        unit_col,
+    )
 
-    brow = sq_bounds(emb, vec_col).collect()[0]
+    # bounds + codes live in UNIT-NORMALIZED space (unit_col: a
+    # raw-value integer dot ranks by inner product, not cosine)
+    brow = sq_bounds(
+        emb.select(unit_col(F.col(vec_col)).alias("_nv")),
+        "_nv").collect()[0]
     gmin = float(brow["gmin"])
     gmax = float(brow["gmax"])
     if gmax > gmin:
         code = F.transform(
-            sq_quantize_col(F.col(vec_col), F.lit(gmin), F.lit(gmax)),
+            sq_quantize_col(unit_col(F.col(vec_col)),
+                            F.lit(gmin), F.lit(gmax)),
             lambda c: (c - F.lit(128.0)).cast("tinyint"))
     else:
         # degenerate range: every element codes to 0 (FAISS convention)
@@ -259,17 +268,19 @@ class VectorArtifact:
            (same PartitionFilters pin as :meth:`topk`) — the scan
            fraction is ~n_probe/n_centroids of the store;
         2. the candidate pass projects ONLY (vec_id, code): 1-byte
-           commit-time SQ8 codes (4x smaller than the float32
-           embeddings — parquet column pruning makes the projection
-           real), compared by EXACT integer dot against the
-           driver-quantized query (products <= 255*255*dim are exact
-           in every engine), ending in TakeOrderedAndProject;
+           commit-time SQ8 codes of the UNIT-NORMALIZED vectors (4x
+           smaller than the float32 embeddings — parquet column
+           pruning makes the projection real), scored by the
+           ASYMMETRIC code-vs-raw-unit-query dot (FAISS ADC — see the
+           bias note in the body), ending in TakeOrderedAndProject;
         3. only the ``candidates`` winners' embeddings are re-read —
            a second probed-partition scan with a pushed-down
            ``vec_id IN (...)`` filter over k-row ids — and re-ranked
            by exact cosine (round-before-rank, ties vec_id ASC).
 
-        Candidate selection is bit-deterministic (exact ints, exact
+        Candidate selection is bit-deterministic (exact small-int
+        codes as doubles, the same unit-query double list, a fixed
+        fold order, exact
         commit-time bounds from the manifest), so the DuckDB oracle
         reproduces the whole ladder with no data literals — it
         re-derives centroids, buckets, bounds, and codes from the raw
@@ -285,36 +296,43 @@ class VectorArtifact:
                 "artifact committed without SQ8 codes/bounds; "
                 "rebuild with save_vector_index (round 6+)")
 
-        def _qcode(x: float) -> int:
-            # the same ((x - gmin) * 255.0 / (gmax - gmin)) IEEE ops,
-            # left-to-right, as sq_quantize_col / the oracle — floor
-            # on an identical double lands on the same integer
-            if gmax == gmin:
-                return 0
-            c = math.floor((float(x) - gmin) * 255.0 / (gmax - gmin))
-            return min(max(c, 0), 255)
-
+        # ASYMMETRIC candidate score (FAISS ADC): quantized doc codes
+        # dotted against the RAW unit-normalized query. Quantizing the
+        # query too would add the affine code offset times each DOC's
+        # code sum — a per-candidate norm-sum bias that swamps the
+        # cosine signal on clustered corpora (recall@10 measured 0.0
+        # symmetric vs 1.0 asymmetric, tools/vector_bench.py); raw-
+        # query ADC leaves only a constant-per-query term, which
+        # cancels from the ranking. The unit query uses the same
+        # left-to-right norm fold as similarity._norm.
+        nsq = 0.0
+        for x in query_vec:
+            nsq = nsq + float(x) * float(x)
+        n = math.sqrt(nsq)
+        qunit = ([0.0] * len(query_vec) if n == 0.0
+                 else [float(x) / n for x in query_vec])
         buckets = self.probe_buckets(query_vec, n_probe)
         probed = self.vectors().filter(F.col("bucket").isin(buckets))
-        qarr = F.array(*[F.lit(_qcode(x)).cast("long")
-                         for x in query_vec])
+        qarr = F.array(*[F.lit(x) for x in qunit])
         codes = F.transform(F.col("code"),
-                            lambda c: c.cast("long") + F.lit(128))
+                            lambda c: c.cast("double") + F.lit(128.0))
         iscore = F.aggregate(
             F.zip_with(codes, qarr, lambda a, b: a * b),
-            F.lit(0).cast("long"), lambda acc, v: acc + v)
+            F.lit(0.0), lambda acc, v: acc + v)
         cand = (
             probed.select(F.col("vec_id"), iscore.alias("sq_score"))
             .orderBy(F.desc("sq_score"), F.asc("vec_id"))
             .limit(candidates)
         )
-        pairs = [(int(r["vec_id"]), int(r["sq_score"]))
+        pairs = [(int(r["vec_id"]), float(r["sq_score"]))
                  for r in cand.collect()]  # <= candidates rows
         if not pairs:
             return self.spark.createDataFrame(
-                [], "rank int, vec_id long, sq_score long, cosine double")
+                [], "rank int, vec_id long, sq_score double, cosine double")
         sq = self.spark.createDataFrame(
-            pairs, "vec_id long, sq_score long")
+            [(v, _round_half_up(s, round_to) if round_to is not None
+              else s) for v, s in pairs],
+            "vec_id long, sq_score double")
         rescored = (
             probed.filter(F.col("vec_id").isin([p[0] for p in pairs]))
             .select("vec_id", "embedding")

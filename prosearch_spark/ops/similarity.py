@@ -409,6 +409,26 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
 
 # -- scalar quantization (SQ8) ----------------------------------------------
 
+def unit_col(vec_col):
+    """Element-wise unit normalization ``x / ||v||`` — the direction
+    of ``v`` as exact IEEE doubles (same fold order as ``_norm``, so
+    Python/DuckDB twins reproduce every element bit-for-bit).
+
+    SQ candidates MUST quantize the normalized vector (the FAISS
+    convention for cosine/IP search on unnormalized data): an integer
+    dot over raw-value codes ranks by inner product, which favors
+    large-norm vectors and collapses recall against a cosine re-rank
+    on any varied-norm corpus — measured at recall@10 = 0.0 on
+    tools/vector_bench.py's clustered 200k corpus before this fix,
+    1.0 after. A zero vector maps to all-zero codes (cosine against
+    it is undefined anyway)."""
+    n = _norm(vec_col)
+    return F.transform(
+        vec_col,
+        lambda x: F.when(n == F.lit(0.0), F.lit(0.0))
+        .otherwise(x.cast("double") / n))
+
+
 def sq_bounds(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """One-row (gmin, gmax) global range of every vector element — the
     uniform-SQ8 trainer (FAISS ``QT_8bit_uniform`` shape). min/max are
@@ -442,15 +462,17 @@ def sq_quantize_col(vec_col, gmin, gmax):
 def sq_topk(emb: DataFrame, query_id: int = 0, k: int = 10,
             candidates: int = 40, id_col: str = "vec_id",
             vec_col: str = "embedding", round_to: int = 6) -> DataFrame:
-    """Scalar-quantized ANN: SQ8 codes -> integer-dot candidate scan ->
-    exact-cosine re-rank of the top ``candidates``.
+    """Scalar-quantized ANN: SQ8 codes of the UNIT-NORMALIZED vectors
+    -> asymmetric code-vs-raw-query dot candidate scan (approximates
+    cosine — see unit_col and the ADC note below) -> exact-cosine
+    re-rank of the top ``candidates``.
 
-    (rank, vec_id, sq_score, cosine). The candidate pass compares
-    EXACT integers (products <= 255*255*dim are exactly representable
-    as doubles), so candidate selection is bit-deterministic and the
-    DuckDB oracle reproduces it; the final ranking uses the same
-    round-before-rank + (cosine DESC, vec_id ASC) rule as
-    ``cosine_topk``.
+    (rank, vec_id, sq_score, cosine). The candidate pass dots exact
+    small-integer codes (as doubles) against the shared unit-query
+    double list in a fixed fold order, so candidate selection is
+    bit-deterministic and the DuckDB oracle reproduces it; the final
+    ranking uses the same round-before-rank + (cosine DESC, vec_id
+    ASC) rule as ``cosine_topk``.
 
     At 100 TB: codes are 4x smaller than float32 (scan bandwidth /=4
     when the code column is materialized), the candidate pass is one
@@ -458,18 +480,33 @@ def sq_topk(emb: DataFrame, query_id: int = 0, k: int = 10,
     re-rank touches only ``candidates`` rows. Composes with the IVF
     partition layout (quantize within probed buckets).
     """
-    stats = sq_bounds(emb, vec_col)
+    # bounds + codes live in UNIT-NORMALIZED space (see unit_col: a
+    # raw-value dot ranks by inner product, not cosine); the candidate
+    # score is ASYMMETRIC (FAISS ADC): quantized doc codes dotted
+    # against the RAW unit query. Quantizing BOTH sides makes the
+    # affine code offset contribute b*sum(doc codes) — a per-CANDIDATE
+    # norm-sum bias that swamps the signal on clustered corpora
+    # (measured recall@10 = 0.0 on tools/vector_bench.py's 200k corpus
+    # symmetric, 1.0 asymmetric); with the query side raw, the offset
+    # term is b*sum(q) — constant across candidates — and cancels from
+    # the ranking. Codes are exact small ints as doubles and the query
+    # is the same double list in both engines, so the score doubles
+    # are bit-identical (fixed fold order) and selection stays
+    # deterministic.
+    stats = sq_bounds(
+        emb.select(unit_col(F.col(vec_col)).alias("_nv")), "_nv")
     q = (emb.filter(F.col(id_col) == query_id)
          .select(F.col(vec_col).alias("qv")))
     base = (emb.filter(F.col(id_col) != query_id)
             .crossJoin(F.broadcast(stats))
             .crossJoin(F.broadcast(q)))
-    qe = sq_quantize_col(F.col(vec_col), F.col("gmin"), F.col("gmax"))
-    qq = sq_quantize_col(F.col("qv"), F.col("gmin"), F.col("gmax"))
+    qe = sq_quantize_col(unit_col(F.col(vec_col)),
+                         F.col("gmin"), F.col("gmax"))
+    qq = unit_col(F.col("qv"))
     iscore = F.aggregate(
         F.zip_with(qe, qq, lambda a, b: a * b),
         F.lit(0.0), lambda acc, v: acc + v,
-    ).cast("long")
+    )
     cand = (
         base.select(F.col(id_col).alias("vec_id"),
                     iscore.alias("sq_score"),
@@ -478,7 +515,10 @@ def sq_topk(emb: DataFrame, query_id: int = 0, k: int = 10,
         .limit(candidates)
     )
     rescored = cand.select(
-        "vec_id", "sq_score",
+        "vec_id",
+        # selection ordered on the raw double; the REPORTED score is
+        # rounded so the cross-engine value hash is ulp-proof
+        F.round("sq_score", round_to).alias("sq_score"),
         F.round(_dot(F.col("v"), F.col("qv"))
                 / (_norm(F.col("v")) * _norm(F.col("qv"))), round_to)
         .alias("cosine"),

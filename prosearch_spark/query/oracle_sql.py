@@ -1645,14 +1645,19 @@ def knn_sq_ivf_sql(k: int = 10, n_centroids: int = 8, n_probe: int = 2,
           " + list_dot_product({b}, {b}), {r})")
     quant = ("list_transform({v}, x -> CAST(least(greatest(floor((x - gmin)"
              " * 255.0 / (gmax - gmin)), 0), 255) AS DOUBLE))")
+    # codes quantize the UNIT-NORMALIZED vector (similarity.unit_col
+    # twin): the integer dot must approximate cosine, not raw IP
+    unit = "list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v})))"
     return f"""
 WITH e AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    WHERE vec_id <> 0
+    SELECT vec_id, v, {unit.format(v='v')} AS nv
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0)
 ),
 q AS (
-    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-    WHERE vec_id = 0
+    SELECT CAST(embedding AS DOUBLE[]) AS qv,
+           {unit.format(v='CAST(embedding AS DOUBLE[])')} AS qnv
+    FROM embeddings WHERE vec_id = 0
 ),
 cent AS (
     SELECT row_number() OVER (ORDER BY vec_id ASC)::INT AS cidx, v AS cv
@@ -1678,28 +1683,28 @@ probe AS (
     ) ORDER BY d ASC, cidx ASC LIMIT {n_probe}
 ),
 stats AS (
-    SELECT min(list_min(v)) AS gmin, max(list_max(v)) AS gmax FROM e
-),
-qs AS (
-    SELECT {quant.format(v='qv')} AS qsig FROM q CROSS JOIN stats
+    SELECT min(list_min(nv)) AS gmin, max(list_max(nv)) AS gmax FROM e
 ),
 probed AS (
-    SELECT b.vec_id, b.v FROM bucketed b
+    SELECT b.vec_id, b.v, e.nv FROM bucketed b
     JOIN probe p ON b.bucket = p.cidx
+    JOIN e ON e.vec_id = b.vec_id
 ),
 cand AS (
+    -- ASYMMETRIC (ADC): quantized doc codes x RAW unit query;
+    -- selection orders on the raw double, the reported score is
+    -- rounded (ulp-proof value hash)
     SELECT pr.vec_id,
-           CAST(list_dot_product({quant.format(v='pr.v')}, qsig)
-                AS BIGINT) AS sq_score,
+           list_dot_product({quant.format(v='pr.nv')}, q.qnv) AS sq_raw,
            pr.v
-    FROM probed pr CROSS JOIN qs CROSS JOIN stats
+    FROM probed pr CROSS JOIN q CROSS JOIN stats
 ),
 top AS (
     SELECT * FROM cand
-    ORDER BY sq_score DESC, vec_id ASC LIMIT {candidates}
+    ORDER BY sq_raw DESC, vec_id ASC LIMIT {candidates}
 ),
 resc AS (
-    SELECT t.vec_id, t.sq_score,
+    SELECT t.vec_id, round(t.sq_raw, {round_to}) AS sq_score,
            round(list_dot_product(t.v, q.qv)
                  / (sqrt(list_dot_product(t.v, t.v))
                     * sqrt(list_dot_product(q.qv, q.qv))),

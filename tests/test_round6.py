@@ -316,19 +316,20 @@ def test_sq_within_ivf_prunes_and_reads_codes_only(spark, tmp_path):
     assert "code" in scan_schema and "embedding" not in scan_schema, \
         scan_schema
 
-    # semantics: exact cosine over the integer-dot candidate set
+    # semantics: exact cosine over the ADC candidate set (quantized
+    # doc codes x the raw unit query — asymmetric, bias-free)
+    import math
+    qn = math.sqrt(sum(x * x for x in QVEC))
+    qunit = [x / qn for x in QVEC]
+    dcodes = F.transform(F.col("code"),
+                         lambda c: c.cast("double") + F.lit(128.0))
     cand_ids = [r["vec_id"] for r in
                 probed.select("vec_id", F.aggregate(
                     F.zip_with(
-                        codes,
-                        F.array(*[F.lit(min(max(
-                            __import__("math").floor(
-                                (x - art.manifest["gmin"]) * 255.0
-                                / (art.manifest["gmax"]
-                                   - art.manifest["gmin"])), 0), 255))
-                            .cast("long") for x in QVEC]),
+                        dcodes,
+                        F.array(*[F.lit(x) for x in qunit]),
                         lambda a, b: a * b),
-                    F.lit(0).cast("long"),
+                    F.lit(0.0),
                     lambda acc, v: acc + v).alias("sq"))
                 .orderBy(F.desc("sq"), F.asc("vec_id")).limit(12)
                 .collect()]
@@ -365,3 +366,35 @@ def test_vector_artifact_multi_topk_batches_and_prunes(spark, tmp_path):
             [float(v) for v in r["qv"]], 6, n_probe=2,
             round_to=6).collect()]
         assert got[r["query_id"]] == single, r["query_id"]
+
+
+def test_sq_candidates_are_norm_invariant(spark, tmp_path):
+    """Regression for the symmetric-quantization bias: large-norm
+    distractors pointing AWAY from the query must not crowd out
+    small-norm vectors pointing AT it. Before the ADC fix the
+    candidate dot carried a per-candidate code-sum bias and recall
+    collapsed to 0 on clustered corpora (tools/vector_bench.py)."""
+    from prosearch_spark.index.vectors import save_vector_index
+    from prosearch_spark.ops import similarity as sim
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, q)]
+    # ids 1..8: tiny norm, almost exactly the query direction
+    for i in range(1, 9):
+        rows.append((i, [0.01, 0.0001 * i, 0.0, 0.0]))
+    # ids 9..40: huge norm, ~45 degrees off
+    for i in range(9, 41):
+        rows.append((i, [50.0, 50.0, 0.1 * i, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = [r["vec_id"] for r in sim.cosine_topk(
+        emb.filter("vec_id != 0"), q, 5, round_to=6).collect()]
+    flat = [r["vec_id"] for r in sim.sq_topk(
+        emb, query_id=0, k=5, candidates=8).collect()]
+    assert flat == exact  # candidate set must keep the on-axis docs
+
+    art = save_vector_index(spark, emb.filter(F.col("vec_id") != 0),
+                            str(tmp_path / "sqnorm"), n_centroids=2)
+    ivf = [r["vec_id"] for r in art.sq_topk(
+        q, k=5, n_probe=2, candidates=8, round_to=6).collect()]
+    assert ivf == exact
