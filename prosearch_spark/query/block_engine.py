@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prosearch_spark.analyzer import analyze_query
@@ -789,6 +789,77 @@ class BlockSearchEngine:
             .select("rank", "doc_id", "score")
         )
         return out, stats
+
+    def multi_more_like_this(self, seed_doc_ids: list[int], k: int = 10,
+                             max_terms: int = 8, min_df: int = 2,
+                             round_to: int | None = None,
+                             text_col: str = "text") -> DataFrame:
+        """Batched MLT over the COMMITTED artifact — related docs for a
+        whole result page in three jobs (the msearch contract; per-seed
+        semantics identical to :meth:`more_like_this` minus the WAND
+        physical plan, so one oracle gates flat and committed):
+
+        1. ONE doc-store scan fetches every seed's stored text
+           (``doc_id IN (...)`` — row-group skippable), re-analyzed
+           driver-side (|seeds| docs, the T1 Python twin);
+        2. ONE selection job: the union of seed vocabularies against
+           bucket-pruned term_stats, scored by the shared
+           ``MLT_TERM_EXPR``, ranked per seed by a PARTITIONED window;
+           the <= |seeds| x max_terms winners collect;
+        3. ONE scoring job: the selected terms' blocks decode once
+           (bucket/term-pruned) and the shared disjunctive batch tail
+           runs (engine._multi_mlt_rank — per-seed exclusion is
+           ``doc_id != query_id``).
+
+        Returns (query_id, rank, doc_id, score), query_id = seed
+        doc_id.
+        """
+        from collections import Counter
+
+        from prosearch_spark.analyzer import white_lower_py
+        from prosearch_spark.query.bm25 import MLT_TERM_EXPR
+
+        store = self.artifact.doc_store()
+        if store is None:
+            raise ValueError(
+                "multi_more_like_this needs a doc_store (write_doc_store"
+                " with the analyzed text column) for the seed fetch")
+        seeds = [int(s) for s in seed_doc_ids]
+        srows = (store.filter(F.col("doc_id").isin(seeds))
+                 .select("doc_id", text_col).collect())
+        tf_rows = [
+            (int(r["doc_id"]), t, int(c))
+            for r in srows if r[text_col] is not None
+            for t, c in sorted(Counter(white_lower_py(r[text_col])).items())
+        ]
+        empty = self.spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+        if not tf_rows:
+            return empty
+        seed_tf = self.spark.createDataFrame(
+            tf_rows, "query_id long, term string, tf long")
+        vocab = sorted({t for _q, t, _c in tf_rows})
+        sel_rows = (
+            self.artifact.term_stats(vocab)
+            .filter(F.col("df") >= min_df)
+            .join(F.broadcast(seed_tf), "term")
+            .crossJoin(F.broadcast(self.artifact.stats()))
+            .withColumn("mscore", F.expr(MLT_TERM_EXPR))
+            .withColumn("mrank", F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.desc("mscore"), F.asc("term"))))
+            .filter(F.col("mrank") <= max_terms)
+            .select("query_id", "term")
+            .collect()  # <= |seeds| x max_terms rows
+        )
+        if not sel_rows:
+            return empty
+        terms = sorted({r["term"] for r in sel_rows})
+        eng = self._engine_on_blocks(self.artifact.blocks(terms), terms)
+        sel = self.spark.createDataFrame(
+            [(int(r["query_id"]), r["term"]) for r in sel_rows],
+            "query_id long, term string")
+        return eng._multi_mlt_rank(sel, k, round_to)
 
     def topk_filtered(self, q: str, predicate: str, k: int = 10,
                       round_to: int | None = None,

@@ -167,6 +167,72 @@ class SearchEngine:
              .filter(F.col("doc_id") != seed_doc_id))
         return rank_topk(d, k, round_to)
 
+    def multi_more_like_this(self, seed_doc_ids: list[int], k: int = 10,
+                             max_terms: int = 8, min_df: int = 2,
+                             round_to: int | None = None) -> DataFrame:
+        """Batched MoreLikeThis — related docs for a whole result PAGE
+        in ONE declarative plan (the msearch shape for the MLT family;
+        per-seed semantics identical to :meth:`more_like_this`).
+
+        Returns (query_id, rank, doc_id, score), query_id = the seed's
+        doc_id — which makes per-seed exclusion a single
+        ``doc_id != query_id`` predicate after the scoring join. Both
+        stages stay lazy (no per-seed collect loop):
+
+        1. selection: the seeds' postings join term_stats, score by
+           the shared ``MLT_TERM_EXPR`` string, rank per seed with a
+           PARTITIONED window (6dp grid, ties term ASC, df >= min_df),
+           keep ``max_terms`` each — at most |seeds| x max_terms rows;
+        2. scoring: that selection broadcast-joins the postings as a
+           (query_id, term) relation at uniform boost 1.0 —
+           DISJUNCTIVE (no clause-count filter, Lucene MLT's should
+           semantics), one (query_id, doc_id) shuffle, one partitioned
+           round-before-rank window.
+        """
+        sel = (
+            self.index.postings
+            .filter(F.col("doc_id").isin([int(s) for s in seed_doc_ids]))
+            .join(self.index.term_stats, "term")
+            .filter(F.col("df") >= min_df)
+            .crossJoin(F.broadcast(self.index.stats))
+            .withColumn("mscore", F.expr(MLT_TERM_EXPR))
+            .withColumn("mrank", F.row_number().over(
+                Window.partitionBy("doc_id")
+                .orderBy(F.desc("mscore"), F.asc("term"))))
+            .filter(F.col("mrank") <= max_terms)
+            .select(F.col("doc_id").alias("query_id"), "term")
+        )
+        return self._multi_mlt_rank(sel, k, round_to)
+
+    def _multi_mlt_rank(self, sel: DataFrame, k: int,
+                        round_to: int | None) -> DataFrame:
+        """Stage 2 of batched MLT: score a broadcast (query_id, term)
+        seed-term relation disjunctively at uniform boost 1.0, exclude
+        each seed from its own list (doc_id != query_id), rank per
+        query (round-before-rank, partitioned window). Shared by the
+        flat and committed batch paths."""
+        scored = (
+            self.index.postings
+            .join(F.broadcast(sel), "term")
+            .join(F.broadcast(self.index.term_stats), "term")
+            .crossJoin(F.broadcast(self.index.stats))
+            .withColumn("boost", F.lit(1.0))
+            .withColumn("s", F.expr(SCORE_EXPR))
+            .filter(F.col("doc_id") != F.col("query_id"))
+        )
+        d = (scored.groupBy("query_id", "doc_id")
+             .agg(F.sum("s").alias("score")))
+        if round_to is not None:
+            d = d.withColumn("score", F.round("score", round_to))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        return (
+            d.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+            .orderBy("query_id", "rank")
+        )
+
     def topk(self, q: str, k: int = 10, round_to: int | None = None,
              clauses: list[tuple[str, float]] | None = None) -> DataFrame:
         """Q6: top-k by (score DESC, doc_id ASC).

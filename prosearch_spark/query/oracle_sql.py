@@ -2081,3 +2081,51 @@ SELECT query_id, rank, doc_id, rrf_score, lex_rank, sem_rank FROM (
     FROM fused
 ) WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+def multi_more_like_this_sql(seed_doc_ids: list[int], k: int = 10,
+                             max_terms: int = 8, min_df: int = 2,
+                             round_to: int = 6) -> str:
+    """Batched-MLT twin (engine.multi_more_like_this AND
+    block_engine.multi_more_like_this — one oracle, two physical
+    plans): per-seed term selection by MLT_TERM_EXPR (verbatim, 6dp
+    grid, ties term ASC, df >= min_df) via a window PARTITIONED by the
+    seed, then disjunctive uniform-boost BM25 with each seed excluded
+    from its own list (doc_id <> query_id) and a per-query
+    round-before-rank window."""
+    mexpr = _qualify(MLT_TERM_EXPR)
+    score = _qualify(SCORE_EXPR)
+    seeds = ", ".join(str(int(s)) for s in seed_doc_ids)
+    return f"""WITH {INDEX_CTES},
+mltsel AS (
+    SELECT query_id, term, 1.0::DOUBLE AS boost FROM (
+        SELECT p.doc_id AS query_id, p.term AS term,
+               row_number() OVER (
+                   PARTITION BY p.doc_id
+                   ORDER BY {mexpr} DESC, p.term ASC) AS mrank
+        FROM postings p
+        JOIN term_stats t ON t.term = p.term
+        CROSS JOIN stats
+        WHERE p.doc_id IN ({seeds}) AND t.df >= {min_df}
+    ) WHERE mrank <= {max_terms}
+),
+scored AS (
+    SELECT q.query_id, p.doc_id AS doc_id, {score} AS s
+    FROM mltsel q
+    JOIN postings p ON p.term = q.term
+    JOIN term_stats t ON t.term = q.term
+    CROSS JOIN stats
+    WHERE p.doc_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, doc_id, round(sum(s), {round_to}) AS score
+    FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC)::INT AS rank,
+           doc_id, score
+    FROM ranked
+) WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -45,7 +45,8 @@ class ArtifactSearcher:
 
     def __init__(self, spark: SparkSession, artifact,
                  fielded: dict | None = None,
-                 body_col: str = "text"):
+                 body_col: str = "text",
+                 vectors=None, n_probe: int = 2):
         from prosearch_spark.query.block_engine import BlockSearchEngine
         from prosearch_spark.query.fielded import FieldedBlockSearchEngine
 
@@ -55,6 +56,11 @@ class ArtifactSearcher:
         self.fielded = (FieldedBlockSearchEngine(spark, fielded)
                         if fielded else None)
         self.body_col = body_col
+        # optional semantic deployment: a committed IVF VectorArtifact
+        # (index/vectors.py) sharing the lexical doc_id space; enables
+        # hybrid() / msearch_hybrid() with the partition-pruned probe
+        self.vectors = vectors
+        self.n_probe = n_probe
 
     def route(self, q: str, k: int = 10,
               round_to: int | None = None) -> tuple[DataFrame, str]:
@@ -87,6 +93,54 @@ class ArtifactSearcher:
             seed_doc_id, k, max_terms=max_terms, min_df=min_df,
             round_to=round_to, text_col=self.body_col)
         return hits, "mlt_wand_or"
+
+    def msearch_mlt(self, seed_doc_ids: list[int], k: int = 10,
+                    round_to: int | None = None,
+                    max_terms: int = 8, min_df: int = 2) -> DataFrame:
+        """Related docs for a whole result PAGE: the batched committed
+        MLT (block_engine.multi_more_like_this — one doc-store fetch,
+        one per-seed selection window, one decode + disjunctive batch
+        rank; three jobs regardless of page size). Returns
+        (query_id, rank, doc_id, score), query_id = seed doc_id."""
+        return self.block.multi_more_like_this(
+            seed_doc_ids, k, max_terms=max_terms, min_df=min_df,
+            round_to=round_to, text_col=self.body_col)
+
+    def hybrid(self, q: str, query_vec: list[float], k: int = 10,
+               depth: int = 50,
+               round_to: int | None = None) -> tuple[DataFrame, str]:
+        """Hybrid serving over the configured deployments: Block-Max
+        WAND lexical leg + the committed IVF store's partition-pruned
+        probe, fused by RRF (hybrid.hybrid_topk_ivf — the only fusion
+        shape that holds at 100 TB of embeddings). Requires
+        ``vectors`` configured at construction."""
+        from prosearch_spark.query.hybrid import hybrid_topk_ivf
+
+        if self.vectors is None:
+            raise ValueError("no vector artifact configured; pass "
+                             "vectors= to ArtifactSearcher")
+        hits = hybrid_topk_ivf(self.block, self.vectors, q, query_vec,
+                               k=k, depth=depth, n_probe=self.n_probe,
+                               round_to=round_to)
+        return hits, "hybrid_wand_ivf"
+
+    def msearch_hybrid(self, queries: list[str], qvecs: DataFrame,
+                       k: int = 10, depth: int = 50,
+                       round_to: int | None = None) -> DataFrame:
+        """Batched hybrid over the configured deployments: one lexical
+        msearch batch + one batched IVF probe + one fused partitioned
+        rank (hybrid.multi_hybrid_topk_ivf — three jobs per batch).
+        ``qvecs`` is the (query_id, qv) frame pairing with ``queries``
+        by list position."""
+        from prosearch_spark.query.hybrid import multi_hybrid_topk_ivf
+
+        if self.vectors is None:
+            raise ValueError("no vector artifact configured; pass "
+                             "vectors= to ArtifactSearcher")
+        return multi_hybrid_topk_ivf(self.block, self.vectors, queries,
+                                     qvecs, k=k, depth=depth,
+                                     n_probe=self.n_probe,
+                                     round_to=round_to)
 
     def msearch(self, queries: list[str], k: int = 10,
                 round_to: int | None = None) -> DataFrame:

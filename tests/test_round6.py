@@ -398,3 +398,95 @@ def test_sq_candidates_are_norm_invariant(spark, tmp_path):
     ivf = [r["vec_id"] for r in art.sq_topk(
         q, k=5, n_probe=2, candidates=8, round_to=6).collect()]
     assert ivf == exact
+
+
+def test_multi_mlt_equals_per_seed_single(spark, corpus, tmp_path):
+    """Batched MLT (flat AND committed) must reproduce per-seed
+    single-query MLT exactly — same selection grid, same disjunctive
+    scoring, same exclusion — with query_id = seed doc_id."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+    from prosearch_spark.query.engine import SearchEngine
+
+    seeds = [3, 17, 40]
+    flat = SearchEngine(spark, build_index(corpus, text_col="content"))
+    singles = {
+        s: [(r["rank"], r["doc_id"], r["score"]) for r in
+            flat.more_like_this(s, 6, max_terms=5, min_df=2,
+                                round_to=6).collect()]
+        for s in seeds}
+
+    def group(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"]))
+        return out
+
+    batch = group(flat.multi_more_like_this(seeds, 6, max_terms=5,
+                                            min_df=2, round_to=6))
+    assert batch == singles
+
+    art = save_index(spark, corpus, str(tmp_path / "mmlt"),
+                     text_col="content")
+    art.write_doc_store(corpus, ["content"])
+    be = BlockSearchEngine(spark, art)
+    bb = group(be.multi_more_like_this(seeds, 6, max_terms=5, min_df=2,
+                                       round_to=6, text_col="content"))
+    assert bb == singles
+
+
+def test_searcher_serves_hybrid_and_batched_mlt(spark, corpus, tmp_path):
+    """ArtifactSearcher with a vector deployment routes hybrid (single
+    + batched) through the partition-pruned IVF leg, and msearch_mlt
+    through the batched committed MLT — each equal to the direct
+    engine composition."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.index.vectors import save_vector_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+    from prosearch_spark.query.hybrid import (
+        hybrid_topk_ivf,
+        multi_hybrid_topk_ivf,
+    )
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    art = save_index(spark, corpus, str(tmp_path / "lex"),
+                     text_col="content")
+    art.write_doc_store(corpus, ["content"])
+    emb = _toy_emb(spark, n=40)
+    vart = save_vector_index(spark, emb, str(tmp_path / "vec"),
+                             n_centroids=4)
+    s = ArtifactSearcher(spark, art, body_col="content", vectors=vart,
+                         n_probe=2)
+    be = BlockSearchEngine(spark, art)
+
+    hits, plan = s.hybrid("join hash", QVEC, k=8, depth=20, round_to=6)
+    assert plan == "hybrid_wand_ivf"
+    want = [tuple(r) for r in hybrid_topk_ivf(
+        be, vart, "join hash", QVEC, k=8, depth=20, n_probe=2,
+        round_to=6).collect()]
+    assert [tuple(r) for r in hits.collect()] == want
+
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("qv"))
+    queries = ["join hash", "commit"]
+    got = [tuple(r) for r in s.msearch_hybrid(queries, qs, k=5,
+                                              depth=15,
+                                              round_to=6).collect()]
+    assert got == [tuple(r) for r in multi_hybrid_topk_ivf(
+        be, vart, queries, qs, k=5, depth=15, n_probe=2,
+        round_to=6).collect()]
+
+    page = [tuple(r) for r in s.msearch_mlt([3, 17], k=5, max_terms=5,
+                                            min_df=2,
+                                            round_to=6).collect()]
+    assert page == [tuple(r) for r in be.multi_more_like_this(
+        [3, 17], 5, max_terms=5, min_df=2, round_to=6,
+        text_col="content").collect()]
+
+    # no vector deployment -> explicit refusal, not a silent full scan
+    bare = ArtifactSearcher(spark, art, body_col="content")
+    with pytest.raises(ValueError, match="vector artifact"):
+        bare.hybrid("join hash", QVEC)
