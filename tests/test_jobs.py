@@ -127,3 +127,39 @@ def test_build_and_merge_jobs_end_to_end(spark, tmp_path):
     merged = IndexArtifact.load(spark, out)
     assert merged.manifest["n_docs"] < 300  # spam docs physically gone
     assert merged.deletes() is None
+
+
+def test_vector_index_job_end_to_end(spark, tmp_path):
+    from jobs.vector_index_job import main as vec_main
+    from prosearch_spark.index.vectors import VectorArtifact
+    from prosearch_spark.ops.similarity import cosine_topk
+
+    rows = [(i, [float(((i * 7 + j * 3) % 11) - 5) for j in range(8)])
+            for i in range(50)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    src = str(tmp_path / "emb")
+    emb.write.parquet(src)
+    out = str(tmp_path / "vart")
+
+    rc = vec_main(["--input", src, "--output", out,
+                   "--n-centroids", "4", "--report-probe", "2"])
+    assert rc == 0
+
+    report = json.load(open(out + ".report.json"))
+    assert report["n_vectors"] == 50
+    assert report["n_buckets_used"] <= 4
+    assert report["worst_case_probe_fraction"] >= \
+        report["uniform_probe_fraction"]
+
+    art = VectorArtifact.load(spark, out)
+    q = [1.0, -2.0, 0.5, 3.0, -1.0, 0.0, 2.0, -0.5]
+    got = [r["vec_id"] for r in art.topk(q, 5, n_probe=4,
+                                         round_to=6).collect()]
+    # n_probe = all buckets -> exact
+    want = [r["vec_id"] for r in cosine_topk(emb, q, 5,
+                                             round_to=6).collect()]
+    assert got == want
+    assert [r["rank"] for r in art.sq_topk(q, 3, n_probe=4,
+                                           candidates=10).collect()] \
+        == [1, 2, 3]
