@@ -69,10 +69,71 @@ def _l2sq_col(v, c: list[float]):
     return _dot(v, v) - F.lit(2.0) * _dot(v, cl) + _dot(cl, cl)
 
 
+def train_centroids_lloyd(emb: DataFrame, n_centroids: int,
+                          n_iters: int = 5, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          round_to: int = 6) -> list[list[float]]:
+    """Lloyd-refined coarse centroids for the NON-gated quality path.
+
+    The gated quantizer (sampled-member: n smallest ids) is what lets
+    DuckDB re-derive the store with no data literals, but on real
+    corpora sampled members can land in one dense region and skew the
+    bucket sizes — and a giant bucket defeats partition pruning
+    (jobs/vector_index_job.py reports exactly this). This trainer runs
+    standard Lloyd iterations as DataFrames: deterministic init =
+    the sampled-member rule, then per-iteration ONE projection
+    (argmin over centroid literals — no join) + ONE groupBy(bucket)
+    with element-wise float SUMS and a count (map-side combinable;
+    the mean is divided driver-side). An emptied cluster keeps its
+    previous centroid. n_iters x (scan + k-row aggregate) at commit
+    time only.
+
+    NOTE: float sums across partitions make the result run-dependent
+    in the last ulp — fine here because centroids are DATA in the
+    manifest (assignment/probe stay bit-deterministic GIVEN the
+    manifest), but this trainer must never feed a DuckDB-gated entry.
+    Pass the result via ``save_vector_index(centroids=...)``; recall
+    and bucket balance are measured, not hash-gated
+    (tools/vector_bench.py --lloyd)."""
+    cent_rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r[1]] for r in cent_rows]
+    dim = len(cents[0]) if cents else 0
+    for _ in range(n_iters):
+        d_arr = F.array(*[
+            F.round(_l2sq_col(F.col(vec_col), c), round_to)
+            for c in cents
+        ])
+        assigned = emb.select(
+            F.col(vec_col).alias("v"),
+            F.array_position(d_arr, F.array_min(d_arr)).cast("int")
+            .alias("bucket"),
+        )
+        agg = (
+            assigned.groupBy("bucket").agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("v")[j].cast("double")).alias(f"s{j}")
+                  for j in range(dim)])
+            .collect()
+        )
+        by_bucket = {int(r["bucket"]): r for r in agg}
+        cents = [
+            ([by_bucket[i + 1][f"s{j}"] / by_bucket[i + 1]["n"]
+              for j in range(dim)]
+             if i + 1 in by_bucket else cents[i])
+            for i in range(n_centroids)
+        ]
+    return cents
+
+
 def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
                       n_centroids: int = 8, id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      round_to: int = 6) -> "VectorArtifact":
+                      round_to: int = 6,
+                      centroids: list[list[float]] | None = None
+                      ) -> "VectorArtifact":
     """Commit ``emb`` as an IVF artifact partitioned by coarse bucket.
 
     Centroids = the ``n_centroids`` smallest-id member vectors (the
@@ -93,11 +154,19 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
         raise ValueError(
             f"vector artifact already committed at {path}; "
             "write new generations to new directories")
-    cent_rows = (
-        emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids)
-        .collect()
-    )
-    cents = [[float(x) for x in r[1]] for r in cent_rows]
+    if centroids is not None:
+        # caller-trained quantizer (e.g. train_centroids_lloyd) — the
+        # NON-gated quality path; everything downstream (assignment,
+        # probe, SQ) is identical given the manifest
+        if len(centroids) != n_centroids:
+            raise ValueError("len(centroids) != n_centroids")
+        cents = [[float(x) for x in c] for c in centroids]
+    else:
+        cent_rows = (
+            emb.select(id_col, vec_col).orderBy(id_col)
+            .limit(n_centroids).collect()
+        )
+        cents = [[float(x) for x in r[1]] for r in cent_rows]
     d_arr = F.array(*[
         F.round(_l2sq_col(F.col(vec_col), c), round_to) for c in cents
     ])

@@ -490,3 +490,39 @@ def test_searcher_serves_hybrid_and_batched_mlt(spark, corpus, tmp_path):
     bare = ArtifactSearcher(spark, art, body_col="content")
     with pytest.raises(ValueError, match="vector artifact"):
         bare.hybrid("join hash", QVEC)
+
+
+def test_lloyd_centroids_commit_and_balance(spark, tmp_path):
+    """train_centroids_lloyd (non-gated quality path): trained
+    centroids commit through save_vector_index(centroids=...) with
+    everything downstream unchanged (exact at n_probe = all buckets),
+    and an emptied cluster keeps its previous centroid instead of
+    crashing."""
+    from prosearch_spark.index.vectors import (
+        save_vector_index,
+        train_centroids_lloyd,
+    )
+    from prosearch_spark.ops.similarity import cosine_topk
+
+    emb = _toy_emb(spark, n=120)
+    cents = train_centroids_lloyd(emb, 4, n_iters=3)
+    assert len(cents) == 4 and all(len(c) == 8 for c in cents)
+    art = save_vector_index(spark, emb, str(tmp_path / "lloyd"),
+                            n_centroids=4, centroids=cents)
+    got = [r["vec_id"] for r in art.topk(QVEC, 6, n_probe=4,
+                                         round_to=6).collect()]
+    want = [r["vec_id"] for r in cosine_topk(emb, QVEC, 6,
+                                             round_to=6).collect()]
+    assert got == want
+
+    # duplicate-point corpus: most clusters empty every iteration —
+    # the keep-previous fallback must hold the centroid count at k
+    dup = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    cents2 = train_centroids_lloyd(dup, 4, n_iters=2)
+    assert len(cents2) == 4
+
+    with pytest.raises(ValueError, match="n_centroids"):
+        save_vector_index(spark, emb, str(tmp_path / "bad"),
+                          n_centroids=8, centroids=cents)

@@ -17,7 +17,11 @@ the store the probe reads, and recall@k of probed vs brute — the
 speed/recall trade the n_probe knob buys at any scale.
 
 Usage: python tools/vector_bench.py [n_vectors] [dim] [n_centroids]
-       [n_probe]   (defaults 200000 64 64 4). Prints one JSON line.
+       [n_probe] [lloyd]   (defaults 200000 64 64 4). A 5th arg
+       "lloyd" trains the quantizer with train_centroids_lloyd (the
+       non-gated quality path) instead of the sampled-member rule —
+       compare `largest_bucket_fraction` and recall between the two.
+       Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -62,9 +66,16 @@ def main() -> None:
         ).alias("embedding"),
     )
 
+    lloyd = len(sys.argv) > 5 and sys.argv[5] == "lloyd"
     root = tempfile.mkdtemp(prefix="vecbench_")
     t0 = time.perf_counter()
-    va = save_vector_index(spark, emb, root, n_centroids=n_cent)
+    cents = None
+    if lloyd:
+        from prosearch_spark.index.vectors import train_centroids_lloyd
+
+        cents = train_centroids_lloyd(emb, n_cent, n_iters=5)
+    va = save_vector_index(spark, emb, root, n_centroids=n_cent,
+                           centroids=cents)
     commit_s = time.perf_counter() - t0
 
     qvec = [float(x) for x in
@@ -101,9 +112,13 @@ def main() -> None:
 
     probed = va.probe_buckets(qvec, n_probe)
     n_read = va.vectors().filter(F.col("bucket").isin(probed)).count()
+    largest = max(r["n"] for r in va.vectors().groupBy("bucket")
+                  .agg(F.count("*").alias("n")).collect())
 
     print(json.dumps({
         "metric": "ivf_partition_pruning",
+        "quantizer": "lloyd" if lloyd else "sampled",
+        "largest_bucket_fraction": round(largest / n, 4),
         "n_vectors": n, "dim": dim, "n_centroids": n_cent,
         "n_probe": n_probe,
         "commit_sec": round(commit_s, 3),
