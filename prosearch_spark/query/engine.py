@@ -211,10 +211,15 @@ class SearchEngine:
         each seed from its own list (doc_id != query_id), rank per
         query (round-before-rank, partitioned window). Shared by the
         flat and committed batch paths."""
+        # term_stats is vocabulary-sized — bound the broadcast to the
+        # <= |seeds| x max_terms selected terms before shipping it
+        ts = self.index.term_stats.join(
+            F.broadcast(sel.select("term").distinct()), "term",
+            "left_semi")
         scored = (
             self.index.postings
             .join(F.broadcast(sel), "term")
-            .join(F.broadcast(self.index.term_stats), "term")
+            .join(F.broadcast(ts), "term")
             .crossJoin(F.broadcast(self.index.stats))
             .withColumn("boost", F.lit(1.0))
             .withColumn("s", F.expr(SCORE_EXPR))
