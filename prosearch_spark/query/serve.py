@@ -110,19 +110,23 @@ class ArtifactSearcher:
                depth: int = 50,
                round_to: int | None = None) -> tuple[DataFrame, str]:
         """Hybrid serving over the configured deployments: Block-Max
-        WAND lexical leg + the committed IVF store's partition-pruned
-        probe, fused by RRF (hybrid.hybrid_topk_ivf — the only fusion
-        shape that holds at 100 TB of embeddings). Requires
-        ``vectors`` configured at construction."""
+        WAND lexical leg (FIELDED WAND when a fielded deployment is
+        configured — the same schema-choice preference route() makes)
+        + the committed IVF store's partition-pruned probe, fused by
+        RRF (hybrid.hybrid_topk_ivf — the only fusion shape that holds
+        at 100 TB of embeddings). Requires ``vectors`` configured at
+        construction."""
         from prosearch_spark.query.hybrid import hybrid_topk_ivf
 
         if self.vectors is None:
             raise ValueError("no vector artifact configured; pass "
                              "vectors= to ArtifactSearcher")
-        hits = hybrid_topk_ivf(self.block, self.vectors, q, query_vec,
+        lex_eng = self.fielded if self.fielded is not None else self.block
+        hits = hybrid_topk_ivf(lex_eng, self.vectors, q, query_vec,
                                k=k, depth=depth, n_probe=self.n_probe,
                                round_to=round_to)
-        return hits, "hybrid_wand_ivf"
+        return hits, ("hybrid_fielded_wand_ivf" if self.fielded
+                      else "hybrid_wand_ivf")
 
     def msearch_hybrid(self, queries: list[str], qvecs: DataFrame,
                        k: int = 10, depth: int = 50,
@@ -137,7 +141,8 @@ class ArtifactSearcher:
         if self.vectors is None:
             raise ValueError("no vector artifact configured; pass "
                              "vectors= to ArtifactSearcher")
-        return multi_hybrid_topk_ivf(self.block, self.vectors, queries,
+        lex_eng = self.fielded if self.fielded is not None else self.block
+        return multi_hybrid_topk_ivf(lex_eng, self.vectors, queries,
                                      qvecs, k=k, depth=depth,
                                      n_probe=self.n_probe,
                                      round_to=round_to)

@@ -526,3 +526,41 @@ def test_lloyd_centroids_commit_and_balance(spark, tmp_path):
     with pytest.raises(ValueError, match="n_centroids"):
         save_vector_index(spark, emb, str(tmp_path / "bad"),
                           n_centroids=8, centroids=cents)
+
+
+def test_searcher_hybrid_prefers_fielded_leg(spark, corpus, tmp_path):
+    """With a fielded deployment configured, hybrid() runs the lexical
+    leg as FIELDED WAND (the same schema preference route() makes) and
+    reports it in the plan name; the result equals the direct
+    composition."""
+    from prosearch_spark.index.artifact import (
+        save_fielded_index,
+        save_index,
+    )
+    from prosearch_spark.index.vectors import save_vector_index
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+    from prosearch_spark.query.hybrid import hybrid_topk_ivf
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    docs = corpus.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("content", r"\s+"), 1, 4))
+        .alias("title"),
+        F.col("content").alias("body"))
+    arts = save_fielded_index(
+        spark, docs, str(tmp_path / "fidx"),
+        {"title": "title", "body": "body"},
+        positional_fields=frozenset({"body"}))
+    art = save_index(spark, corpus, str(tmp_path / "plain"),
+                     text_col="content")
+    vart = save_vector_index(spark, _toy_emb(spark, n=40),
+                             str(tmp_path / "vec"), n_centroids=4)
+
+    s = ArtifactSearcher(spark, art, fielded=arts, body_col="content",
+                        vectors=vart)
+    hits, plan = s.hybrid("join hash", QVEC, k=8, depth=20, round_to=6)
+    assert plan == "hybrid_fielded_wand_ivf"
+    want = [tuple(r) for r in hybrid_topk_ivf(
+        FieldedBlockSearchEngine(spark, arts), vart, "join hash", QVEC,
+        k=8, depth=20, n_probe=2, round_to=6).collect()]
+    assert [tuple(r) for r in hits.collect()] == want
