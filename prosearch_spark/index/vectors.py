@@ -582,16 +582,28 @@ class VectorSegments:
                                  round_to=round_to)
 
     def compact_to(self, path: str, n_centroids: int = 8,
-                   round_to: int = 6) -> VectorArtifact:
+                   round_to: int = 6,
+                   centroids: list[list[float]] | None = None
+                   ) -> VectorArtifact:
         """Fold the live rows into a partition-pruned IVF artifact
         (tier 1) — tombstones applied physically, the stack left
         untouched for slower readers; the caller swaps its pointer.
         In-stack compaction (the thing that bounds the stack itself)
-        is :meth:`force_merge` + :meth:`gc`."""
+        is :meth:`force_merge` + :meth:`gc`. ``centroids`` passes a
+        trained quantizer through (train_centroids_lloyd — the
+        non-gated quality path).
+
+        Serving tiers, deliberately: the STACK serves exact cosine
+        (recent data, O(ingest window) rows — probe pruning and SQ
+        codes would buy little and per-segment bounds would need a
+        shared quantizer across independently-written segments); the
+        ARTIFACT is the big immutable store where the IVF partitions
+        and the commit-time SQ codes pay. Compaction is the boundary
+        where rows cross from the exact tier to the pruned tier."""
         return save_vector_index(self.spark, self.live(), path,
                                  n_centroids=n_centroids,
                                  id_col="vec_id", vec_col="embedding",
-                                 round_to=round_to)
+                                 round_to=round_to, centroids=centroids)
 
     # -- lifecycle: merge / snapshots / gc (round 6 — segments.py parity) -----
 
