@@ -172,23 +172,27 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
     ])
     # SQ8 trainer runs AT COMMIT (FAISS QT_8bit_uniform shape): the
     # global (gmin, gmax) range is two exact min/max aggregates over
-    # the store — one extra pass now so no query ever scans unprobed
-    # buckets just to learn the bounds; codes are quantized-128 as
-    # 1-byte tinyints (4x smaller than float32 — the candidate pass
-    # reads ONLY this column, sq_topk), recovered exactly at read.
+    # the store, folded into the SAME input pass as the manifest row
+    # count (one scan pays for both — the r5 "commit metadata from
+    # metadata" rule); codes are quantized-128 as 1-byte tinyints (4x
+    # smaller than float32 — the candidate pass reads ONLY this
+    # column, sq_topk), recovered exactly at read.
     from prosearch_spark.ops.similarity import (
-        sq_bounds,
         sq_quantize_col,
         unit_col,
     )
 
     # bounds + codes live in UNIT-NORMALIZED space (unit_col: a
     # raw-value integer dot ranks by inner product, not cosine)
-    brow = sq_bounds(
-        emb.select(unit_col(F.col(vec_col)).alias("_nv")),
-        "_nv").collect()[0]
-    gmin = float(brow["gmin"])
-    gmax = float(brow["gmax"])
+    nv = unit_col(F.col(vec_col))
+    brow = emb.agg(
+        F.count("*").alias("n"),
+        F.min(F.array_min(nv)).cast("double").alias("gmin"),
+        F.max(F.array_max(nv)).cast("double").alias("gmax"),
+    ).collect()[0]
+    n = int(brow["n"])
+    gmin = float(brow["gmin"]) if brow["gmin"] is not None else 0.0
+    gmax = float(brow["gmax"]) if brow["gmax"] is not None else 0.0
     if gmax > gmin:
         code = F.transform(
             sq_quantize_col(unit_col(F.col(vec_col)),
@@ -207,7 +211,10 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
     )
     assigned.write.partitionBy("bucket").parquet(
         os.path.join(path, "vectors"))
-    n = int(spark.read.parquet(os.path.join(path, "vectors")).count())
+    # n_vectors comes from the SAME aggregate that trained the SQ
+    # bounds (assignment is a pure projection, so input rows == store
+    # rows); the old post-write count re-read the entire store per
+    # commit — a store-scale scan removed at 100 TB
     manifest = {
         "n_centroids": n_centroids,
         "centroids": cents,
