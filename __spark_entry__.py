@@ -330,6 +330,27 @@ def q_msearch_topk(spark, sf_dir):
         MSEARCH_QUERIES, 10, round_to=ROUND)
 
 
+def q_msearch_or(spark, sf_dir):
+    """Batched DISJUNCTIVE msearch with minimum_should_match (round 6
+    — completes the boolean batch family: conjunctive/quoted/ANN/MLT
+    batches all exist): the MSEARCH_QUERIES batch served should-clause
+    at min_match=2, one decode + one partitioned rank over the
+    committed artifact (block_engine.multi_topk_or; per-query
+    semantics identical to the gated topk_or). Single-clause members
+    and the zero-hit member contribute no rows at min_match=2 — the
+    oracle's relaxed HAVING reproduces exactly that."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("plain", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_blocks_"), text_col="text"))
+    return BlockSearchEngine(spark, art).multi_topk_or(
+        MSEARCH_QUERIES, 10, round_to=ROUND, min_match=2)
+
+
 def q_search_snippet(spark, sf_dir):
     """Q10: snippet generation over the top-k rows — oracle-gated: the
     DuckDB twin recomputes the best-window + highlight algebra in SQL
@@ -2207,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msearch_hybrid_ivf": q_msearch_hybrid_ivf,
         "msearch_mlt": q_msearch_mlt,
         "msearch_mlt_blocks": q_msearch_mlt_blocks,
+        "msearch_or": q_msearch_or,
         # ---- new in round 5 (late): curation ladder + SQ8 ANN ----
         "mixture_sample": q_mixture_sample,
         "more_like_this": q_more_like_this,
@@ -2252,14 +2274,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_min2of3": q_bm25_topk_min2of3,
         "bm25_topk_mixed_blocks": q_bm25_topk_mixed_blocks,
         "bm25_topk_not": q_bm25_topk_not,
-        "serve_routed_term": q_serve_routed_term,
-        # ---- the 50-entry window ends HERE in round 6 (9 new r6
+        # ---- the 50-entry window ends HERE in round 6 (10 new r6
         # entries lead the dict). Displaced this round, all
         # driver-green in r04/r05 on paths untouched or append-only in
-        # r6: serve_routed_stack / serve_routed_fielded (serve.py's r6
-        # diff is ONE appended method, more_like_this — route() and
-        # msearch() are unchanged, and their delegate engines are
-        # gated in-window), bm25_topk_fielded_wand /
+        # r6: serve_routed_term / serve_routed_stack /
+        # serve_routed_fielded (serve.py's r6 diff is appended methods
+        # only — more_like_this / msearch_mlt / hybrid /
+        # msearch_hybrid; route() and msearch() are unchanged, and
+        # their delegate engines are gated in-window),
+        # bm25_topk_fielded_wand /
         # bm25_topk_fielded_blocks / bm25_topk_fielded
         # (query/fielded.py has NO r6 diff), segmented_search /
         # segmented_upsert_search / segmented_wand (index/segments.py
@@ -2271,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # save_index/engine paths untouched). Every tail entry is also
         # re-attested by the full check_oracle.py replica, run green
         # at sf0.01 this round after the final additions (135/135). ----
+        "serve_routed_term": q_serve_routed_term,
         "serve_routed_stack": q_serve_routed_stack,
         "serve_routed_fielded": q_serve_routed_fielded,
         "bm25_topk_fielded_wand": q_bm25_topk_fielded_wand,
@@ -2841,6 +2865,10 @@ def oracle_sql() -> dict[str, str]:
             MLT_SEEDS, 10, max_terms=8, min_df=2, round_to=ROUND),
         "msearch_mlt_blocks": osql.multi_more_like_this_sql(
             MLT_SEEDS, 10, max_terms=8, min_df=2, round_to=ROUND),
+        # disjunctive batch = the conjunctive batch CTE with the
+        # HAVING relaxed to >= min_match
+        "msearch_or": osql.multi_topk_sql(MSEARCH_QUERIES, 10, ROUND,
+                                          min_match=2),
         # live tombstoned vector stack == flat cosine over the true set
         "knn_stack_live": _KNN_COSINE_SQL,
         "msearch_hybrid": osql.multi_hybrid_rrf_sql(

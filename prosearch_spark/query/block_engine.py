@@ -154,6 +154,27 @@ class BlockSearchEngine:
         return SearchEngine(self.spark, idx).multi_topk(queries, k,
                                                         round_to)
 
+    def multi_topk_or(self, queries: list[str], k: int = 10,
+                      round_to: int | None = None,
+                      min_match: int = 1) -> DataFrame:
+        """Batched DISJUNCTIVE msearch over the committed artifact —
+        same one-decode batch shape as :meth:`multi_topk` (bucket/term
+        pruning only; per-query rarest-term or score pruning cannot
+        batch), per-query semantics identical to the flat
+        :meth:`SearchEngine.topk_or`."""
+        terms = sorted({t for q in queries for t, _ in analyze_query(q)})
+        if not terms:
+            from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA
+
+            return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
+        postings = apply_deletes(decode_blocks(self.artifact.blocks(terms)),
+                                 self.artifact.deletes())
+        idx = InvertedIndex(postings=postings,
+                            term_stats=self.artifact.term_stats(terms),
+                            stats=self.artifact.stats())
+        return SearchEngine(self.spark, idx).multi_topk_or(
+            queries, k, round_to, min_match=min_match)
+
     def _engine_on_blocks(self, blocks: DataFrame, terms: list[str],
                           predicate: str | None = None) -> SearchEngine:
         """Decode the given block rows (tombstones applied) and wrap a

@@ -274,6 +274,27 @@ class SearchEngine:
         over analyzed clauses, round-before-rank, (score DESC, doc_id
         ASC) tie-break); a query that analyzes to zero clauses
         contributes no rows."""
+        return self._multi_topk_impl(queries, k, round_to,
+                                     conjunctive=True)
+
+    def multi_topk_or(self, queries: list[str], k: int = 10,
+                      round_to: int | None = None,
+                      min_match: int = 1) -> DataFrame:
+        """Batched DISJUNCTIVE multi-query top-k (should-clause
+        msearch with minimum_should_match): same one-plan batch shape
+        as :meth:`multi_topk`, but a doc qualifies for a query when it
+        matches >= ``min_match`` of that query's clauses (per-query
+        semantics identical to :meth:`topk_or`). Completes the boolean
+        batch family: conjunctive (multi_topk), quoted
+        (multi_mixed_topk), related-docs (multi_more_like_this) — all
+        one job per batch."""
+        return self._multi_topk_impl(queries, k, round_to,
+                                     conjunctive=False,
+                                     min_match=min_match)
+
+    def _multi_topk_impl(self, queries: list[str], k: int,
+                         round_to: int | None, conjunctive: bool,
+                         min_match: int = 1) -> DataFrame:
         parsed = [(qi, analyze_query(q)) for qi, q in enumerate(queries)]
         rows = [(qi, t, b) for qi, cl in parsed for t, b in cl]
         if not rows:
@@ -296,8 +317,11 @@ class SearchEngine:
             scored.groupBy("query_id", "doc_id")
             .agg(F.sum("s").alias("score"), F.count("*").alias("nmatch"))
             .join(F.broadcast(ndf), "query_id")
-            .filter(F.col("nmatch") == F.col("n_clauses"))
         )
+        if conjunctive:
+            d = d.filter(F.col("nmatch") == F.col("n_clauses"))
+        elif min_match > 1:
+            d = d.filter(F.col("nmatch") >= min_match)
         if round_to is not None:
             d = d.withColumn("score", F.round("score", round_to))
         w = Window.partitionBy("query_id").orderBy(

@@ -154,14 +154,17 @@ def topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
 
 
 def multi_topk_sql(queries: list[str], k: int = 10,
-                   round_to: int = 6) -> str:
+                   round_to: int = 6,
+                   min_match: int | None = None) -> str:
     """Batched multi-query oracle — twin of
     SearchEngine/BlockSearchEngine.multi_topk: one (query_id, term,
     boost) relation joined against the shared postings CTE, per-query
     conjunction via the clause count, per-query round-before-rank with
     the (score DESC, doc_id ASC) tie-break. A query that analyzes to
     zero clauses contributes no rows (it is simply absent from the
-    VALUES lists)."""
+    VALUES lists). ``min_match=None`` keeps the default conjunction;
+    an int relaxes to should-clause semantics (twin of multi_topk_or:
+    match >= min_match clauses)."""
     parsed = [(qi, analyze_query(q)) for qi, q in enumerate(queries)]
     rows = [(qi, t, b) for qi, cl in parsed for t, b in cl]
     if not rows:
@@ -190,8 +193,10 @@ def multi_topk_sql(queries: list[str], k: int = 10,
         "    SELECT d.query_id, d.doc_id,\n"
         f"           round(d.score, {round_to}) AS score\n"
         "    FROM docs_scored d JOIN qn USING (query_id)\n"
-        "    WHERE d.nmatch = qn.n_clauses\n"
-        "),\n"
+        + ("    WHERE d.nmatch = qn.n_clauses\n" if min_match is None
+           else (f"    WHERE d.nmatch >= {min_match}\n"
+                 if min_match > 1 else ""))
+        + "),\n"
         "ranked AS (\n"
         "    SELECT query_id,\n"
         "           row_number() OVER (PARTITION BY query_id\n"

@@ -564,3 +564,32 @@ def test_searcher_hybrid_prefers_fielded_leg(spark, corpus, tmp_path):
         FieldedBlockSearchEngine(spark, arts), vart, "join hash", QVEC,
         k=8, depth=20, n_probe=2, round_to=6).collect()]
     assert [tuple(r) for r in hits.collect()] == want
+
+
+def test_multi_topk_or_equals_per_query_topk_or(spark, corpus, tmp_path):
+    """Batched disjunctive msearch: every per-query slice equals the
+    single-query topk_or at the same min_match, flat and committed."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+    from prosearch_spark.query.engine import SearchEngine
+
+    queries = ["join hash", "commit merge index", "zzzznothing",
+               "hash"]
+    flat = SearchEngine(spark, build_index(corpus, text_col="content"))
+    art = save_index(spark, corpus, str(tmp_path / "msor"),
+                     text_col="content")
+    be = BlockSearchEngine(spark, art)
+
+    for mm in (1, 2):
+        for eng in (flat, be):
+            got = {}
+            for r in eng.multi_topk_or(queries, 6, round_to=6,
+                                       min_match=mm).collect():
+                got.setdefault(r["query_id"], []).append(
+                    (r["rank"], r["doc_id"], r["score"]))
+            for qi, q in enumerate(queries):
+                want = [(r["rank"], r["doc_id"], r["score"]) for r in
+                        flat.topk_or(q, 6, round_to=6,
+                                     min_match=mm).collect()]
+                assert got.get(qi, []) == want, (mm, q)
