@@ -2210,12 +2210,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 keys). New-this-round entries lead (r6: chunk/pack,
     # hybrid_rrf_ivf, more_like_this_blocks, knn_sq_ivf,
     # msearch_knn_ivf, msearch_hybrid_ivf, msearch_mlt,
-    # msearch_mlt_blocks), then every entry whose code path changed in
+    # msearch_mlt_blocks, msearch_or), then every entry whose code path changed in
     # r5/r6, then prior-green entries fill the window; the tail (past
     # position 50) holds only entries driver-green in a PRIOR round
     # whose code paths are untouched or append-only this round
     # (per-displacement justifications at the boundary comments below;
-    # every tail entry is also re-attested by the full 135/135
+    # every tail entry is also re-attested by the full 136/136
     # check_oracle.py replica at sf0.01 this round).
     return {
         # ---- new in round 6 ----
@@ -2293,7 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # more_like_this_blocks / msearch_mlt_blocks; artifact.py
         # save_index/engine paths untouched). Every tail entry is also
         # re-attested by the full check_oracle.py replica, run green
-        # at sf0.01 this round after the final additions (135/135). ----
+        # at sf0.01 this round after the final additions (136/136). ----
         "serve_routed_term": q_serve_routed_term,
         "serve_routed_stack": q_serve_routed_stack,
         "serve_routed_fielded": q_serve_routed_fielded,
