@@ -534,6 +534,20 @@ def q_msearch_fielded(spark, sf_dir):
         MSEARCH_QUERIES, 10, round_to=ROUND)
 
 
+def q_msearch_fielded_or(spark, sf_dir):
+    """Batched DISJUNCTIVE msearch on a FIELDED deployment (round 6):
+    should-clause with minimum_should_match=2 over DISTINCT clause ids
+    (a clause matched in both fields is one clause), title 1.5 / body
+    1.0 kept per query, one per-field decode for the whole batch
+    (fielded.FieldedBlockSearchEngine.multi_topk_or). Oracle = the
+    fielded batch CTE with the conjunction HAVING relaxed."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    arts = _fielded_arts(spark, sf_dir)
+    return FieldedBlockSearchEngine(spark, arts).multi_topk_or(
+        MSEARCH_QUERIES, 10, round_to=ROUND, min_match=2)
+
+
 def _fielded_arts(spark, sf_dir):
     """Per-field committed artifacts (title record:basic, body
     record:position — the reference's exact field options,
@@ -2215,7 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 50) holds only entries driver-green in a PRIOR round
     # whose code paths are untouched or append-only this round
     # (per-displacement justifications at the boundary comments below;
-    # every tail entry is also re-attested by the full 136/136
+    # every tail entry is also re-attested by the full 137/137
     # check_oracle.py replica at sf0.01 this round).
     return {
         # ---- new in round 6 ----
@@ -2229,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msearch_mlt": q_msearch_mlt,
         "msearch_mlt_blocks": q_msearch_mlt_blocks,
         "msearch_or": q_msearch_or,
+        "msearch_fielded_or": q_msearch_fielded_or,
         # ---- new in round 5 (late): curation ladder + SQ8 ANN ----
         "mixture_sample": q_mixture_sample,
         "more_like_this": q_more_like_this,
@@ -2273,27 +2288,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand_or": q_bm25_topk_wand_or,
         "bm25_topk_min2of3": q_bm25_topk_min2of3,
         "bm25_topk_mixed_blocks": q_bm25_topk_mixed_blocks,
-        "bm25_topk_not": q_bm25_topk_not,
-        # ---- the 50-entry window ends HERE in round 6 (10 new r6
-        # entries lead the dict). Displaced this round, all
-        # driver-green in r04/r05 on paths untouched or append-only in
-        # r6: serve_routed_term / serve_routed_stack /
+        # ---- the 50-entry window ends HERE in round 6 (11 new r6
+        # entries lead the dict; the cut falls after bm25_topk_not).
+        # Displaced this round, all driver-green in r04/r05 on paths
+        # untouched or append-only in r6: bm25_topk_not sits exactly
+        # at the edge (engine.py's r6 diff is appended methods plus
+        # the multi_topk body moving verbatim into _multi_topk_impl —
+        # gated in-window via msearch_topk/msearch_or);
+        # serve_routed_term / serve_routed_stack /
         # serve_routed_fielded (serve.py's r6 diff is appended methods
         # only — more_like_this / msearch_mlt / hybrid /
         # msearch_hybrid; route() and msearch() are unchanged, and
         # their delegate engines are gated in-window),
         # bm25_topk_fielded_wand /
         # bm25_topk_fielded_blocks / bm25_topk_fielded
-        # (query/fielded.py has NO r6 diff), segmented_search /
+        # (query/fielded.py's r6 diff is the min_match relaxation in
+        # multi_topk — gated in-window via msearch_fielded_or — plus
+        # appended multi_topk_or wrappers; the single-query fielded
+        # engines are untouched), segmented_search /
         # segmented_upsert_search / segmented_wand (index/segments.py
         # has NO r6 diff — the r6 vector-lifecycle work lives in
         # index/vectors.py, a separate module), and bm25_topk_blocks
-        # (block_engine.py's r6 diff is TWO appended methods,
-        # more_like_this + multi_more_like_this — gated in-window via
-        # more_like_this_blocks / msearch_mlt_blocks; artifact.py
+        # (block_engine.py's r6 diff is appended methods only —
+        # more_like_this / multi_more_like_this / multi_topk_or, each
+        # gated in-window via more_like_this_blocks /
+        # msearch_mlt_blocks / msearch_or; artifact.py
         # save_index/engine paths untouched). Every tail entry is also
         # re-attested by the full check_oracle.py replica, run green
-        # at sf0.01 this round after the final additions (136/136). ----
+        # at sf0.01 this round after the final additions (137/137). ----
+        "bm25_topk_not": q_bm25_topk_not,
         "serve_routed_term": q_serve_routed_term,
         "serve_routed_stack": q_serve_routed_stack,
         "serve_routed_fielded": q_serve_routed_fielded,
@@ -2869,6 +2892,8 @@ def oracle_sql() -> dict[str, str]:
         # HAVING relaxed to >= min_match
         "msearch_or": osql.multi_topk_sql(MSEARCH_QUERIES, 10, ROUND,
                                           min_match=2),
+        "msearch_fielded_or": osql.fielded_multi_topk_sql(
+            MSEARCH_QUERIES, 10, ROUND, min_match=2),
         # live tombstoned vector stack == flat cosine over the true set
         "knn_stack_live": _KNN_COSINE_SQL,
         "msearch_hybrid": osql.multi_hybrid_rrf_sql(

@@ -132,7 +132,8 @@ class FieldedSearchEngine:
         return self._docs_scored(q).select("doc_id")
 
     def multi_topk(self, queries: list[str], k: int = 10,
-                   round_to: int | None = None) -> DataFrame:
+                   round_to: int | None = None,
+                   min_match: int | None = None) -> DataFrame:
         """Batched fielded msearch — SearchEngine.multi_topk's shape
         with the fielded algebra: every query's clauses join as ONE
         broadcast (query_id, clause_id, term, boost) relation against
@@ -168,8 +169,11 @@ class FieldedSearchEngine:
             .agg(F.sum("s").alias("score"),
                  F.countDistinct("clause_id").alias("nmatch"))
             .join(F.broadcast(ndf), "query_id")
-            .filter(F.col("nmatch") == F.col("n_clauses"))
         )
+        if min_match is None:
+            d = d.filter(F.col("nmatch") == F.col("n_clauses"))
+        elif min_match > 1:
+            d = d.filter(F.col("nmatch") >= min_match)
         if round_to is not None:
             d = d.withColumn("score", F.round("score", round_to))
         w = Window.partitionBy("query_id").orderBy(
@@ -180,6 +184,17 @@ class FieldedSearchEngine:
             .select("query_id", "rank", "doc_id", "score")
             .orderBy("query_id", "rank")
         )
+
+    def multi_topk_or(self, queries: list[str], k: int = 10,
+                      round_to: int | None = None,
+                      min_match: int = 1) -> DataFrame:
+        """Batched DISJUNCTIVE fielded msearch (should-clause with
+        minimum_should_match over DISTINCT clause ids — a clause
+        matched in both fields is still one clause): the multi_topk
+        batch with the conjunction filter relaxed, per-query semantics
+        identical to :meth:`topk_or`."""
+        return self.multi_topk(queries, k, round_to,
+                               min_match=min_match)
 
 
 def fielded_index_from_artifacts(artifacts: dict, q: str,
@@ -242,7 +257,8 @@ class FieldedBlockSearchEngine:
         return self._engine(q).match_scan(q)
 
     def multi_topk(self, queries: list[str], k: int = 10,
-                   round_to: int | None = None) -> DataFrame:
+                   round_to: int | None = None,
+                   min_match: int | None = None) -> DataFrame:
         """Batched fielded msearch over the committed per-field
         artifacts: the UNION of every query's terms drives one
         bucket/term-pruned decode per field, then the whole batch
@@ -256,7 +272,16 @@ class FieldedBlockSearchEngine:
                                            terms=terms)
         return FieldedSearchEngine(
             self.spark, idx, self.field_boosts
-        ).multi_topk(queries, k, round_to)
+        ).multi_topk(queries, k, round_to, min_match=min_match)
+
+    def multi_topk_or(self, queries: list[str], k: int = 10,
+                      round_to: int | None = None,
+                      min_match: int = 1) -> DataFrame:
+        """Batched disjunctive fielded msearch over the committed
+        per-field artifacts (block twin of
+        FieldedSearchEngine.multi_topk_or)."""
+        return self.multi_topk(queries, k, round_to,
+                               min_match=min_match)
 
     # -- fielded Block-Max WAND ------------------------------------------------
 

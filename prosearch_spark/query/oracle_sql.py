@@ -434,7 +434,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 
 def fielded_multi_topk_sql(queries: list[str], k: int = 10,
                            round_to: int = 6,
-                           title_tokens: int = 4) -> str:
+                           title_tokens: int = 4,
+                           min_match: int | None = None) -> str:
     """Batched fielded msearch oracle — twin of
     FieldedSearchEngine/FieldedBlockSearchEngine.multi_topk: one
     (query_id, clause_id, term, boost) relation against the per-field
@@ -453,6 +454,9 @@ def fielded_multi_topk_sql(queries: list[str], k: int = 10,
         for qi, ci, t, b in rows
     )
     nvals = ", ".join(f"({qi}, {len(cl)})" for qi, cl in parsed if cl)
+    mm_where = ("WHERE d.nmatch = qn.n_clauses" if min_match is None
+                else (f"WHERE d.nmatch >= {min_match}"
+                      if min_match > 1 else ""))
     per_field = []
     for field, fb, tf_expr in [
         ("title", 1.5, "1"),            # record:"basic" -> tf==1
@@ -527,7 +531,7 @@ docs_scored AS (
 kept AS (
     SELECT d.query_id, d.doc_id, round(d.score, {round_to}) AS score
     FROM docs_scored d JOIN qn USING (query_id)
-    WHERE d.nmatch = qn.n_clauses
+    {mm_where}
 ),
 ranked AS (
     SELECT query_id,

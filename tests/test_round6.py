@@ -593,3 +593,40 @@ def test_multi_topk_or_equals_per_query_topk_or(spark, corpus, tmp_path):
                         flat.topk_or(q, 6, round_to=6,
                                      min_match=mm).collect()]
                 assert got.get(qi, []) == want, (mm, q)
+
+
+def test_fielded_multi_topk_or_equals_per_query(spark, corpus, tmp_path):
+    """Batched disjunctive FIELDED msearch: every per-query slice
+    equals the single-query fielded topk_or at the same min_match
+    (DISTINCT-clause counting preserved through the batch)."""
+    from prosearch_spark.index.artifact import save_fielded_index
+    from prosearch_spark.query.fielded import (
+        FieldedBlockSearchEngine,
+        FieldedSearchEngine,
+        fielded_index_from_artifacts,
+    )
+
+    docs = corpus.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("content", r"\s+"), 1, 4))
+        .alias("title"),
+        F.col("content").alias("body"))
+    arts = save_fielded_index(
+        spark, docs, str(tmp_path / "for"),
+        {"title": "title", "body": "body"})
+    be = FieldedBlockSearchEngine(spark, arts)
+    queries = ["join hash", "commit merge index", "zzzznothing", "hash"]
+
+    for mm in (1, 2):
+        got = {}
+        for r in be.multi_topk_or(queries, 6, round_to=6,
+                                  min_match=mm).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"]))
+        for qi, q in enumerate(queries):
+            idx = fielded_index_from_artifacts(arts, q)
+            single = FieldedSearchEngine(spark, idx).topk_or(
+                q, 6, round_to=6, min_match=mm)
+            want = [(r["rank"], r["doc_id"], r["score"]) for r in
+                    single.collect()]
+            assert got.get(qi, []) == want, (mm, q)
