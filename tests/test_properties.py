@@ -225,3 +225,43 @@ def test_mixture_budgets_props(budget, weights):
         # source is float rounding of w*budget near an integer, worth
         # at most 1 token per stratum
         assert sum(out.values()) <= budget + len(weights)
+
+
+# -- SQ8 quantization twin parity (round 6) ----------------------------------
+# The ADC candidate rule's determinism rests on the Python query-side
+# quantizer (VectorArtifact.sq_topk._qcode's algebra) landing on the
+# SAME integer as the Spark/DuckDB column expression for ANY bounds
+# and input — same subtraction/multiply/divide order, floor, clamp.
+
+def _qcode_py(x: float, gmin: float, gmax: float) -> int:
+    import math
+
+    if gmax == gmin:
+        return 0
+    c = math.floor((float(x) - gmin) * 255.0 / (gmax - gmin))
+    return min(max(c, 0), 255)
+
+
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=1, max_size=16),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.floats(min_value=1e-6, max_value=1e6, allow_nan=False),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sq_quantize_python_twin_matches_spark(spark, xs, gmin, span):
+    from pyspark.sql import functions as F
+
+    from prosearch_spark.ops.similarity import sq_quantize_col
+
+    gmax = gmin + span
+    row = spark.createDataFrame(
+        [(xs,)], "v array<double>").select(
+        sq_quantize_col(F.col("v"), F.lit(float(gmin)),
+                        F.lit(float(gmax))).alias("c")).head()
+    got = [int(c) for c in row["c"]]
+    want = [_qcode_py(x, gmin, gmax) for x in xs]
+    assert got == want
