@@ -630,3 +630,25 @@ def test_fielded_multi_topk_or_equals_per_query(spark, corpus, tmp_path):
             want = [(r["rank"], r["doc_id"], r["score"]) for r in
                     single.collect()]
             assert got.get(qi, []) == want, (mm, q)
+
+
+def test_vector_commit_job_count_is_flat(spark, tmp_path):
+    """save_vector_index runs a FIXED small number of driver jobs:
+    the centroid sample, ONE combined (count + SQ-bounds) input
+    aggregate, and the partitioned write — the late-r6 fold removed a
+    separate bounds pass AND the post-write full-store re-read, and
+    this pin keeps either from silently returning."""
+    from prosearch_spark.index.vectors import save_vector_index
+
+    emb = _toy_emb(spark, n=300)
+    sc = spark.sparkContext
+    sc.setJobGroup("vec-commit", "round6 commit job count")
+    try:
+        save_vector_index(spark, emb, str(tmp_path / "jc"),
+                          n_centroids=4)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("vec-commit")
+    # measured: 3 jobs (centroid top-k sample, combined agg, write);
+    # the pre-fold path measured 5 on the same input
+    assert 0 < len(jobs) <= 4, jobs
