@@ -1346,6 +1346,44 @@ def q_phrase_topk_repeat(spark, sf_dir):
     return _phrase(spark, sf_dir, "table table")
 
 
+def q_phrase_slop(spark, sf_dir):
+    """Ordered proximity phrase (Tantivy PhraseQuery::set_slop parity,
+    round 6): 'join hash'~2 — matches where 'hash' follows 'join'
+    within 2 extra steps; tf = chain-start count, scored as a
+    synthetic phrase term. Spark = greedy-chain HOF per doc; oracle =
+    n-way inequality join (equivalence proof in
+    index/positions.phrase_slop_matches)."""
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.index.positions import (
+        phrase_slop_topk,
+        positional_postings,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pp = positional_postings(docs, text_col="text")
+    stats = build_index(docs, text_col="text").stats
+    return phrase_slop_topk(spark, pp, stats, "join hash", 2, 10,
+                            round_to=ROUND)
+
+
+def q_phrase_slop_blocks(spark, sf_dir):
+    """3-term proximity phrase over a COMMITTED positional artifact:
+    'scan group value'~3 — bucket/term-pruned decode of exactly the
+    three terms' postings, then the shared greedy-chain matcher (the
+    intermediate term exercises the chain step)."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("positional", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_pos_"), text_col="text",
+        with_positions=True))
+    return BlockSearchEngine(spark, art).phrase_slop_topk(
+        "scan group value", 3, 10, round_to=ROUND)
+
+
 def q_phrase_topk_blocks(spark, sf_dir):
     """Phrase query over a positional BLOCK artifact (record:position
     physical layout; same oracle as the logical phrase path)."""
@@ -2221,18 +2259,21 @@ def q_msearch_hybrid_ivf(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS THE DRIVER'S CHECK ORDER (the driver gates exactly
-    # the FIRST 50 keys). New-this-round entries lead (r6: chunk/pack,
-    # hybrid_rrf_ivf, more_like_this_blocks, knn_sq_ivf,
-    # msearch_knn_ivf, msearch_hybrid_ivf, msearch_mlt,
-    # msearch_mlt_blocks, msearch_or), then every entry whose code path changed in
+    # the FIRST 50 keys). New-this-round entries lead (r6:
+    # phrase_slop x2, chunk/pack, hybrid_rrf_ivf,
+    # more_like_this_blocks, knn_sq_ivf, msearch_knn_ivf,
+    # msearch_hybrid_ivf, msearch_mlt, msearch_mlt_blocks,
+    # msearch_or x2), then every entry whose code path changed in
     # r5/r6, then prior-green entries fill the window; the tail (past
     # position 50) holds only entries driver-green in a PRIOR round
     # whose code paths are untouched or append-only this round
     # (per-displacement justifications at the boundary comments below;
-    # every tail entry is also re-attested by the full 137/137
+    # every tail entry is also re-attested by the full 139/139
     # check_oracle.py replica at sf0.01 this round).
     return {
         # ---- new in round 6 ----
+        "phrase_slop": q_phrase_slop,
+        "phrase_slop_blocks": q_phrase_slop_blocks,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "hybrid_rrf_ivf": q_hybrid_rrf_ivf,
@@ -2286,13 +2327,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand_and2": q_bm25_topk_wand_and2,
         "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
         "bm25_topk_wand_or": q_bm25_topk_wand_or,
-        "bm25_topk_min2of3": q_bm25_topk_min2of3,
-        "bm25_topk_mixed_blocks": q_bm25_topk_mixed_blocks,
-        # ---- the 50-entry window ends HERE in round 6 (11 new r6
-        # entries lead the dict; the cut falls after bm25_topk_not).
-        # Displaced this round, all driver-green in r04/r05 on paths
-        # untouched or append-only in r6: bm25_topk_not sits exactly
-        # at the edge (engine.py's r6 diff is appended methods plus
+        # ---- the 50-entry window ends HERE in round 6 (13 new r6
+        # entries lead the dict; the cut falls after
+        # bm25_topk_wand_or). Displaced this round, all driver-green
+        # in r04/r05 on paths untouched or additive-only in r6:
+        # bm25_topk_min2of3 (block_engine.topk_wand_or is untouched —
+        # block_engine.py's r6 diff is appended methods only, see
+        # below; the min_match relaxation itself is gated in-window
+        # via msearch_or) and bm25_topk_mixed_blocks
+        # (block_engine.mixed_topk and query/mixed.py are untouched;
+        # index/positions.py's r6 diff is additive-only — the new
+        # phrase_slop functions, gated in-window via phrase_slop /
+        # phrase_slop_blocks; every pre-existing positions function is
+        # byte-identical); bm25_topk_not (engine.py's r6 diff is
+        # appended methods plus
         # the multi_topk body moving verbatim into _multi_topk_impl —
         # gated in-window via msearch_topk/msearch_or);
         # serve_routed_term / serve_routed_stack /
@@ -2315,7 +2363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # msearch_mlt_blocks / msearch_or; artifact.py
         # save_index/engine paths untouched). Every tail entry is also
         # re-attested by the full check_oracle.py replica, run green
-        # at sf0.01 this round after the final additions (137/137). ----
+        # at sf0.01 this round after the final additions (139/139). ----
+        "bm25_topk_min2of3": q_bm25_topk_min2of3,
+        "bm25_topk_mixed_blocks": q_bm25_topk_mixed_blocks,
         "bm25_topk_not": q_bm25_topk_not,
         "serve_routed_term": q_serve_routed_term,
         "serve_routed_stack": q_serve_routed_stack,
@@ -2667,6 +2717,14 @@ def _curated_stream_sql(q: str, k: int, round_to: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
+        # ---- round 6: ordered proximity phrases (slop) ----
+        # Spark greedy-chain HOF == oracle n-way inequality join
+        # (equivalence proof in index/positions.phrase_slop_matches);
+        # one generator gates the flat and the committed paths
+        "phrase_slop": osql.phrase_slop_topk_sql("join hash", 2, 10,
+                                                 ROUND),
+        "phrase_slop_blocks": osql.phrase_slop_topk_sql(
+            "scan group value", 3, 10, ROUND),
         # ---- round 5 late: curation ladder + SQ8 ANN ----
         "mixture_sample": f"""
             WITH t AS (

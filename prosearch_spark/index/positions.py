@@ -171,6 +171,91 @@ def phrase_prefix_topk(spark: SparkSession, postings: DataFrame,
         m.unpersist()
 
 
+def phrase_slop_matches(postings: DataFrame, phrase_terms: list[str],
+                        slop: int) -> DataFrame:
+    """(doc_id, dl, tf) for ORDERED proximity matches of the phrase
+    within ``slop`` extra position steps — Tantivy
+    ``PhraseQuery::set_slop`` / Lucene sloppy-phrase territory
+    (the reference's positional index supports it via the pinned
+    Tantivy library, meta.json:21-33; its own front-end never sets
+    slop, so this is index-capability parity).
+
+    Semantics (ordered window, the precise rule both engines share):
+    a doc matches iff there exist positions ``p1 < p2 < ... < pn``
+    with ``p_i ∈ positions(t_i)`` and
+    ``(p_n - p_1) - (n - 1) <= slop``; ``tf`` counts the DISTINCT
+    start positions ``p1`` admitting such a chain. ``slop=0``
+    degenerates to the exact phrase (the window forces the chain
+    consecutive), so ``phrase_matches`` is the slop=0 special case —
+    pinned by test. Order is required (no transpositions): this is
+    the "ordered near/k" simplification, documented rather than
+    Lucene's move-count edit distance.
+
+    Plan shape = phrase_matches: n broadcast-friendly equi-joins on
+    doc_id (each side one term's postings), then a PER-DOC
+    higher-order expression — no position explode, no inequality join at scale.
+    The Spark side evaluates the GREEDY earliest chain per start
+    (``aggregate`` over the later terms' arrays, each step taking the
+    smallest position > the previous). Greedy minimizes every
+    intermediate and hence the final position among increasing chains,
+    so greedy-success == exists-success — exactly the oracle's n-way
+    inequality join (oracle_sql.phrase_slop_topk_sql). HOF lambdas are
+    fine here: the positional path is opt-in and already pays codegen
+    for array algebra (see positional_postings' note)."""
+    if len(phrase_terms) < 2:
+        raise ValueError("slop phrase needs >= 2 terms; a single term "
+                         "is a plain term query")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    n = len(phrase_terms)
+    window = n - 1 + slop
+    sides = []
+    for i, t in enumerate(phrase_terms):
+        sides.append(
+            postings.filter(F.col("term") == t).select(
+                "doc_id",
+                *(["dl"] if i == 0 else []),
+                F.col("positions").alias(f"q{i}"),
+            )
+        )
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), sides)
+    arrs = "array(" + ", ".join(f"q{i}" for i in range(1, n)) + ")"
+    chain = (
+        f"size(filter(q0, start -> aggregate({arrs}, start, "
+        "(acc, arr) -> CASE WHEN acc < 0 THEN -1 "
+        "ELSE coalesce(array_min(filter(arr, x -> x > acc)), -1) END, "
+        f"acc -> acc >= 0 AND acc - start <= {window})))"
+    )
+    return (
+        joined.withColumn("phrase_freq", F.expr(chain))
+        .filter(F.col("phrase_freq") > 0)
+        .select("doc_id", "dl",
+                F.col("phrase_freq").cast("long").alias("tf"))
+    )
+
+
+def phrase_slop_topk(spark: SparkSession, postings: DataFrame,
+                     n_docs_avgdl: DataFrame, phrase: str, slop: int,
+                     k: int = 10,
+                     round_to: int | None = None) -> DataFrame:
+    """BM25 top-k for an ordered proximity phrase: tf = slop-match
+    start count, df = matching-doc count — the synthetic-term scoring
+    shape shared with phrase_topk (phrase_scores)."""
+    from prosearch_spark.query.engine import materialize_topk, rank_topk
+
+    terms = [t for t, _ in analyze_query(phrase)]
+    # persist: the join feeds BOTH the df aggregate and the scoring
+    # pass (same reasoning as phrase_topk)
+    m = phrase_slop_matches(postings, terms, slop).persist()
+    try:
+        phrase_df = m.count()
+        scored = phrase_scores(m, phrase_df, n_docs_avgdl) \
+            .withColumnRenamed("s", "score")
+        return materialize_topk(spark, rank_topk(scored, k, round_to))
+    finally:
+        m.unpersist()
+
+
 def phrase_scores(m: DataFrame, phrase_df: int,
                   n_docs_avgdl: DataFrame) -> DataFrame:
     """(doc_id, s): BM25 of the SYNTHETIC phrase term over matched docs

@@ -1223,6 +1223,24 @@ class BlockSearchEngine:
         return _pt(self.spark, postings, self.artifact.stats(), phrase, k,
                    round_to)
 
+    def phrase_slop_topk(self, phrase: str, slop: int, k: int = 10,
+                         round_to: int | None = None) -> DataFrame:
+        """Ordered proximity phrase (Tantivy PhraseQuery::set_slop
+        parity) over a positional artifact: bucket/term-pruned decode
+        of only the phrase's terms, then the shared greedy-chain
+        matcher (index/positions.phrase_slop_topk — semantics and the
+        greedy==exists proof live there)."""
+        from prosearch_spark.index.positions import (
+            phrase_slop_topk as _pst,
+        )
+
+        terms = [t for t, _ in analyze_query(phrase)]
+        postings = self.artifact.postings(sorted(set(terms)))
+        if "positions" not in postings.columns:
+            raise ValueError("artifact was not built with_positions=True")
+        return _pst(self.spark, postings, self.artifact.stats(), phrase,
+                    slop, k, round_to)
+
     def multi_mixed_topk(self, queries: list[str], k: int = 10,
                          round_to: int | None = None) -> DataFrame:
         """Batched msearch for MIXED (term + quoted-phrase) query

@@ -2138,3 +2138,68 @@ SELECT query_id, rank, doc_id, score FROM (
     FROM ranked
 ) WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+def phrase_slop_topk_sql(phrase: str, slop: int, k: int = 10,
+                         round_to: int = 6) -> str:
+    """Ordered-proximity phrase oracle (Tantivy PhraseQuery::set_slop
+    parity): a doc matches iff positions p1 < ... < pn exist with
+    (pn - p1) - (n - 1) <= slop; tf = DISTINCT start positions
+    admitting a chain; df = matching docs; scored as a synthetic
+    phrase term (exactly phrase_topk_sql's scoring CTEs). The chain
+    is the EXISTS form — an n-way inequality join over exploded
+    positions (intermediates bounded by the window too, which any
+    satisfying chain obeys, so satisfiability is unchanged); the
+    Spark twin evaluates the greedy earliest chain, which succeeds
+    iff a chain exists (proof in index/positions.phrase_slop_matches).
+    """
+    terms = [t for t, _ in analyze_query(phrase)]
+    assert len(terms) >= 2 and slop >= 0
+    n = len(terms)
+    window = n - 1 + slop
+    joins = "\n".join(
+        f"    JOIN posx a{i} ON a{i}.doc_id = a0.doc_id"
+        f" AND a{i}.term = {_sql_str(t)}"
+        f" AND a{i}.p > a{i - 1}.p AND a{i}.p <= a0.p + {window}"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    phrase_map = {
+        "boost": "1.0",
+        "n_docs": "stats.n_docs",
+        "avgdl": "stats.avgdl",
+        "df": "pdf.df",
+        "tf": "matched.pf",
+        "dl": "dlen.dl",
+    }
+    score = _QUALIFY_RE.sub(lambda mt: phrase_map[mt.group(1)], SCORE_EXPR)
+    return f"""
+WITH {INDEX_CTES},
+dlen AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+d2 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tl
+    FROM documents
+),
+posx AS (
+    SELECT doc_id, i - 1 AS p, tl[i] AS term
+    FROM d2, unnest(generate_series(1, len(tl))) u(i)
+),
+m AS (
+    SELECT DISTINCT a0.doc_id, a0.p
+    FROM posx a0
+{joins}
+    WHERE a0.term = {_sql_str(terms[0])}
+),
+matched AS (SELECT doc_id, count(*)::BIGINT AS pf FROM m GROUP BY doc_id),
+pdf AS (SELECT count(*)::BIGINT AS df FROM matched),
+scored AS (
+    SELECT matched.doc_id, {score} AS score
+    FROM matched
+    JOIN dlen ON dlen.doc_id = matched.doc_id
+    CROSS JOIN pdf CROSS JOIN stats
+),
+rounded AS (SELECT doc_id, round(score, {round_to}) AS score FROM scored)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+       doc_id, score
+FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""

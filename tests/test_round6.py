@@ -652,3 +652,113 @@ def test_vector_commit_job_count_is_flat(spark, tmp_path):
     # measured: 3 jobs (centroid top-k sample, combined agg, write);
     # the pre-fold path measured 5 on the same input
     assert 0 < len(jobs) <= 4, jobs
+
+
+# ---------------------------------------------------------------------------
+# Ordered proximity phrases (slop) — Tantivy PhraseQuery::set_slop parity
+# ---------------------------------------------------------------------------
+
+def _slop_postings(spark, texts):
+    from prosearch_spark.index.positions import positional_postings
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    return positional_postings(docs, text_col="text")
+
+
+def test_phrase_slop_zero_equals_exact_phrase(spark):
+    """slop=0 forces the chain consecutive — matches AND tf agree with
+    phrase_matches on every doc (the exact path is the special case)."""
+    from prosearch_spark.index.positions import (
+        phrase_matches,
+        phrase_slop_matches,
+    )
+
+    texts = ["a b c a b", "a x b", "b a", "a b a b a b", "c c c"]
+    pp = _slop_postings(spark, texts)
+    for terms in (["a", "b"], ["a", "b", "c"], ["a", "b", "a"]):
+        exact = sorted(tuple(r) for r in
+                       phrase_matches(pp, terms).collect())
+        slop0 = sorted(tuple(r) for r in
+                       phrase_slop_matches(pp, terms, 0).collect())
+        assert slop0 == exact, terms
+
+
+def test_phrase_slop_window_semantics_hand_checked(spark):
+    """Hand-computed chains: gaps within the window match, order is
+    required (no transpositions), tf counts chain STARTS."""
+    from prosearch_spark.index.positions import phrase_slop_matches
+
+    texts = [
+        "a x b",        # doc 0: gap 1 between a and b
+        "b x x a",      # doc 1: reversed — never matches (ordered)
+        "a x x x b",    # doc 2: gap 3
+        "a b x c a b c",  # doc 3: 3-term, two chain starts at slop 1
+    ]
+    pp = _slop_postings(spark, texts)
+
+    def got(terms, slop):
+        return {r["doc_id"]: r["tf"] for r in
+                phrase_slop_matches(pp, terms, slop).collect()}
+
+    assert got(["a", "b"], 0) == {3: 2}          # two adjacent pairs
+    assert got(["a", "b"], 1) == {0: 1, 3: 2}    # gap-1 enters
+    assert got(["a", "b"], 3) == {0: 1, 2: 1, 3: 2}
+    assert 1 not in got(["a", "b"], 9)           # order is required
+    # 3-term: doc 3 'a b c' exact start at 4; slop 1 adds start 0
+    # (a@0 b@1 c@3: span 3 - 2 = 1)
+    assert got(["a", "b", "c"], 0) == {3: 1}
+    assert got(["a", "b", "c"], 1) == {3: 2}
+
+
+def test_phrase_slop_greedy_chain_is_exact(spark):
+    """The greedy earliest-next chain must find every satisfiable
+    start: a doc where the first candidate continuation is FAR but a
+    later start still matches, and one where greedy must hop over
+    positions belonging to an earlier slot."""
+    from prosearch_spark.index.positions import phrase_slop_matches
+
+    # b appears early only before a's start: chain from a@2 must pick
+    # b@3 (the earliest > 2), not b@0
+    texts = ["b x a b c"]
+    pp = _slop_postings(spark, texts)
+    m = {r["doc_id"]: r["tf"] for r in
+         phrase_slop_matches(pp, ["a", "b", "c"], 0).collect()}
+    assert m == {0: 1}
+
+
+def test_phrase_slop_validation(spark):
+    from prosearch_spark.index.positions import phrase_slop_matches
+
+    pp = _slop_postings(spark, ["a b"])
+    with pytest.raises(ValueError):
+        phrase_slop_matches(pp, ["a"], 1)
+    with pytest.raises(ValueError):
+        phrase_slop_matches(pp, ["a", "b"], -1)
+
+
+def test_phrase_slop_blocks_matches_flat(spark, tmp_path):
+    """The committed positional artifact serves the same slop top-k as
+    the flat positional build (physical layout must not change
+    results)."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.index.positions import (
+        phrase_slop_topk,
+        positional_postings,
+    )
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    texts = [f"join x hash scan {'pad ' * (i % 3)}join hash" for i in
+             range(12)] + ["scan join x x hash", "hash join"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    pp = positional_postings(docs, text_col="text")
+    stats = build_index(docs, text_col="text").stats
+    flat = [tuple(r) for r in phrase_slop_topk(
+        spark, pp, stats, "join hash", 2, 10, round_to=6).collect()]
+    art = save_index(spark, docs, str(tmp_path / "pos_art"),
+                     text_col="text", with_positions=True)
+    blocks = [tuple(r) for r in BlockSearchEngine(spark, art)
+              .phrase_slop_topk("join hash", 2, 10, round_to=6).collect()]
+    assert blocks == flat and len(flat) > 0
