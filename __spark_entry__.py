@@ -1533,6 +1533,19 @@ def q_bm25_topk_mixed_phrase(spark, sf_dir):
                       round_to=ROUND)
 
 
+def q_mixed_slop(spark, sf_dir):
+    """Proximity grammar through the lenient front-end (round 6):
+    'spark "join hash"~2' — the bare term scores as term BM25, the
+    quoted span as an ORDERED slop-2 proximity clause (tf = chain
+    starts), conjunctive, clause scores summed. Oracle shares the
+    clause list via analyzer.parse_query_slop and the inequality-join
+    chain algebra."""
+    from prosearch_spark.query.mixed import mixed_slop_topk
+
+    return mixed_slop_topk(spark, _docs(spark, sf_dir),
+                           'spark "join hash"~2', 10, round_to=ROUND)
+
+
 def q_bm25_topk_lenient_junk(spark, sf_dir):
     """Lenient clause-dropping: empty phrase, one-token phrase fold,
     dangling-quote tail — the surviving clauses score normally."""
@@ -2268,12 +2281,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 50) holds only entries driver-green in a PRIOR round
     # whose code paths are untouched or append-only this round
     # (per-displacement justifications at the boundary comments below;
-    # every tail entry is also re-attested by the full 139/139
+    # every tail entry is also re-attested by the full 140/140
     # check_oracle.py replica at sf0.01 this round).
     return {
         # ---- new in round 6 ----
         "phrase_slop": q_phrase_slop,
         "phrase_slop_blocks": q_phrase_slop_blocks,
+        "mixed_slop": q_mixed_slop,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "hybrid_rrf_ivf": q_hybrid_rrf_ivf,
@@ -2326,16 +2340,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_wand_and2": q_bm25_topk_wand_and2,
         "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
-        "bm25_topk_wand_or": q_bm25_topk_wand_or,
-        # ---- the 50-entry window ends HERE in round 6 (13 new r6
+        # ---- the 50-entry window ends HERE in round 6 (14 new r6
         # entries lead the dict; the cut falls after
-        # bm25_topk_wand_or). Displaced this round, all driver-green
-        # in r04/r05 on paths untouched or additive-only in r6:
-        # bm25_topk_min2of3 (block_engine.topk_wand_or is untouched —
-        # block_engine.py's r6 diff is appended methods only, see
-        # below; the min_match relaxation itself is gated in-window
-        # via msearch_or) and bm25_topk_mixed_blocks
-        # (block_engine.mixed_topk and query/mixed.py are untouched;
+        # bm25_topk_fastfield_wand). Displaced this round, all
+        # driver-green in r04/r05 on paths untouched or additive-only
+        # in r6: bm25_topk_wand_or and bm25_topk_min2of3
+        # (block_engine.topk_wand_or is untouched — block_engine.py's
+        # r6 diff is appended methods only, see below; the min_match
+        # relaxation itself is gated in-window via msearch_or),
+        # bm25_topk_mixed_blocks (block_engine.mixed_topk is
+        # untouched; query/mixed.py's r6 diff is mixed_topk's body
+        # moving VERBATIM into _mixed_impl — the engine.py
+        # _multi_topk_impl precedent — generalized only by the new
+        # "slop" clause kind, which parse_query_lenient never emits,
+        # and that shared body is gated in-window via mixed_slop;
         # index/positions.py's r6 diff is additive-only — the new
         # phrase_slop functions, gated in-window via phrase_slop /
         # phrase_slop_blocks; every pre-existing positions function is
@@ -2363,7 +2381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # msearch_mlt_blocks / msearch_or; artifact.py
         # save_index/engine paths untouched). Every tail entry is also
         # re-attested by the full check_oracle.py replica, run green
-        # at sf0.01 this round after the final additions (139/139). ----
+        # at sf0.01 this round after the final additions (140/140). ----
+        "bm25_topk_wand_or": q_bm25_topk_wand_or,
         "bm25_topk_min2of3": q_bm25_topk_min2of3,
         "bm25_topk_mixed_blocks": q_bm25_topk_mixed_blocks,
         "bm25_topk_not": q_bm25_topk_not,
@@ -2725,6 +2744,9 @@ def oracle_sql() -> dict[str, str]:
                                                  ROUND),
         "phrase_slop_blocks": osql.phrase_slop_topk_sql(
             "scan group value", 3, 10, ROUND),
+        # proximity grammar: clause list shared via parse_query_slop
+        "mixed_slop": osql.mixed_slop_topk_sql('spark "join hash"~2',
+                                               10, ROUND),
         # ---- round 5 late: curation ladder + SQ8 ANN ----
         "mixture_sample": f"""
             WITH t AS (

@@ -363,6 +363,60 @@ def query_terms_df(spark, q: str):
     return spark.createDataFrame(rows, "term string, boost double")
 
 
+def parse_query_slop(q: str) -> list[tuple[str, object]]:
+    """parse_query_lenient extended with the Lucene/Tantivy proximity
+    suffix ``"..."~N``: a quoted phrase immediately followed (no
+    whitespace) by ``~`` and a non-negative integer becomes a
+    ``("slop", (terms, n))`` clause. Everything else is byte-for-byte
+    the lenient grammar (this function re-walks the same split; it
+    never calls into parse_query_lenient so that function stays
+    untouched for the window rule).
+
+    Lenient-grammar edge rules, all dropped-not-errored:
+    - ``~0`` folds to an exact phrase clause (slop=0 ≡ exact);
+    - a ``~N`` after a ONE-token quote is dropped (the quote already
+      folded to a term clause; proximity needs >= 2 terms);
+    - a ``~`` not followed by digits (or glued to trailing junk like
+      ``~2x``) is a bad clause -> that token is dropped, the phrase
+      stays exact.
+    """
+    import re as _re
+
+    clauses: list[tuple[str, object]] = []
+    parts = q.split('"')
+    for i, part in enumerate(parts):
+        inside = i % 2 == 1
+        if inside and i == len(parts) - 1:
+            continue  # unterminated quote -> bad clause, dropped
+        if inside:
+            terms = [t.lower() for t in part.split()]
+            if not terms:
+                continue
+            if len(terms) == 1:
+                clauses.append(("term", (terms[0], 1.0)))
+            else:
+                clauses.append(("phrase", terms))
+        else:
+            chunk = part
+            if i >= 2 and chunk.startswith("~"):
+                # glued to the closing quote: a proximity suffix
+                m = _re.match(r"~(\d+)(?=\s|$)", chunk)
+                if m and clauses and clauses[-1][0] == "phrase":
+                    n = int(m.group(1))
+                    if n > 0:
+                        clauses[-1] = ("slop", (clauses[-1][1], n))
+                    chunk = chunk[m.end():]
+                else:
+                    # bad suffix, or the quote folded to a term /
+                    # was dropped: drop the glued ~token, keep rest
+                    rest = chunk.split(None, 1)
+                    chunk = rest[1] if len(rest) > 1 else ""
+            for raw in chunk.split():
+                boost = TERM_BOOST if raw in BOOST_TERMS else 1.0
+                clauses.append(("term", (raw.lower(), boost)))
+    return clauses
+
+
 __all__: Iterable[str] = [
     "white_lower_tokens",
     "white_lower_py",
@@ -374,6 +428,7 @@ __all__: Iterable[str] = [
     "escape_query_term",
     "analyze_query",
     "parse_query_lenient",
+    "parse_query_slop",
     "query_terms_df",
     "LANG_STOPWORDS",
 ]

@@ -80,12 +80,46 @@ def mixed_topk(spark: SparkSession, docs: DataFrame | None, q: str,
     which is sound because a dropped row's doc cannot match every
     clause. Defaults to ``pp``.
     """
-    clauses = parse_query_lenient(q)
+    return _mixed_impl(spark, docs, parse_query_lenient(q), k, round_to,
+                       text_col, id_col, pp, stats, term_stats, pp_terms)
+
+
+def mixed_slop_topk(spark: SparkSession, docs: DataFrame | None, q: str,
+                    k: int = 10,
+                    round_to: int | None = None, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    pp: DataFrame | None = None,
+                    stats: DataFrame | None = None,
+                    term_stats: DataFrame | None = None) -> DataFrame:
+    """:func:`mixed_topk` through the proximity grammar
+    (analyzer.parse_query_slop): ``spark "join hash"~2`` scores the
+    bare term conjunctively with an ORDERED slop-2 proximity clause
+    (tf = chain starts, synthetic-term BM25 — semantics and the
+    greedy==exists proof in index/positions.phrase_slop_matches).
+    ``"..."~0`` folds to the exact phrase, so this is a strict
+    superset of the lenient grammar (round 6)."""
+    from prosearch_spark.analyzer import parse_query_slop
+
+    return _mixed_impl(spark, docs, parse_query_slop(q), k, round_to,
+                       text_col, id_col, pp, stats, term_stats, None)
+
+
+def _mixed_impl(spark: SparkSession, docs: DataFrame | None,
+                clauses: list[tuple[str, object]], k: int,
+                round_to: int | None, text_col: str, id_col: str,
+                pp: DataFrame | None, stats: DataFrame | None,
+                term_stats: DataFrame | None,
+                pp_terms: DataFrame | None) -> DataFrame:
+    """mixed_topk's body, verbatim (round 6 — the same move
+    engine.multi_topk made into _multi_topk_impl), generalized only by
+    taking PARSED clauses and by scoring ("slop", (terms, n)) clauses
+    through phrase_slop_matches instead of phrase_matches."""
     if not clauses:
         return spark.createDataFrame([], TOPK_SCHEMA)
     n_clauses = len(clauses)
     term_clauses = [c for kind, c in clauses if kind == "term"]
     phrase_clauses = [c for kind, c in clauses if kind == "phrase"]
+    slop_clauses = [c for kind, c in clauses if kind == "slop"]
 
     owns_pp = pp is None
     persisted: list[DataFrame] = []
@@ -118,6 +152,15 @@ def mixed_topk(spark: SparkSession, docs: DataFrame | None, q: str,
             )
         for terms in phrase_clauses:
             m = phrase_matches(pp, terms).persist()
+            persisted.append(m)
+            phrase_df = m.count()
+            if phrase_df == 0:
+                return spark.createDataFrame([], TOPK_SCHEMA)  # AND dead
+            scored_parts.append(phrase_scores(m, phrase_df, stats))
+        for terms, slop in slop_clauses:
+            from prosearch_spark.index.positions import phrase_slop_matches
+
+            m = phrase_slop_matches(pp, terms, slop).persist()
             persisted.append(m)
             phrase_df = m.count()
             if phrase_df == 0:

@@ -2203,3 +2203,147 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
        doc_id, score
 FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def mixed_slop_topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
+    """Oracle for the proximity mixed grammar
+    (query/mixed.mixed_slop_topk): bare tokens = term clauses, quoted
+    spans = exact phrase clauses, ``"..."~N`` = ordered slop clauses
+    (tf = DISTINCT chain starts via the n-way inequality join —
+    phrase_slop_topk_sql's algebra), all conjunctive, clause scores
+    summed. Shares the clause list with the engine via
+    analyzer.parse_query_slop."""
+    from prosearch_spark.analyzer import parse_query_slop
+
+    clauses = parse_query_slop(q)
+    assert clauses, "mixed-slop oracle needs at least one clause"
+    n_clauses = len(clauses)
+    term_clauses = [c for kind, c in clauses if kind == "term"]
+    phrase_clauses = [c for kind, c in clauses if kind == "phrase"]
+    slop_clauses = [c for kind, c in clauses if kind == "slop"]
+
+    ctes = [INDEX_CTES.strip()]
+    ctes.append(
+        "dlen AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id)"
+    )
+    selects: list[str] = []
+
+    if term_clauses:
+        vals = ", ".join(f"({_sql_str(t)}, {b!r}::DOUBLE)"
+                         for t, b in term_clauses)
+        ctes.append(
+            f"qterms(term, boost) AS (SELECT * FROM (VALUES {vals}))"
+        )
+        score = _qualify(SCORE_EXPR)
+        selects.append(
+            f"SELECT p.doc_id AS doc_id, {score} AS s\n"
+            "    FROM qterms q\n"
+            "    JOIN postings p ON p.term = q.term\n"
+            "    JOIN term_stats t ON t.term = q.term\n"
+            "    CROSS JOIN stats"
+        )
+
+    if phrase_clauses or slop_clauses:
+        ctes.append("""d2 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tl
+    FROM documents
+)""")
+    if phrase_clauses:
+        ctes.append("""pos AS (
+    SELECT doc_id, term, list(i - 1 ORDER BY i) AS positions
+    FROM (
+        SELECT doc_id, i, tl[i] AS term
+        FROM d2, unnest(generate_series(1, len(tl))) u(i)
+    )
+    WHERE term <> '' GROUP BY doc_id, term
+)""")
+    if slop_clauses:
+        ctes.append("""posx AS (
+    SELECT doc_id, i - 1 AS p, tl[i] AS term
+    FROM d2, unnest(generate_series(1, len(tl))) u(i)
+)""")
+
+    pmap = {
+        "boost": "1.0", "n_docs": "stats.n_docs",
+        "avgdl": "stats.avgdl", "df": "pdf.df",
+        "tf": "matched.pf", "dl": "dlen.dl",
+    }
+    pscore = _QUALIFY_RE.sub(lambda m: pmap[m.group(1)], SCORE_EXPR)
+
+    for ci, terms in enumerate(phrase_clauses):
+        joins = "\n".join(
+            f"    JOIN pos a{i} ON a{i}.doc_id = a0.doc_id"
+            f" AND a{i}.term = {_sql_str(t)}"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+        inter = "a0.positions"
+        for i in range(1, len(terms)):
+            inter = (f"list_intersect({inter}, "
+                     f"list_transform(a{i}.positions, x -> x - {i}))")
+        ctes.append(
+            f"m{ci} AS (\n"
+            f"    SELECT a0.doc_id, len({inter})::BIGINT AS pf\n"
+            f"    FROM pos a0\n{joins}\n"
+            f"    WHERE a0.term = {_sql_str(terms[0])}\n)"
+        )
+        ctes.append(
+            f"matched{ci} AS (SELECT doc_id, pf FROM m{ci} WHERE pf > 0)"
+        )
+        ctes.append(
+            f"pdf{ci} AS (SELECT count(*)::BIGINT AS df FROM matched{ci})"
+        )
+        selects.append(
+            f"SELECT matched.doc_id AS doc_id, {pscore} AS s\n"
+            f"    FROM matched{ci} matched\n"
+            "    JOIN dlen ON dlen.doc_id = matched.doc_id\n"
+            f"    CROSS JOIN pdf{ci} pdf CROSS JOIN stats"
+        )
+
+    for ci, (terms, slop) in enumerate(slop_clauses):
+        n = len(terms)
+        window = n - 1 + slop
+        joins = "\n".join(
+            f"    JOIN posx b{i} ON b{i}.doc_id = b0.doc_id"
+            f" AND b{i}.term = {_sql_str(t)}"
+            f" AND b{i}.p > b{i - 1}.p AND b{i}.p <= b0.p + {window}"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+        ctes.append(
+            f"sm{ci} AS (\n"
+            f"    SELECT DISTINCT b0.doc_id, b0.p\n"
+            f"    FROM posx b0\n{joins}\n"
+            f"    WHERE b0.term = {_sql_str(terms[0])}\n)"
+        )
+        ctes.append(
+            f"smatched{ci} AS (SELECT doc_id, count(*)::BIGINT AS pf "
+            f"FROM sm{ci} GROUP BY doc_id)"
+        )
+        ctes.append(
+            f"spdf{ci} AS (SELECT count(*)::BIGINT AS df FROM smatched{ci})"
+        )
+        selects.append(
+            f"SELECT matched.doc_id AS doc_id, {pscore} AS s\n"
+            f"    FROM smatched{ci} matched\n"
+            "    JOIN dlen ON dlen.doc_id = matched.doc_id\n"
+            f"    CROSS JOIN spdf{ci} pdf CROSS JOIN stats"
+        )
+
+    scored_union = "\n    UNION ALL\n    ".join(selects)
+    ctes.append(f"scored AS (\n    {scored_union}\n)")
+    ctes.append(
+        "docs_scored AS (\n"
+        "    SELECT doc_id, sum(s) AS score FROM scored GROUP BY doc_id\n"
+        f"    HAVING count(*) = {n_clauses}\n)"
+    )
+    ctes.append(
+        f"rounded AS (SELECT doc_id, round(score, {round_to}) AS score "
+        "FROM docs_scored)"
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        "SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,\n"
+        "       doc_id, score\n"
+        f"FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )

@@ -762,3 +762,61 @@ def test_phrase_slop_blocks_matches_flat(spark, tmp_path):
     blocks = [tuple(r) for r in BlockSearchEngine(spark, art)
               .phrase_slop_topk("join hash", 2, 10, round_to=6).collect()]
     assert blocks == flat and len(flat) > 0
+
+
+def test_parse_query_slop_grammar():
+    """Proximity-suffix grammar edges, all lenient (dropped, never an
+    error); the base grammar is byte-identical to parse_query_lenient
+    on every slop-free query."""
+    from prosearch_spark.analyzer import (
+        parse_query_lenient,
+        parse_query_slop,
+    )
+
+    assert parse_query_slop('a "b c"~2 d') == [
+        ("term", ("a", 1.0)),
+        ("slop", (["b", "c"], 2)),
+        ("term", ("d", 1.0)),
+    ]
+    # ~0 folds to the exact phrase
+    assert parse_query_slop('"b c"~0') == [("phrase", ["b", "c"])]
+    # one-token quote folds to a term; its ~N is dropped
+    assert parse_query_slop('"b"~3 d') == [
+        ("term", ("b", 1.0)), ("term", ("d", 1.0))]
+    # bad suffix token dropped, phrase stays exact
+    assert parse_query_slop('"b c"~x d') == [
+        ("phrase", ["b", "c"]), ("term", ("d", 1.0))]
+    assert parse_query_slop('"b c"~2x d') == [
+        ("phrase", ["b", "c"]), ("term", ("d", 1.0))]
+    # detached ~2 is an ordinary bare token (never glued to a quote)
+    assert parse_query_slop('"b c" ~2') == [
+        ("phrase", ["b", "c"]), ("term", ("~2", 1.0))]
+    # slop-free queries parse byte-identically to the lenient grammar
+    for q in ['a "b c" d', 'spark "join hash"', '"x" "" y "dangling',
+              'the fast "scan group value"']:
+        assert parse_query_slop(q) == parse_query_lenient(q), q
+
+
+def test_mixed_slop_topk_conjunction(spark):
+    """'x "a b"~1' requires BOTH the term and the proximity clause;
+    slop-free queries reproduce mixed_topk exactly."""
+    from prosearch_spark.query.mixed import mixed_slop_topk, mixed_topk
+
+    texts = [
+        "x a q b",      # both clauses (gap-1 chain)
+        "a q b",        # proximity only -> conjunction drops it
+        "x a b",        # both (exact is within slop 1)
+        "x b a",        # term only (reversed chain) -> dropped
+        "a b x q",      # both
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    hits = mixed_slop_topk(spark, docs, 'x "a b"~1', 10, round_to=6)
+    assert [r["doc_id"] for r in hits.collect()] == sorted([0, 2, 4],
+        key=lambda d: (-hits.filter(F.col("doc_id") == d).collect()[0]["score"], d))
+    assert {r["doc_id"] for r in hits.collect()} == {0, 2, 4}
+    a = [tuple(r) for r in
+         mixed_slop_topk(spark, docs, 'x "a b"', 10, round_to=6).collect()]
+    b = [tuple(r) for r in
+         mixed_topk(spark, docs, 'x "a b"', 10, round_to=6).collect()]
+    assert a == b
