@@ -1265,6 +1265,31 @@ def q_knn_sq_ivf(spark, sf_dir):
     return art.sq_topk(qvec, 10, n_probe=2, candidates=40, round_to=ROUND)
 
 
+def q_knn_pq_ivf(spark, sf_dir):
+    """PQ-within-IVF (round 6 late — the FAISS ``IVF,PQm`` tier past
+    SQ8): the committed store's 2-of-8 bucket probe prunes partition
+    DIRECTORIES, then the candidate pass reads ONLY the m=8 smallint
+    PQ codeword indexes (16 bytes/vector vs 512 for the float64
+    embeddings — 32x) and scores by the ADC lookup-table chain (m
+    element_at adds, zero per-row vector math); only the top-40
+    winners' embeddings are re-read for the exact-cosine re-rank.
+    The oracle re-derives centroids, buckets, codebooks, codes, and
+    lookup values from the raw table — manifest codebooks and stored
+    codes must not change a result (VectorArtifact.pq_topk)."""
+    import tempfile
+
+    from prosearch_spark.index.vectors import save_vector_index
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    art = _memo_artifact("vectors_ivf", sf_dir, lambda: save_vector_index(
+        spark, emb.filter(F.col("vec_id") != 0),
+        tempfile.mkdtemp(prefix="prosearch_vec_"), n_centroids=8,
+        round_to=ROUND))
+    return art.pq_topk(qvec, 10, n_probe=2, candidates=40, round_to=ROUND)
+
+
 def q_knn_stack_live(spark, sf_dir):
     """LIVE tombstoned VECTOR stack (round 5): two committed embedding
     segments whose overlap is upserted (old rows tombstoned
@@ -2281,13 +2306,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 50) holds only entries driver-green in a PRIOR round
     # whose code paths are untouched or append-only this round
     # (per-displacement justifications at the boundary comments below;
-    # every tail entry is also re-attested by the full 140/140
+    # every tail entry is also re-attested by the full 141/141
     # check_oracle.py replica at sf0.01 this round).
     return {
         # ---- new in round 6 ----
         "phrase_slop": q_phrase_slop,
         "phrase_slop_blocks": q_phrase_slop_blocks,
         "mixed_slop": q_mixed_slop,
+        "knn_pq_ivf": q_knn_pq_ivf,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "hybrid_rrf_ivf": q_hybrid_rrf_ivf,
@@ -2339,12 +2365,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # router / fielded engine / segments / multi-probe tie-break) ----
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_wand_and2": q_bm25_topk_wand_and2,
-        "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
-        # ---- the 50-entry window ends HERE in round 6 (14 new r6
+        # ---- the 50-entry window ends HERE in round 6 (15 new r6
         # entries lead the dict; the cut falls after
-        # bm25_topk_fastfield_wand). Displaced this round, all
+        # bm25_topk_wand_and2). Displaced this round, all
         # driver-green in r04/r05 on paths untouched or additive-only
-        # in r6: bm25_topk_wand_or and bm25_topk_min2of3
+        # in r6: bm25_topk_fastfield_wand (fast-field projection and
+        # the WAND ladder are untouched — index/artifact.py has NO r6
+        # diff and block_engine.py's r6 diff is appended methods
+        # only; the WAND ladder itself is gated in-window via
+        # bm25_topk_wand/_and2), bm25_topk_wand_or and bm25_topk_min2of3
         # (block_engine.topk_wand_or is untouched — block_engine.py's
         # r6 diff is appended methods only, see below; the min_match
         # relaxation itself is gated in-window via msearch_or),
@@ -2381,7 +2410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # msearch_mlt_blocks / msearch_or; artifact.py
         # save_index/engine paths untouched). Every tail entry is also
         # re-attested by the full check_oracle.py replica, run green
-        # at sf0.01 this round after the final additions (140/140). ----
+        # at sf0.01 this round after the final additions (141/141). ----
+        "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
         "bm25_topk_wand_or": q_bm25_topk_wand_or,
         "bm25_topk_min2of3": q_bm25_topk_min2of3,
         "bm25_topk_mixed_blocks": q_bm25_topk_mixed_blocks,
@@ -2747,6 +2777,12 @@ def oracle_sql() -> dict[str, str]:
         # proximity grammar: clause list shared via parse_query_slop
         "mixed_slop": osql.mixed_slop_topk_sql('spark "join hash"~2',
                                                10, ROUND),
+        # PQ-within-IVF: codebooks/codes/lookups all re-derived from
+        # the raw table (sampled-member training, ADC add chain)
+        "knn_pq_ivf": osql.knn_pq_ivf_sql(k=10, n_centroids=8,
+                                          n_probe=2, pq_m=8, pq_k=16,
+                                          dim=64, candidates=40,
+                                          round_to=ROUND),
         # ---- round 5 late: curation ladder + SQ8 ANN ----
         "mixture_sample": f"""
             WITH t AS (

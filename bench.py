@@ -197,6 +197,9 @@ def main() -> None:
     t0 = time.perf_counter()
     pblk.mixed_topk('spark "join hash"', 10, round_to=6).collect()
     queries["q_mixed_phrase"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    pblk.phrase_slop_topk("join hash", 2, 10, round_to=6).collect()
+    queries["q_phrase_slop2"] = round(time.perf_counter() - t0, 4)
 
     # 24 term + 8 phrase members (phrase shapes {2, 3}), ONE batch —
     # the sequential comparison lives in tools/msearch_bench.py
@@ -344,6 +347,10 @@ def main() -> None:
         vart.sq_topk(qvec, 10, n_probe=2, candidates=40,
                      round_to=6).collect()
         queries["q_knn_sq_ivf"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        vart.pq_topk(qvec, 10, n_probe=2, candidates=40,
+                     round_to=6).collect()
+        queries["q_knn_pq_ivf"] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         hybrid_topk_ivf(blk, vart, "join hash", qvec, k=10, depth=50,
                         n_probe=2, round_to=6).collect()

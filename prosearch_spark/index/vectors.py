@@ -128,11 +128,76 @@ def train_centroids_lloyd(emb: DataFrame, n_centroids: int,
     return cents
 
 
+def _unit_py(v: list[float]) -> list[float]:
+    """Python twin of similarity.unit_col — the same left-to-right
+    norm fold and the same x / ||v|| division, so codebook floats
+    trained here are bit-identical to the unit vectors the DuckDB
+    oracle derives (and to unit_col's own output)."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    n = math.sqrt(acc)
+    if n == 0.0:
+        return [0.0] * len(v)
+    return [float(x) / n for x in v]
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Left-to-right double dot — the fold order of similarity._dot
+    and DuckDB list_dot_product (ADC lookup tables are computed
+    driver-side from manifest codebooks, so this order is a parity
+    surface)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _pq_from_vecs(vecs: list[list[float]], pq_m: int) -> dict | None:
+    """Codebooks from already-sampled member vectors (the commit path
+    folds this sample into the centroid collect — one driver job pays
+    for both, pinned by test_vector_commit_job_count_is_flat)."""
+    if not vecs:
+        return None
+    dim = len(vecs[0])
+    if pq_m <= 0 or dim % pq_m != 0:
+        return None
+    dsub = dim // pq_m
+    units = [_unit_py(v) for v in vecs]
+    return {
+        "m": pq_m,
+        "k": len(units),
+        "dsub": dsub,
+        "codebooks": [
+            [u[j * dsub:(j + 1) * dsub] for u in units]
+            for j in range(pq_m)
+        ],
+    }
+
+
+def train_pq(emb: DataFrame, pq_m: int, pq_k: int,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> dict | None:
+    """Deterministic product-quantization codebooks (FAISS ``IVF,PQm``
+    shape, sampled-member training — the same no-data-literals rule as
+    the coarse quantizer): subspace ``j``'s codewords are the j-th
+    subvectors of the ``pq_k`` smallest-id UNIT-NORMALIZED vectors.
+    Returns {m, k, dsub, codebooks} or None when the dimension does
+    not split into ``pq_m`` equal subspaces (PQ is skipped, never
+    misaligned)."""
+    rows = (emb.select(id_col, vec_col).orderBy(id_col).limit(pq_k)
+            .collect())
+    return _pq_from_vecs([[float(x) for x in r[1]] for r in rows], pq_m)
+
+
 def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
                       n_centroids: int = 8, id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       round_to: int = 6,
-                      centroids: list[list[float]] | None = None
+                      centroids: list[list[float]] | None = None,
+                      pq_m: int = 8, pq_k: int = 16
                       ) -> "VectorArtifact":
     """Commit ``emb`` as an IVF artifact partitioned by coarse bucket.
 
@@ -154,6 +219,15 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
         raise ValueError(
             f"vector artifact already committed at {path}; "
             "write new generations to new directories")
+    # ONE sampled-member collect serves both the coarse quantizer and
+    # the PQ codebooks (job-count pin: the commit path stays at the
+    # sample + combined-agg + write job shape)
+    sample_n = max(n_centroids if centroids is None else 0,
+                   pq_k if pq_m > 0 else 0)
+    sample = ([[float(x) for x in r[1]] for r in
+               emb.select(id_col, vec_col).orderBy(id_col)
+               .limit(sample_n).collect()]
+              if sample_n else [])
     if centroids is not None:
         # caller-trained quantizer (e.g. train_centroids_lloyd) — the
         # NON-gated quality path; everything downstream (assignment,
@@ -162,11 +236,7 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
             raise ValueError("len(centroids) != n_centroids")
         cents = [[float(x) for x in c] for c in centroids]
     else:
-        cent_rows = (
-            emb.select(id_col, vec_col).orderBy(id_col)
-            .limit(n_centroids).collect()
-        )
-        cents = [[float(x) for x in r[1]] for r in cent_rows]
+        cents = sample[:n_centroids]
     d_arr = F.array(*[
         F.round(_l2sq_col(F.col(vec_col), c), round_to) for c in cents
     ])
@@ -202,6 +272,14 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
         # degenerate range: every element codes to 0 (FAISS convention)
         code = F.transform(F.col(vec_col),
                            lambda _: F.lit(-128).cast("tinyint"))
+    # PQ codes (FAISS IVF,PQm — round 6): per-subspace nearest
+    # sampled-member codeword over the UNIT-NORMALIZED vector (the
+    # same ADC space as SQ8), argmin of ROUNDED l2 with ties to the
+    # lowest codeword index — the coarse assignment rule per subspace.
+    # m smallint indexes per vector (dim/m * 8x smaller than the
+    # float64 embedding at dsub=8) — the pq_topk candidate pass reads
+    # ONLY this column.
+    pq = _pq_from_vecs(sample[:pq_k], pq_m)
     assigned = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
@@ -209,6 +287,62 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
         F.array_position(d_arr, F.array_min(d_arr)).cast("int")
         .alias("bucket"),
     )
+    if pq is not None:
+        # FLAT codegen arithmetic, not HOFs: the m*k subspace l2
+        # expressions are the whole commit's hot loop, and each HOF
+        # aggregate is interpreted per row (a first cut with
+        # _l2sq_col over F.slice measured 1158 s for a 200k commit;
+        # this expansion is pure whole-stage-codegen multiply-adds).
+        # The norm and the unit elements are materialized as REAL
+        # columns across chained projections — inlining them would
+        # paste the 64-term norm tree into every one of the m*k*dsub
+        # references (a driver OOM at plan build, measured);
+        # CollapseProject keeps non-cheap aliases referenced more
+        # than once, so the subtrees stay shared and codegen'd.
+        # Every fold is bit-identical to the HOF form it replaces:
+        # explicit left-assoc sums == aggregate's 0.0-seeded
+        # sequential fold (0.0 + a == a exactly), codeword self-dots
+        # are Python _dot_py constants (same sequential fold), and
+        # the unit elements repeat unit_col's when(n==0)/x/n shape.
+        dsub = pq["dsub"]
+        dim = pq["m"] * dsub
+        v = F.col("embedding")
+        nsq = F.lit(0.0)
+        for i in range(dim):
+            nsq = nsq + v[i].cast("double") * v[i].cast("double")
+        a1 = assigned.withColumn("_nrm", F.sqrt(nsq))
+        a2 = a1.select(
+            "*",
+            *[F.when(F.col("_nrm") == F.lit(0.0), F.lit(0.0))
+              .otherwise(v[i].cast("double") / F.col("_nrm"))
+              .alias(f"_nv{i}")
+              for i in range(dim)])
+        code_cols = []
+        for j in range(pq["m"]):
+            sub = [F.col(f"_nv{i}")
+                   for i in range(j * dsub, (j + 1) * dsub)]
+            ss = F.lit(0.0)
+            for x in sub:
+                ss = ss + x * x
+            darr = []
+            for w in pq["codebooks"][j]:
+                dd = F.lit(0.0)
+                for x, wx in zip(sub, w):
+                    dd = dd + x * F.lit(wx)
+                darr.append(F.round(
+                    ss - F.lit(2.0) * dd + F.lit(_dot_py(w, w)),
+                    round_to))
+            a = F.array(*darr)
+            code_cols.append(
+                F.array_position(a, F.array_min(a)).cast("smallint"))
+        assigned = a2.withColumn(
+            "pq_code", F.array(*code_cols)).select(
+            "vec_id", "embedding", "code", "pq_code", "bucket")
+    else:
+        assigned = assigned.select(
+            "vec_id", "embedding", "code",
+            F.lit(None).cast("array<smallint>").alias("pq_code"),
+            "bucket")
     assigned.write.partitionBy("bucket").parquet(
         os.path.join(path, "vectors"))
     # n_vectors comes from the SAME aggregate that trained the SQ
@@ -222,6 +356,7 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
         "n_vectors": n,
         "gmin": gmin,
         "gmax": gmax,
+        "pq": pq,
     }
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
@@ -416,6 +551,91 @@ class VectorArtifact:
         ranked = cosine_topk(rescored, query_vec, k, round_to=round_to)
         return ranked.join(F.broadcast(sq), "vec_id").select(
             "rank", "vec_id", "sq_score", "cosine").orderBy("rank")
+
+    def pq_topk(self, query_vec: list[float], k: int = 10,
+                n_probe: int = 2, candidates: int = 40,
+                round_to: int | None = 6) -> DataFrame:
+        """PQ-within-IVF ANN (the FAISS ``IVF,PQm`` composition —
+        the tier past SQ8): probe-prune THEN table-lookup candidates
+        THEN exact re-rank.
+
+        1. the n_probe bucket predicate prunes partition DIRECTORIES
+           (PartitionFilters — same pin as :meth:`topk`);
+        2. the candidate pass projects ONLY (vec_id, pq_code): m
+           smallint codeword indexes per vector (16 bytes at m=8 vs
+           512 for a float64 dim-64 embedding — 32x), scored by the
+           FAISS ADC rule: the manifest codebooks x the RAW unit
+           query give an (m x k) lookup table driver-side
+           (metadata-sized), and a candidate's score is the
+           LEFT-TO-RIGHT sum of its m table entries — an
+           element_at chain, no per-row vector math at all;
+        3. only the ``candidates`` winners' embeddings are re-read
+           (pushed-down vec_id IN over the probed partitions) and
+           re-ranked by exact cosine.
+
+        The ADC score approximates dot(q_unit, v_unit) = cosine by
+        construction (codewords live in unit space — the SQ8 recall
+        lesson applied from day one). ``candidates`` is the FAISS
+        k_factor knob and it is NOT cosmetic: m=8 codes carry ~16
+        bytes of signal, so ADC separates regions, not neighbors —
+        on the clustered vector_bench corpus recall@10 measured 0.2
+        at candidates=40 and 1.0 at candidates=400-800 (~0.4% of the
+        store; numpy twin + committed-store run both). Size
+        ``candidates`` at a fraction of the PROBED rows (0.5-1%),
+        not a multiple of k; the exact re-rank restores precision at
+        that depth. SQ8 (sq_topk) keeps per-element resolution and
+        ranks well at small candidate lists — PQ buys 4x less
+        candidate-scan bandwidth (16 B vs 64 B/vec) in exchange for
+        needing the deeper re-rank. Every float in the ladder is
+        bit-deterministic: codebooks are unit subvectors of the
+        pq_k smallest ids, lookup values are the same left-to-right
+        double dot in Python, Spark, and DuckDB list_dot_product,
+        and the final sum is a fixed-order chain — so the oracle
+        re-derives codebooks, codes, and lookups from the raw table
+        with no data literals (knn_pq_ivf gate). Returns
+        (rank, vec_id, pq_score, cosine)."""
+        from functools import reduce as _reduce
+
+        pq = self.manifest.get("pq")
+        if not pq:
+            raise ValueError(
+                "artifact committed without PQ codes; rebuild with "
+                "save_vector_index(pq_m=...) (round 6+)")
+        m, dsub = int(pq["m"]), int(pq["dsub"])
+        qunit = _unit_py([float(x) for x in query_vec])
+        lut = [
+            [_dot_py(qunit[j * dsub:(j + 1) * dsub], w)
+             for w in pq["codebooks"][j]]
+            for j in range(m)
+        ]
+        buckets = self.probe_buckets(query_vec, n_probe)
+        probed = self.vectors().filter(F.col("bucket").isin(buckets))
+        score = _reduce(
+            lambda a, b: a + b,
+            [F.element_at(F.array(*[F.lit(v) for v in lut[j]]),
+                          F.col("pq_code").getItem(j).cast("int"))
+             for j in range(m)])
+        cand = (
+            probed.select(F.col("vec_id"), score.alias("pq_score"))
+            .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+            .limit(candidates)
+        )
+        pairs = [(int(r["vec_id"]), float(r["pq_score"]))
+                 for r in cand.collect()]  # <= candidates rows
+        if not pairs:
+            return self.spark.createDataFrame(
+                [], "rank int, vec_id long, pq_score double, cosine double")
+        pqs = self.spark.createDataFrame(
+            [(v, _round_half_up(s, round_to) if round_to is not None
+              else s) for v, s in pairs],
+            "vec_id long, pq_score double")
+        rescored = (
+            probed.filter(F.col("vec_id").isin([p[0] for p in pairs]))
+            .select("vec_id", "embedding")
+        )
+        ranked = cosine_topk(rescored, query_vec, k, round_to=round_to)
+        return ranked.join(F.broadcast(pqs), "vec_id").select(
+            "rank", "vec_id", "pq_score", "cosine").orderBy("rank")
 
 
 class VectorSegments:

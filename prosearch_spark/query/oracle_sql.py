@@ -2347,3 +2347,123 @@ def mixed_slop_topk_sql(q: str, k: int = 10, round_to: int = 6) -> str:
         "       doc_id, score\n"
         f"FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}"
     )
+
+
+def knn_pq_ivf_sql(k: int = 10, n_centroids: int = 8, n_probe: int = 2,
+                   pq_m: int = 8, pq_k: int = 16, dim: int = 64,
+                   candidates: int = 40, round_to: int = 6) -> str:
+    """DuckDB twin of VectorArtifact.pq_topk (PQ-within-IVF): the
+    knn_ivf_sql coarse ladder (sampled-member centroids -> rounded-l2
+    assignment -> n_probe buckets), then product quantization INSIDE
+    the probed rows — per-subspace codebooks = unit subvectors of the
+    pq_k smallest ids, per-vector codes = argmin of rounded subspace
+    l2 (ties to the lowest codeword), ADC lookup values =
+    list_dot_product of the unit query's subvector with each
+    codeword, candidate score = the LEFT-TO-RIGHT sum of the m
+    looked-up values (an m-way lut join, never a float GROUP BY — SQL
+    aggregation order is not fixed, the add chain is), then the exact
+    cosine re-rank. Every stage re-derived from the raw table."""
+    assert dim % pq_m == 0
+    dsub = dim // pq_m
+    l2 = ("round(list_dot_product({a}, {a})"
+          " - 2.0 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}), {r})")
+    unit = "list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v})))"
+    esub = (f"list_slice(e.nv, (cw.j - 1) * {dsub} + 1, cw.j * {dsub})")
+    code_cols = ", ".join(
+        f"max(CASE WHEN j = {j} THEN c END) AS c{j}"
+        for j in range(1, pq_m + 1))
+    lut_joins = "\n".join(
+        f"    JOIN lut l{j} ON l{j}.j = {j} AND l{j}.c = cp.c{j}"
+        for j in range(1, pq_m + 1))
+    adc = " + ".join(f"l{j}.val" for j in range(1, pq_m + 1))
+    return f"""
+WITH e AS (
+    SELECT vec_id, v, {unit.format(v='v')} AS nv
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0)
+),
+q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv,
+           {unit.format(v='CAST(embedding AS DOUBLE[])')} AS qnv
+    FROM embeddings WHERE vec_id = 0
+),
+cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id ASC)::INT AS cidx, v AS cv
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT {n_centroids})
+),
+assigned AS (
+    SELECT e.vec_id, e.v, c.cidx,
+           {l2.format(a='e.v', b='c.cv', r=round_to)} AS d
+    FROM e CROSS JOIN cent c
+),
+bucketed AS (
+    SELECT vec_id, v, cidx AS bucket FROM (
+        SELECT vec_id, v, cidx,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cidx ASC) AS rn
+        FROM assigned
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT cidx FROM (
+        SELECT c.cidx, {l2.format(a='q.qv', b='c.cv', r=round_to)} AS d
+        FROM cent c CROSS JOIN q
+    ) ORDER BY d ASC, cidx ASC LIMIT {n_probe}
+),
+cw AS (
+    SELECT g.j::INT AS j, s.c,
+           list_slice(s.nv, (g.j - 1) * {dsub} + 1, g.j * {dsub}) AS w
+    FROM (
+        SELECT row_number() OVER (ORDER BY vec_id ASC)::INT AS c, nv
+        FROM (SELECT vec_id, nv FROM e ORDER BY vec_id ASC LIMIT {pq_k})
+    ) s
+    CROSS JOIN unnest(generate_series(1, {pq_m})) g(j)
+),
+codes AS (
+    SELECT vec_id, j, c FROM (
+        SELECT e.vec_id, cw.j, cw.c,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, cw.j
+                   ORDER BY {l2.format(a=esub, b='cw.w', r=round_to)} ASC,
+                            cw.c ASC) AS rn
+        FROM e CROSS JOIN cw
+    ) WHERE rn = 1
+),
+cpiv AS (
+    SELECT vec_id, {code_cols}
+    FROM codes GROUP BY vec_id
+),
+lut AS (
+    SELECT cw.j, cw.c,
+           list_dot_product(
+               list_slice(q.qnv, (cw.j - 1) * {dsub} + 1,
+                          cw.j * {dsub}), cw.w) AS val
+    FROM cw CROSS JOIN q
+),
+probed AS (
+    SELECT b.vec_id, b.v FROM bucketed b
+    JOIN probe p ON b.bucket = p.cidx
+),
+cand AS (
+    SELECT pr.vec_id, {adc} AS pq_raw, pr.v
+    FROM probed pr
+    JOIN cpiv cp ON cp.vec_id = pr.vec_id
+{lut_joins}
+),
+top AS (
+    SELECT * FROM cand
+    ORDER BY pq_raw DESC, vec_id ASC LIMIT {candidates}
+),
+resc AS (
+    SELECT t.vec_id, round(t.pq_raw, {round_to}) AS pq_score,
+           round(list_dot_product(t.v, q.qv)
+                 / (sqrt(list_dot_product(t.v, t.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))),
+                 {round_to}) AS cosine
+    FROM top t CROSS JOIN q
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INT AS rank,
+       vec_id, pq_score, cosine
+FROM resc ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""

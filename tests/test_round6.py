@@ -820,3 +820,85 @@ def test_mixed_slop_topk_conjunction(spark):
     b = [tuple(r) for r in
          mixed_topk(spark, docs, 'x "a b"', 10, round_to=6).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# PQ-within-IVF (round 6 late)
+# ---------------------------------------------------------------------------
+
+def _clustered_emb(spark, n=400, dim=16, topics=8):
+    """Deterministic clustered corpus (vector_bench's shape): topic
+    direction + 30% hash noise — the only corpus where approximate
+    ANN quality is measurable."""
+    js = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def _h(a, b):
+        return (F.hash(a, b) % 1000) / 1000.0
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            js,
+            lambda j: _h((F.col("id") % topics) + 1_000_000, j)
+            + F.lit(0.3) * _h(F.col("id"), j),
+        ).alias("embedding"),
+    )
+
+
+def test_pq_topk_recall_on_clustered_corpus(spark, tmp_path):
+    """PQ-within-IVF recall@10 vs brute cosine — the r6 lesson made
+    structural: approximate operators get a QUALITY assertion, not
+    just hash parity. Exact re-rank over 40 ADC candidates must
+    recover (nearly) the exact top-10 on a clustered corpus."""
+    from prosearch_spark.index.vectors import save_vector_index
+    from prosearch_spark.ops.similarity import cosine_topk
+
+    emb = _clustered_emb(spark)
+    va = save_vector_index(spark, emb, str(tmp_path / "pq_art"),
+                           n_centroids=8, pq_m=8, pq_k=16)
+    assert va.manifest["pq"]["m"] == 8
+    assert va.manifest["pq"]["dsub"] == 2
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    brute = [r["vec_id"] for r in
+             cosine_topk(va.vectors(), qvec, 10, round_to=6).collect()]
+    got = va.pq_topk(qvec, 10, n_probe=4, candidates=40, round_to=6)
+    rows = got.collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    recall = len(set(brute) & {r["vec_id"] for r in rows}) / 10
+    assert recall >= 0.8, recall
+
+
+def test_pq_skipped_when_dim_misaligned(spark, tmp_path):
+    """dim % m != 0 -> PQ is skipped (manifest pq None, typed-null
+    code column), and pq_topk raises the explicit rebuild error."""
+    from prosearch_spark.index.vectors import save_vector_index
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(10)]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    va = save_vector_index(spark, emb, str(tmp_path / "nopq"),
+                           n_centroids=4, pq_m=8)
+    assert va.manifest["pq"] is None
+    assert va.vectors().schema["pq_code"].dataType.simpleString() \
+        == "array<smallint>"
+    with pytest.raises(ValueError, match="without PQ codes"):
+        va.pq_topk([1.0] * 10, 5)
+
+
+def test_pq_codes_deterministic_and_compact(spark, tmp_path):
+    """Stored codes are 1-based codeword indexes within [1, pq_k],
+    m per vector; a codebook member's own code is itself (distance 0,
+    ties to the lowest index)."""
+    from prosearch_spark.index.vectors import save_vector_index
+
+    emb = _clustered_emb(spark, n=60, dim=8)
+    va = save_vector_index(spark, emb, str(tmp_path / "pq_codes"),
+                           n_centroids=4, pq_m=4, pq_k=8)
+    rows = {r["vec_id"]: list(r["pq_code"])
+            for r in va.vectors().select("vec_id", "pq_code").collect()}
+    assert all(len(c) == 4 for c in rows.values())
+    assert all(1 <= x <= 8 for c in rows.values() for x in c)
+    # vec 0 is codeword 1 in every subspace (unless an identical
+    # earlier codeword exists — impossible: it IS the first)
+    assert rows[0] == [1, 1, 1, 1]

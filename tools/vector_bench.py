@@ -102,13 +102,32 @@ def main() -> None:
                           round_to=6).collect()
         return time.perf_counter() - t, [r["vec_id"] for r in rows]
 
-    run_brute(); run_probe(); run_sq()  # warm (codegen + OS page cache)
+    # PQ candidate depth is the FAISS k_factor knob: ~0.4% of the
+    # store (measured recall@10 0.2 at 4*k vs 1.0 at this depth on
+    # this corpus — ADC separates regions, the exact re-rank does
+    # the rest; see pq_topk's docstring)
+    pq_cands = max(4 * k, n // 250)
+
+    def run_pq() -> tuple[float, list[int]]:
+        # PQ-within-IVF (round 6 late): the candidate pass reads only
+        # m smallint codeword indexes per vector (2m bytes vs 4*dim
+        # float32 — 16x at m=8/dim=64) and scores via the ADC lookup
+        # chain; exact re-rank on the winners
+        t = time.perf_counter()
+        rows = va.pq_topk(qvec, k, n_probe=n_probe, candidates=pq_cands,
+                          round_to=6).collect()
+        return time.perf_counter() - t, [r["vec_id"] for r in rows]
+
+    run_brute(); run_probe(); run_sq(); run_pq()  # warm (codegen + cache)
     (b1, brute_ids), (p1, probe_ids) = run_brute(), run_probe()
     (s1, sq_ids) = run_sq()
+    (pq1, pq_ids) = run_pq()
     b2, _ = run_brute()
     p2, _ = run_probe()
     s2, _ = run_sq()
+    pq2, _ = run_pq()
     brute_s, probe_s, sq_s = min(b1, b2), min(p1, p2), min(s1, s2)
+    pq_s = min(pq1, pq2)
 
     probed = va.probe_buckets(qvec, n_probe)
     n_read = va.vectors().filter(F.col("bucket").isin(probed)).count()
@@ -125,16 +144,25 @@ def main() -> None:
         "brute_topk_sec": round(brute_s, 3),
         "probed_topk_sec": round(probe_s, 3),
         "sq_ivf_topk_sec": round(sq_s, 3),
+        "pq_ivf_topk_sec": round(pq_s, 3),
         "speedup": round(brute_s / probe_s, 2) if probe_s else None,
         "sq_speedup_vs_brute": round(brute_s / sq_s, 2) if sq_s else None,
+        "pq_speedup_vs_brute": round(brute_s / pq_s, 2) if pq_s else None,
         "store_fraction_read": round(n_read / n, 4),
         # the candidate pass's per-vector scan bytes: probed buckets x
-        # 1-byte codes vs the full store x 4-byte floats
-        "candidate_bytes_per_vec": {"sq_code": dim, "float32": 4 * dim},
+        # 1-byte SQ codes / 2-byte-per-subspace PQ indexes vs the full
+        # store x 4-byte floats
+        "candidate_bytes_per_vec": {
+            "sq_code": dim,
+            "pq_code": 2 * (va.manifest.get("pq") or {}).get("m", 0),
+            "float32": 4 * dim},
         "recall_at_k": round(
             len(set(brute_ids) & set(probe_ids)) / k, 3),
         "sq_recall_at_k": round(
             len(set(brute_ids) & set(sq_ids)) / k, 3),
+        "pq_recall_at_k": round(
+            len(set(brute_ids) & set(pq_ids)) / k, 3),
+        "pq_candidates": pq_cands,
     }))
     spark.stop()
 
