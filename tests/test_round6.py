@@ -902,3 +902,31 @@ def test_pq_codes_deterministic_and_compact(spark, tmp_path):
     # vec 0 is codeword 1 in every subspace (unless an identical
     # earlier codeword exists — impossible: it IS the first)
     assert rows[0] == [1, 1, 1, 1]
+
+
+def test_pq_candidate_plan_prunes_partitions_and_columns(spark, tmp_path):
+    """PQ candidate pass plan pin: probe PartitionFilters at the scan
+    AND a (vec_id, pq_code)-only ReadSchema — neither the float
+    embeddings nor the SQ codes may be read to rank ADC candidates."""
+    from functools import reduce
+
+    from prosearch_spark.index.vectors import save_vector_index
+
+    emb = _clustered_emb(spark, n=120, dim=16)
+    art = save_vector_index(spark, emb, str(tmp_path / "pqplan"),
+                            n_centroids=4, pq_m=8, pq_k=16)
+    qvec = [1.0] * 16
+    buckets = art.probe_buckets(qvec, 2)
+    probed = art.vectors().filter(F.col("bucket").isin(buckets))
+    pq = art.manifest["pq"]
+    score = reduce(
+        lambda a, b: a + b,
+        [F.element_at(F.array(*[F.lit(0.5) for _ in pq["codebooks"][j]]),
+                      F.col("pq_code").getItem(j).cast("int"))
+         for j in range(pq["m"])])
+    plan = (probed.select("vec_id", score.alias("pq_score"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    schema = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "pq_code" in schema and "embedding" not in schema, schema
+    assert "code:" not in schema.replace("pq_code", ""), schema
