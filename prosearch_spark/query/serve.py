@@ -66,6 +66,26 @@ class ArtifactSearcher:
               round_to: int | None = None) -> tuple[DataFrame, str]:
         """Pick the plan for ``q``; returns (hits, plan_name)."""
         if '"' in q:
+            # proximity suffix ("..."~N, round 6): the lenient parser
+            # would read the glued ~N as a bare term clause that
+            # matches nothing — conjunction dead, EMPTY results for a
+            # user typing the standard Lucene syntax. The branch
+            # fires whenever the two grammars PARSE DIFFERENTLY (a
+            # glued ~suffix exists — including ~0 folds and dropped
+            # bad suffixes, which the lenient parse would also turn
+            # into dead term clauses), so it is behavior-preserving
+            # for every query without one. Slop scores body-only
+            # positional postings, so a fielded deployment serves it
+            # from the body artifact — the same body-only rule
+            # fielded phrases follow.
+            from prosearch_spark.analyzer import (
+                parse_query_lenient,
+                parse_query_slop,
+            )
+
+            if parse_query_slop(q) != parse_query_lenient(q):
+                return (self.block.mixed_slop_topk(q, k, round_to),
+                        "mixed_slop")
             if self.fielded is not None:
                 return (self.fielded.mixed_topk(q, k, round_to),
                         "fielded_mixed")

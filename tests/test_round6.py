@@ -930,3 +930,40 @@ def test_pq_candidate_plan_prunes_partitions_and_columns(spark, tmp_path):
     schema = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "pq_code" in schema and "embedding" not in schema, schema
     assert "code:" not in schema.replace("pq_code", ""), schema
+
+
+def test_route_serves_slop_queries(spark, tmp_path):
+    """route('x "a b"~1') must serve the proximity semantics (plan
+    mixed_slop) — the plain lenient parse reads the glued ~1 as a
+    bare term that matches nothing and returns EMPTY. Slop-free
+    queries keep their existing plans (behavior-preserving branch)."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    texts = ["x a q b", "a q b", "x a b", "x b a", "a b x q"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    art = save_index(spark, docs, str(tmp_path / "slop_art"),
+                     text_col="text", with_positions=True)
+    s = ArtifactSearcher(spark, art)
+    hits, plan = s.route('x "a b"~1', 10, round_to=6)
+    assert plan == "mixed_slop"
+    assert {r["doc_id"] for r in hits.collect()} == {0, 2, 4}
+    # the committed path matches the flat engine exactly
+    from prosearch_spark.query.mixed import mixed_slop_topk
+    flat = [tuple(r) for r in
+            mixed_slop_topk(spark, docs, 'x "a b"~1', 10,
+                            round_to=6).collect()]
+    got = [tuple(r) for r in hits.collect()]
+    assert got == flat
+    # slop-free routing unchanged
+    _, p2 = s.route('x "a b"', 10, round_to=6)
+    assert p2 == "mixed"
+    _, p3 = s.route("x", 10, round_to=6)
+    assert p3 == "wand"
+    # ~0 folds to the exact phrase, but must STILL route through the
+    # slop engine — the lenient parse would turn the glued ~0 into a
+    # dead term clause and return empty
+    h4, p4 = s.route('x "a b"~0', 10, round_to=6)
+    assert p4 == "mixed_slop"
+    assert {r["doc_id"] for r in h4.collect()} == {2, 4}  # exact phrase
