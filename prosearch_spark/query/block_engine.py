@@ -1303,29 +1303,45 @@ class BlockSearchEngine:
         of all clause terms' blocks with bucket/term pruning only —
         one member's conjunction pruning does not compose across a
         batch."""
-        from prosearch_spark.analyzer import parse_query_lenient
+        from prosearch_spark.analyzer import parse_query_slop
         from prosearch_spark.query.bm25 import SCORE_EXPR
         from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA
 
-        parsed = [(qi, parse_query_lenient(q))
+        # parse_query_slop is a strict superset of the lenient
+        # grammar (byte-identical clauses on every slop-free query),
+        # so quoted batches keep their exact semantics and "..."~N
+        # members batch too (round 6 — a slop clause's plan also
+        # depends only on its LENGTH: the window bound rides along as
+        # a broadcast column, so same-length slop phrases with
+        # different slops share one join chain)
+        parsed = [(qi, parse_query_slop(q))
                   for qi, q in enumerate(queries)]
         term_rows = []     # (query_id, clause_id, term, boost)
         by_len: dict[int, list] = {}   # n -> [(query_id, clause_id, terms)]
+        # n -> [(query_id, clause_id, terms, window)] for "..."~N
+        by_len_slop: dict[int, list] = {}
         for qi, cls in parsed:
             for ci, (kind, payload) in enumerate(cls):
                 if kind == "term":
                     term_rows.append((qi, ci, payload[0], payload[1]))
+                elif kind == "slop":
+                    terms_p, slop = payload
+                    by_len_slop.setdefault(len(terms_p), []).append(
+                        (qi, ci, list(terms_p),
+                         len(terms_p) - 1 + slop))
                 else:
                     by_len.setdefault(len(payload), []).append(
                         (qi, ci, list(payload)))
-        if not term_rows and not by_len:
+        if not term_rows and not by_len and not by_len_slop:
             return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
 
         all_terms = sorted({t for _q, _c, t, _b in term_rows}
                            | {t for g in by_len.values()
-                              for _q, _c, ts in g for t in ts})
+                              for _q, _c, ts in g for t in ts}
+                           | {t for g in by_len_slop.values()
+                              for _q, _c, ts, _w in g for t in ts})
         blocks = self.artifact.blocks(all_terms)
-        if by_len and "positions" not in blocks.columns:
+        if (by_len or by_len_slop) and "positions" not in blocks.columns:
             raise ValueError("artifact was not built with_positions=True")
         pp = apply_deletes(decode_blocks(blocks),
                            self.artifact.deletes()).persist()
@@ -1393,6 +1409,63 @@ class BlockSearchEngine:
                 parts.append(
                     matches.join(F.broadcast(pdf),
                                  ["query_id", "clause_id"])
+                    .crossJoin(F.broadcast(stats))
+                    .withColumn("boost", F.lit(1.0))
+                    .withColumn("s", F.expr(SCORE_EXPR))
+                    .select("query_id", "clause_id", "doc_id", "s")
+                )
+            for n, group in sorted(by_len_slop.items()):
+                # slop phrases of length n share ONE unshifted n-way
+                # join; the window bound w = (n-1)+slop is a broadcast
+                # COLUMN, so mixed slops batch together. tf = the
+                # greedy-chain start count (the single-query
+                # phrase_slop_matches algebra with w as an outer
+                # reference in the HOF)
+                slot_rows = [(qi, ci, i, t)
+                             for qi, ci, terms_p, _w in group
+                             for i, t in enumerate(terms_p)]
+                slots = self.spark.createDataFrame(
+                    slot_rows,
+                    "query_id int, clause_id int, slot int, term string")
+                wdf = self.spark.createDataFrame(
+                    [(qi, ci, w) for qi, ci, _ts, w in group],
+                    "query_id int, clause_id int, w int")
+                sides = []
+                for i in range(n):
+                    si = slots.filter(F.col("slot") == i) \
+                        .select("query_id", "clause_id", "term")
+                    sides.append(
+                        pp.join(F.broadcast(si), "term").select(
+                            "query_id", "clause_id", "doc_id",
+                            *(["dl"] if i == 0 else []),
+                            F.col("positions").alias(f"q{i}"),
+                        )
+                    )
+                joined = reduce(
+                    lambda a, b: a.join(
+                        b, ["query_id", "clause_id", "doc_id"]),
+                    sides).join(F.broadcast(wdf),
+                                ["query_id", "clause_id"])
+                arrs = "array(" + ", ".join(
+                    f"q{i}" for i in range(1, n)) + ")"
+                chain = (
+                    f"size(filter(q0, start -> aggregate({arrs}, "
+                    "start, (acc, arr) -> CASE WHEN acc < 0 THEN -1 "
+                    "ELSE coalesce(array_min(filter(arr, "
+                    "x -> x > acc)), -1) END, "
+                    "acc -> acc >= 0 AND acc - start <= w)))"
+                )
+                smatches = (
+                    joined.withColumn("tf", F.expr(chain).cast("long"))
+                    .filter(F.col("tf") > 0)
+                    .select("query_id", "clause_id", "doc_id", "dl",
+                            "tf")
+                )
+                spdf = smatches.groupBy("query_id", "clause_id").agg(
+                    F.count("*").alias("df"))
+                parts.append(
+                    smatches.join(F.broadcast(spdf),
+                                  ["query_id", "clause_id"])
                     .crossJoin(F.broadcast(stats))
                     .withColumn("boost", F.lit(1.0))
                     .withColumn("s", F.expr(SCORE_EXPR))

@@ -967,3 +967,40 @@ def test_route_serves_slop_queries(spark, tmp_path):
     h4, p4 = s.route('x "a b"~0', 10, round_to=6)
     assert p4 == "mixed_slop"
     assert {r["doc_id"] for r in h4.collect()} == {2, 4}  # exact phrase
+
+
+def test_msearch_batches_slop_members(spark, tmp_path):
+    """multi_mixed_topk accepts '"..."~N' members (round 6): each
+    batch member's rows are identical to its single-query
+    mixed_slop_topk/mixed_topk result (the oracle-gated engines), and
+    same-length slop phrases with DIFFERENT slops share one plan (the
+    window rides as a column)."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+
+    texts = [
+        "x a q b join hash",
+        "a q b hash join",
+        "x a b join q hash",
+        "x b a hash",
+        "a b x q join n hash",
+    ] * 4
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    art = save_index(spark, docs, str(tmp_path / "ms_slop"),
+                     text_col="text", with_positions=True)
+    eng = BlockSearchEngine(spark, art)
+    batch = ['x "a b"~1', '"join hash"~2', 'q "a b"', "x hash"]
+    got = eng.multi_mixed_topk(batch, 10, round_to=6).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qi, q in enumerate(batch):
+        if "~" in q:
+            want = eng.mixed_slop_topk(q, 10, round_to=6)
+        else:
+            want = eng.mixed_topk(q, 10, round_to=6)
+        rows = [(r["rank"], r["doc_id"], r["score"])
+                for r in want.collect()]
+        assert by_q.get(qi, []) == rows, q
