@@ -1237,7 +1237,7 @@ def q_knn_ivf_artifact(spark, sf_dir):
     art = _memo_artifact("vectors_ivf", sf_dir, lambda: save_vector_index(
         spark, emb.filter(F.col("vec_id") != 0),
         tempfile.mkdtemp(prefix="prosearch_vec_"), n_centroids=8,
-        round_to=ROUND))
+        round_to=ROUND, pq_m=8, pq_k=16))
     return art.topk(qvec, 10, n_probe=2, round_to=ROUND)
 
 
@@ -1261,7 +1261,7 @@ def q_knn_sq_ivf(spark, sf_dir):
     art = _memo_artifact("vectors_ivf", sf_dir, lambda: save_vector_index(
         spark, emb.filter(F.col("vec_id") != 0),
         tempfile.mkdtemp(prefix="prosearch_vec_"), n_centroids=8,
-        round_to=ROUND))
+        round_to=ROUND, pq_m=8, pq_k=16))
     return art.sq_topk(qvec, 10, n_probe=2, candidates=40, round_to=ROUND)
 
 
@@ -1286,7 +1286,7 @@ def q_knn_pq_ivf(spark, sf_dir):
     art = _memo_artifact("vectors_ivf", sf_dir, lambda: save_vector_index(
         spark, emb.filter(F.col("vec_id") != 0),
         tempfile.mkdtemp(prefix="prosearch_vec_"), n_centroids=8,
-        round_to=ROUND))
+        round_to=ROUND, pq_m=8, pq_k=16))
     return art.pq_topk(qvec, 10, n_probe=2, candidates=40, round_to=ROUND)
 
 
@@ -2259,7 +2259,7 @@ def q_hybrid_rrf_ivf(spark, sf_dir):
     vart = _memo_artifact("vectors_ivf", sf_dir, lambda: save_vector_index(
         spark, emb.filter(F.col("vec_id") != 0),
         tempfile.mkdtemp(prefix="prosearch_vec_"), n_centroids=8,
-        round_to=ROUND))
+        round_to=ROUND, pq_m=8, pq_k=16))
     return hybrid_topk_ivf(BlockSearchEngine(spark, art), vart, Q_AND2,
                            _qvec0(emb), k=10, depth=50, n_probe=2,
                            round_to=ROUND)

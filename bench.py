@@ -335,9 +335,13 @@ def main() -> None:
     from prosearch_spark.query.hybrid import hybrid_topk_ivf
 
     t0 = time.perf_counter()
+    # pq_m=8 opts into PQ codebook training + code assignment; its
+    # ~6-8 s fixed codegen compile is part of this key by design
+    # (q_knn_pq_ivf serves from these codes)
     vart = save_vector_index(
         spark, emb.filter(F.col("vec_id") != 0),
-        tempfile.mkdtemp(prefix="bench_vec_"), n_centroids=8)
+        tempfile.mkdtemp(prefix="bench_vec_"), n_centroids=8,
+        pq_m=8, pq_k=16)
     queries["ivf_commit"] = round(time.perf_counter() - t0, 4)
     with query_mode(spark):
         t0 = time.perf_counter()

@@ -197,7 +197,7 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
                       vec_col: str = "embedding",
                       round_to: int = 6,
                       centroids: list[list[float]] | None = None,
-                      pq_m: int = 8, pq_k: int = 16
+                      pq_m: int = 0, pq_k: int = 16
                       ) -> "VectorArtifact":
     """Commit ``emb`` as an IVF artifact partitioned by coarse bucket.
 
@@ -272,13 +272,18 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
         # degenerate range: every element codes to 0 (FAISS convention)
         code = F.transform(F.col(vec_col),
                            lambda _: F.lit(-128).cast("tinyint"))
-    # PQ codes (FAISS IVF,PQm — round 6): per-subspace nearest
+    # PQ codes (FAISS IVF,PQm — round 6): OPT-IN via pq_m>0 (the
+    # fieldnorm-codebook precedent). Per-subspace nearest
     # sampled-member codeword over the UNIT-NORMALIZED vector (the
     # same ADC space as SQ8), argmin of ROUNDED l2 with ties to the
     # lowest codeword index — the coarse assignment rule per subspace.
     # m smallint indexes per vector (dim/m * 8x smaller than the
     # float64 embedding at dsub=8) — the pq_topk candidate pass reads
-    # ONLY this column.
+    # ONLY this column. Opt-in because the assignment projection's
+    # codegen compile is a ~6-8 s FIXED cost per commit (measured:
+    # 100-row commit 1.7 s without PQ, 8-16 s with; codebook literals
+    # differ per commit so the compile never caches) — a per-batch
+    # tax the streaming vector sink must not pay by default.
     pq = _pq_from_vecs(sample[:pq_k], pq_m)
     assigned = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -810,7 +815,8 @@ class VectorSegments:
 
     def compact_to(self, path: str, n_centroids: int = 8,
                    round_to: int = 6,
-                   centroids: list[list[float]] | None = None
+                   centroids: list[list[float]] | None = None,
+                   pq_m: int = 0, pq_k: int = 16
                    ) -> VectorArtifact:
         """Fold the live rows into a partition-pruned IVF artifact
         (tier 1) — tombstones applied physically, the stack left
@@ -825,12 +831,14 @@ class VectorSegments:
         codes would buy little and per-segment bounds would need a
         shared quantizer across independently-written segments); the
         ARTIFACT is the big immutable store where the IVF partitions
-        and the commit-time SQ codes pay. Compaction is the boundary
+        and the commit-time SQ codes (and opt-in PQ codes, pq_m>0)
+        pay. Compaction is the boundary
         where rows cross from the exact tier to the pruned tier."""
         return save_vector_index(self.spark, self.live(), path,
                                  n_centroids=n_centroids,
                                  id_col="vec_id", vec_col="embedding",
-                                 round_to=round_to, centroids=centroids)
+                                 round_to=round_to, centroids=centroids,
+                                 pq_m=pq_m, pq_k=pq_k)
 
     # -- lifecycle: merge / snapshots / gc (round 6 — segments.py parity) -----
 

@@ -75,7 +75,7 @@ def main() -> None:
 
         cents = train_centroids_lloyd(emb, n_cent, n_iters=5)
     va = save_vector_index(spark, emb, root, n_centroids=n_cent,
-                           centroids=cents)
+                           centroids=cents, pq_m=8, pq_k=16)
     commit_s = time.perf_counter() - t0
 
     qvec = [float(x) for x in
