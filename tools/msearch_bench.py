@@ -7,11 +7,15 @@ bucket/term-pruned decode, one shuffle, a partitioned-window rank).
 This tool measures both paths over a committed Zipf artifact and
 asserts they return byte-identical hits before reporting.
 
-Usage: python tools/msearch_bench.py [cpus] [n_docs] [n_queries] [mixed]
+Usage: python tools/msearch_bench.py [cpus] [n_docs] [n_queries] [mode]
 Pass ``mixed`` as the 4th arg to measure the round-5 MIXED batch
 instead: 3/4 bare-term members + 1/4 quoted-phrase members (shapes
 {2, 3}) served by multi_mixed_topk (one position-join plan per phrase
-SHAPE) vs one mixed_topk route per member.
+SHAPE) vs one mixed_topk route per member. Pass ``slop`` (round 6)
+to make the quoted members PROXIMITY clauses ("..."~2 / "..."~3):
+sequential = one mixed_slop_topk / mixed_topk route per member,
+batch = the same multi_mixed_topk call (slop clauses batch per
+length with the window as a broadcast column).
 Prints one JSON line.
 """
 
@@ -30,7 +34,9 @@ def main() -> None:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    mixed = len(sys.argv) > 4 and sys.argv[4] == "mixed"
+    mode = sys.argv[4] if len(sys.argv) > 4 else ""
+    mixed = mode in ("mixed", "slop")
+    slop = mode == "slop"
 
     from prosearch_spark.corpus import zipf_corpus
     from prosearch_spark.index.artifact import save_index
@@ -57,21 +63,25 @@ def main() -> None:
         t = i % 16
         if mixed and i % 4 == 3:
             if i % 8 == 3:
-                queries.append(f'z{t}_1 "z{t}_2 z{t}_3"')
+                queries.append(f'z{t}_1 "z{t}_2 z{t}_3"'
+                               + ("~2" if slop else ""))
             else:
-                queries.append(f'"z{t}_1 z{t}_2 z{t}_3" z{t}_4')
+                queries.append(f'"z{t}_1 z{t}_2 z{t}_3"'
+                               + ("~3" if slop else "") + f' z{t}_4')
         elif i % 2 == 0:
             queries.append(f"z{t}_1")
         else:
             queries.append(f"z{t}_1 z{t}_2")
 
     def _single(q):
+        if mixed and "~" in q:
+            return blk.mixed_slop_topk(q, 10, round_to=6)
         if mixed:
             return blk.mixed_topk(q, 10, round_to=6)
         return blk.topk(q, 10, round_to=6)
 
     out: dict = {"n_docs": n_docs, "cpus": cpus, "n_queries": n_queries,
-                 "mixed": mixed}
+                 "mixed": mixed, "mode": mode or "terms"}
     with query_mode(spark):
         _single(queries[0]).collect()  # warm caches
 
