@@ -931,6 +931,21 @@ def q_bm25_topk_fielded_phrase(spark, sf_dir):
         Q_MIXED_PHRASE, 10, round_to=ROUND)
 
 
+def q_fielded_mixed_slop(spark, sf_dir):
+    """Fielded PROXIMITY mixed query (round 6): 'spark "join hash"~2'
+    on a title+body deployment — the term clause keeps title 1.5 /
+    body 1.0, the slop clause scores BODY-ONLY via the ordered-chain
+    matcher (positions live only in the positional field; the same
+    body-only rule as exact fielded phrases), conjunction over
+    distinct clauses. Served by ArtifactSearcher.route as
+    "fielded_mixed_slop"."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    arts = _fielded_arts(spark, sf_dir)
+    return FieldedBlockSearchEngine(spark, arts).mixed_topk(
+        'spark "join hash"~2', 10, round_to=ROUND)
+
+
 def q_serve_routed_fielded_phrase(spark, sf_dir):
     """The serving router on a FIELDED deployment with a quoted query:
     round 3 silently dropped these to single-field scoring
@@ -2326,7 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 50) holds only entries driver-green in a PRIOR round
     # whose code paths are untouched or append-only this round
     # (per-displacement justifications at the boundary comments below;
-    # every tail entry is also re-attested by the full 142/142
+    # every tail entry is also re-attested by the full 143/143
     # check_oracle.py replica at sf0.01 this round).
     return {
         # ---- new in round 6 ----
@@ -2334,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop_blocks": q_phrase_slop_blocks,
         "mixed_slop": q_mixed_slop,
         "mixed_slop_blocks": q_mixed_slop_blocks,
+        "fielded_mixed_slop": q_fielded_mixed_slop,
         "knn_pq_ivf": q_knn_pq_ivf,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -2384,14 +2400,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serve_routed_fielded_stack": q_serve_routed_fielded_stack,
         # ---- code changed in round 4 (clause threading / count fold /
         # router / fielded engine / segments / multi-probe tie-break) ----
-        "bm25_topk_wand": q_bm25_topk_wand,
-        # ---- the 50-entry window ends HERE in round 6 (16 new r6
+        # ---- the 50-entry window ends HERE in round 6 (17 new r6
         # entries lead the dict; the cut falls after
-        # bm25_topk_wand). Displaced this round, all
+        # serve_routed_fielded_stack — and every entry that exercises
+        # the r6-MODIFIED fielded.mixed_topk body sits IN the window:
+        # bm25_topk_fielded_phrase, serve_routed_fielded_phrase,
+        # fielded_stack_phrase, serve_routed_fielded_stack,
+        # fielded_stream_phrase, plus the new fielded_mixed_slop).
+        # Displaced this round, all
         # driver-green in r04/r05 on paths untouched or additive-only
-        # in r6: bm25_topk_wand_and2 (the same WAND ladder as the
-        # in-window bm25_topk_wand — block_engine.topk_wand is
-        # untouched this round), bm25_topk_fastfield_wand (fast-field projection and
+        # in r6: bm25_topk_wand and bm25_topk_wand_and2
+        # (block_engine.topk_wand is untouched this round —
+        # block_engine.py's r6 diff is appended methods only, see
+        # below — and the WAND ladder is exercised in-window via
+        # bm25_topk_mixed_term_only's parsed-clause delegation and
+        # segmented_wand_live's stack WAND), bm25_topk_fastfield_wand (fast-field projection and
         # the WAND ladder are untouched — index/artifact.py has NO r6
         # diff and block_engine.py's r6 diff is appended methods
         # only; the WAND ladder itself is gated in-window via
@@ -2437,7 +2460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # msearch_mlt_blocks / msearch_or; artifact.py
         # save_index/engine paths untouched). Every tail entry is also
         # re-attested by the full check_oracle.py replica, run green
-        # at sf0.01 this round after the final additions (142/142). ----
+        # at sf0.01 this round after the final additions (143/143). ----
+        "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_wand_and2": q_bm25_topk_wand_and2,
         "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
         "bm25_topk_wand_or": q_bm25_topk_wand_or,
@@ -2807,6 +2831,10 @@ def oracle_sql() -> dict[str, str]:
                                                10, ROUND),
         # the committed proximity path must reproduce the flat one
         "mixed_slop_blocks": osql.mixed_slop_topk_sql(
+            'spark "join hash"~2', 10, ROUND),
+        # fielded proximity: term clauses title 1.5 / body 1.0, slop
+        # clause body-only via the inequality-join chain
+        "fielded_mixed_slop": osql.fielded_mixed_slop_topk_sql(
             'spark "join hash"~2', 10, ROUND),
         # PQ-within-IVF: codebooks/codes/lookups all re-derived from
         # the raw table (sampled-member training, ADC add chain)

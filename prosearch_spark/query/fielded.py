@@ -871,15 +871,32 @@ class FieldedBlockSearchEngine:
                 "left_semi",
             )
 
-        clauses = parse_query_lenient(q)
+        # parse_query_slop is a strict superset of the lenient
+        # grammar (byte-identical clauses on every slop-free query),
+        # so "..."~N proximity clauses serve fielded too (round 6):
+        # like exact phrases they score BODY-ONLY (positions live
+        # only in the positional field) and share the phrase decode
+        # and both pruning stages — the soundness arguments only
+        # need "every final match contains every clause term", true
+        # for slop matches as well.
+        from prosearch_spark.analyzer import parse_query_slop
+
+        clauses = parse_query_slop(q)
         if not clauses:
             return _ret(self.spark.createDataFrame([], TOPK_SCHEMA),
                         {"blocks_total": 0, "blocks_decoded": 0})
         n_clauses = len(clauses)
         term_clauses = [(i, c) for i, (kind, c) in enumerate(clauses)
                         if kind == "term"]
-        phrase_clauses = [(i, c) for i, (kind, c) in enumerate(clauses)
-                          if kind == "phrase"]
+        # positional clauses: (clause_id, terms, slop-or-None) —
+        # None = exact phrase, an int = ordered slop window
+        pos_clauses = [
+            (i, list(c), None) if kind == "phrase"
+            else (i, list(c[0]), int(c[1]))
+            for i, (kind, c) in enumerate(clauses)
+            if kind in ("phrase", "slop")
+        ]
+        phrase_clauses = [(i, tp) for i, tp, _s in pos_clauses]
         terms = sorted({t for _, (t, _b) in term_clauses})
 
         # lazily built; counted only under return_stats
@@ -962,8 +979,16 @@ class FieldedBlockSearchEngine:
                 pp = apply_deletes(decode_blocks(ph_needed.drop("field")),
                                    body_art.deletes()).persist()
                 persisted.append(pp)
-            for ci, terms_p in phrase_clauses:
-                m = phrase_matches(pp, list(terms_p)).persist()
+            for ci, terms_p, slop_n in pos_clauses:
+                if slop_n is None:
+                    m = phrase_matches(pp, list(terms_p)).persist()
+                else:
+                    from prosearch_spark.index.positions import (
+                        phrase_slop_matches,
+                    )
+
+                    m = phrase_slop_matches(
+                        pp, list(terms_p), slop_n).persist()
                 persisted.append(m)
                 if m_first is None:
                     m_first = m

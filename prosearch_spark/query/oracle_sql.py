@@ -2467,3 +2467,197 @@ SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INT AS rank,
        vec_id, pq_score, cosine
 FROM resc ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
+
+
+def fielded_mixed_slop_topk_sql(q: str, k: int = 10, round_to: int = 6,
+                                title_tokens: int = 4) -> str:
+    """Oracle for the FIELDED proximity mixed grammar
+    (FieldedBlockSearchEngine.mixed_topk parsing parse_query_slop):
+    fielded_mixed_topk_sql's algebra with ``"..."~N`` clauses scoring
+    BODY-ONLY via the n-way inequality-join chain (the
+    phrase_slop_topk_sql EXISTS form; tf = DISTINCT chain starts),
+    conjunction over DISTINCT clause ids."""
+    from prosearch_spark.analyzer import parse_query_slop
+
+    clauses = parse_query_slop(q)
+    assert clauses, "fielded mixed-slop oracle needs at least one clause"
+    n_clauses = len(clauses)
+    term_clauses = [(i, c) for i, (kind, c) in enumerate(clauses)
+                    if kind == "term"]
+    phrase_clauses = [(i, c) for i, (kind, c) in enumerate(clauses)
+                      if kind == "phrase"]
+    slop_clauses = [(i, c) for i, (kind, c) in enumerate(clauses)
+                    if kind == "slop"]
+    score = _qualify(SCORE_EXPR)
+
+    ctes = [f"""docs2 AS (
+    SELECT doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, {title_tokens}), ' ') AS title,
+           text AS body
+    FROM documents
+),
+toks_title AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(title), '\\s+')) AS term
+        FROM docs2
+    ) WHERE term <> ''
+),
+toks_body AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(body), '\\s+')) AS term
+        FROM docs2
+    ) WHERE term <> ''
+),
+tf_title AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks_title GROUP BY 1, 2
+),
+tf_body AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks_body GROUP BY 1, 2
+),
+postings_title AS (
+    SELECT term, doc_id, tf,
+           sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS dl
+    FROM tf_title
+),
+postings_body AS (
+    SELECT term, doc_id, tf,
+           sum(tf) OVER (PARTITION BY doc_id)::BIGINT AS dl
+    FROM tf_body
+),
+df_title AS (SELECT term, count(*)::BIGINT AS df FROM tf_title GROUP BY term),
+df_body AS (SELECT term, count(*)::BIGINT AS df FROM tf_body GROUP BY term),
+stats_title AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+           (SELECT count(*) FROM toks_title) * 1.0
+               / (SELECT count(*) FROM documents) AS avgdl
+),
+stats_body AS (
+    SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+           (SELECT count(*) FROM toks_body) * 1.0
+               / (SELECT count(*) FROM documents) AS avgdl
+),
+dlen_body AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf_body GROUP BY doc_id)"""]
+    selects: list[str] = []
+
+    if term_clauses:
+        vals = ", ".join(
+            f"({i}, {_sql_str(t)}, {b!r}::DOUBLE)"
+            for i, (t, b) in term_clauses
+        )
+        ctes.append(
+            f"qterms(clause_id, term, boost) AS (SELECT * FROM (VALUES {vals}))"
+        )
+        for field, fb, tf_expr in [
+            ("title", 1.5, "1"),            # record:"basic" -> tf==1
+            ("body", 1.0, "p.tf"),
+        ]:
+            s = score.replace("p.tf", tf_expr) if tf_expr != "p.tf" else score
+            selects.append(
+                f"SELECT q.clause_id, p.doc_id, {fb!r} * ({s}) AS s\n"
+                f"    FROM qterms q\n"
+                f"    JOIN postings_{field} p ON p.term = q.term\n"
+                f"    JOIN df_{field} t ON t.term = q.term\n"
+                f"    CROSS JOIN stats_{field} stats"
+            )
+
+    if phrase_clauses or slop_clauses:
+        ctes.append("""d2 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(body), '\\s+'), t -> t <> '') AS tl
+    FROM docs2
+)""")
+    if phrase_clauses:
+        ctes.append("""pos AS (
+    SELECT doc_id, term, list(i - 1 ORDER BY i) AS positions
+    FROM (
+        SELECT doc_id, i, tl[i] AS term
+        FROM d2, unnest(generate_series(1, len(tl))) u(i)
+    )
+    WHERE term <> '' GROUP BY doc_id, term
+)""")
+    if slop_clauses:
+        ctes.append("""posx AS (
+    SELECT doc_id, i - 1 AS p, tl[i] AS term
+    FROM d2, unnest(generate_series(1, len(tl))) u(i)
+)""")
+    pmap = {
+        "boost": "1.0", "n_docs": "stats.n_docs",
+        "avgdl": "stats.avgdl", "df": "pdf.df",
+        "tf": "matched.pf", "dl": "dlen.dl",
+    }
+    pscore = _QUALIFY_RE.sub(lambda m: pmap[m.group(1)], SCORE_EXPR)
+    for ci, terms in phrase_clauses:
+        joins = "\n".join(
+            f"    JOIN pos a{i} ON a{i}.doc_id = a0.doc_id"
+            f" AND a{i}.term = {_sql_str(t)}"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+        inter = "a0.positions"
+        for i in range(1, len(terms)):
+            inter = (f"list_intersect({inter}, "
+                     f"list_transform(a{i}.positions, x -> x - {i}))")
+        ctes.append(
+            f"m{ci} AS (\n"
+            f"    SELECT a0.doc_id, len({inter})::BIGINT AS pf\n"
+            f"    FROM pos a0\n{joins}\n"
+            f"    WHERE a0.term = {_sql_str(terms[0])}\n)"
+        )
+        ctes.append(
+            f"matched{ci} AS (SELECT doc_id, pf FROM m{ci} WHERE pf > 0)"
+        )
+        ctes.append(
+            f"pdf{ci} AS (SELECT count(*)::BIGINT AS df FROM matched{ci})"
+        )
+        selects.append(
+            f"SELECT {ci} AS clause_id, matched.doc_id, 1.0 * ({pscore}) AS s\n"
+            f"    FROM matched{ci} matched\n"
+            "    JOIN dlen_body dlen ON dlen.doc_id = matched.doc_id\n"
+            f"    CROSS JOIN pdf{ci} pdf CROSS JOIN stats_body stats"
+        )
+    for ci, (terms, slop) in slop_clauses:
+        n = len(terms)
+        window = n - 1 + slop
+        joins = "\n".join(
+            f"    JOIN posx b{i} ON b{i}.doc_id = b0.doc_id"
+            f" AND b{i}.term = {_sql_str(t)}"
+            f" AND b{i}.p > b{i - 1}.p AND b{i}.p <= b0.p + {window}"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+        ctes.append(
+            f"sm{ci} AS (\n"
+            f"    SELECT DISTINCT b0.doc_id, b0.p\n"
+            f"    FROM posx b0\n{joins}\n"
+            f"    WHERE b0.term = {_sql_str(terms[0])}\n)"
+        )
+        ctes.append(
+            f"smatched{ci} AS (SELECT doc_id, count(*)::BIGINT AS pf "
+            f"FROM sm{ci} GROUP BY doc_id)"
+        )
+        ctes.append(
+            f"spdf{ci} AS (SELECT count(*)::BIGINT AS df FROM smatched{ci})"
+        )
+        selects.append(
+            f"SELECT {ci} AS clause_id, matched.doc_id, 1.0 * ({pscore}) AS s\n"
+            f"    FROM smatched{ci} matched\n"
+            "    JOIN dlen_body dlen ON dlen.doc_id = matched.doc_id\n"
+            f"    CROSS JOIN spdf{ci} pdf CROSS JOIN stats_body stats"
+        )
+
+    scored_union = "\n    UNION ALL\n    ".join(selects)
+    ctes.append(f"scored AS (\n    {scored_union}\n)")
+    ctes.append(
+        "docs_scored AS (\n"
+        "    SELECT doc_id, sum(s) AS score FROM scored GROUP BY doc_id\n"
+        f"    HAVING count(DISTINCT clause_id) = {n_clauses}\n)"
+    )
+    ctes.append(
+        f"rounded AS (SELECT doc_id, round(score, {round_to}) AS score "
+        "FROM docs_scored)"
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        "SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,\n"
+        "       doc_id, score\n"
+        f"FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )

@@ -74,16 +74,20 @@ class ArtifactSearcher:
             # glued ~suffix exists — including ~0 folds and dropped
             # bad suffixes, which the lenient parse would also turn
             # into dead term clauses), so it is behavior-preserving
-            # for every query without one. Slop scores body-only
-            # positional postings, so a fielded deployment serves it
-            # from the body artifact — the same body-only rule
-            # fielded phrases follow.
+            # for every query without one.
             from prosearch_spark.analyzer import (
                 parse_query_lenient,
                 parse_query_slop,
             )
 
             if parse_query_slop(q) != parse_query_lenient(q):
+                if self.fielded is not None:
+                    # the fielded mixed engine parses the proximity
+                    # grammar itself (round 6): term clauses keep
+                    # title 1.5 / body 1.0, slop clauses score
+                    # body-only like phrases
+                    return (self.fielded.mixed_topk(q, k, round_to),
+                            "fielded_mixed_slop")
                 return (self.block.mixed_slop_topk(q, k, round_to),
                         "mixed_slop")
             if self.fielded is not None:

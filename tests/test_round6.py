@@ -1004,3 +1004,49 @@ def test_msearch_batches_slop_members(spark, tmp_path):
         rows = [(r["rank"], r["doc_id"], r["score"])
                 for r in want.collect()]
         assert by_q.get(qi, []) == rows, q
+
+
+def test_fielded_route_serves_slop(spark, tmp_path):
+    """A fielded deployment serves '"..."~N' through the fielded mixed
+    engine (plan fielded_mixed_slop): term clauses KEEP title 1.5 /
+    body 1.0, the slop clause scores body-only; slop-free queries keep
+    their fielded plans. A doc whose terms only satisfy the proximity
+    at slop>=1 appears; the reversed doc never does."""
+    from prosearch_spark.index.artifact import (
+        save_fielded_index,
+        save_index,
+    )
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    rows = [
+        (0, "alpha join", "x a q b alpha"),
+        (1, "alpha", "a q b"),
+        (2, "other", "x a b"),
+        (3, "alpha", "x b a"),
+        (4, "join", "a b x q join"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    arts = save_fielded_index(
+        spark, docs, str(tmp_path / "f_slop"),
+        {"title": "title", "body": "body"},
+        positional_fields=frozenset({"body"}))
+    flat = save_index(spark, docs, str(tmp_path / "f_slop_flat"),
+                      text_col="body", with_positions=True)
+    s = ArtifactSearcher(spark, flat, fielded=arts)
+    hits, plan = s.route('x "a b"~1', 10, round_to=6)
+    assert plan == "fielded_mixed_slop"
+    got = {r["doc_id"] for r in hits.collect()}
+    assert got == {0, 2, 4}  # gap-1 chain (0), exact (2, 4); 3 reversed
+    # slop-free fielded routing unchanged
+    _, p2 = s.route('x "a b"', 10, round_to=6)
+    assert p2 == "fielded_mixed"
+    _, p3 = s.route("x", 10, round_to=6)
+    assert p3 == "fielded_wand"
+    # direct engine: ~0 == the exact fielded phrase, bit-identical
+    eng = FieldedBlockSearchEngine(spark, arts)
+    a = [tuple(r) for r in
+         eng.mixed_topk('x "a b"~0', 10, round_to=6).collect()]
+    b = [tuple(r) for r in
+         eng.mixed_topk('x "a b"', 10, round_to=6).collect()]
+    assert a == b and len(a) > 0
