@@ -2438,13 +2438,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serve_routed_term / serve_routed_stack /
         # serve_routed_fielded (serve.py's r6 diff is appended methods
         # — more_like_this / msearch_mlt / hybrid / msearch_hybrid —
-        # plus ONE behavior-preserving branch in route(): the slop
-        # branch fires only when parse_query_slop yields a slop
-        # clause, which no slop-free query can (these three route
-        # quote-free/slop-free queries), and the branch's engine is
-        # gated in-window via mixed_slop / mixed_slop_blocks;
-        # msearch() is unchanged, and the delegate engines are gated
-        # in-window),
+        # plus behavior-preserving parse-difference dispatches in
+        # route()/profile()/api(): the slop branches fire only when
+        # parse_query_slop parses differently from the lenient
+        # grammar, which no slop-free query can (these three route
+        # quote-free/slop-free queries), and the branch engines are
+        # gated in-window via mixed_slop / mixed_slop_blocks /
+        # fielded_mixed_slop; msearch() is unchanged, and the
+        # delegate engines are gated in-window),
         # bm25_topk_fielded_wand /
         # bm25_topk_fielded_blocks / bm25_topk_fielded
         # (query/fielded.py's r6 diff is the min_match relaxation in

@@ -239,10 +239,24 @@ class ArtifactSearcher:
         t0 = time.perf_counter()
         stats: dict = {}
         if '"' in q:
+            from prosearch_spark.analyzer import (
+                parse_query_lenient,
+                parse_query_slop,
+            )
+
+            has_slop = parse_query_slop(q) != parse_query_lenient(q)
             if self.fielded is not None:
+                # the fielded mixed engine parses the proximity
+                # grammar itself; plan name matches route()
                 hits, stats = self.fielded.mixed_topk(
                     q, k, round_to=6, return_stats=True)
-                plan = "fielded_mixed"
+                plan = "fielded_mixed_slop" if has_slop \
+                    else "fielded_mixed"
+            elif has_slop:
+                # the single-field slop path has no staged pruning
+                # (and so no pruning counters) — route()'s engine
+                hits = self.block.mixed_slop_topk(q, k, round_to=6)
+                plan = "mixed_slop"
             else:
                 hits, stats = self.block.mixed_topk(
                     q, k, round_to=6, return_stats=True)
@@ -284,11 +298,15 @@ class ArtifactSearcher:
         fetched = self.artifact.fetch_docs(hits)
         display = [c for c in fetched.columns
                    if c not in {"doc_id", "rank", "score", self.body_col}]
-        from prosearch_spark.analyzer import parse_query_lenient
+        # parse_query_slop so a "..."~N query highlights its phrase
+        # terms instead of a bogus "~N" token
+        from prosearch_spark.analyzer import parse_query_slop
 
         flat_terms = " ".join(
-            c[0] if kind == "term" else " ".join(c)
-            for kind, c in parse_query_lenient(q)
+            c[0] if kind == "term"
+            else " ".join(c[0]) if kind == "slop"
+            else " ".join(c)
+            for kind, c in parse_query_slop(q)
         )
         fetched = with_snippet(fetched, flat_terms, self.body_col)
         rows = fetched.orderBy("rank").collect()

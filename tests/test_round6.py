@@ -1050,3 +1050,27 @@ def test_fielded_route_serves_slop(spark, tmp_path):
     b = [tuple(r) for r in
          eng.mixed_topk('x "a b"', 10, round_to=6).collect()]
     assert a == b and len(a) > 0
+
+
+def test_profile_and_api_handle_slop_queries(spark, tmp_path):
+    """The diagnostic (profile) and Serp (api) endpoints follow the
+    router's slop dispatch: single-field slop reports plan mixed_slop
+    with real hits (the lenient mixed engine would return zero), and
+    the snippet highlights the PHRASE terms, never a bogus '~N'
+    token."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.query.serve import ArtifactSearcher
+
+    texts = ["x a q b", "a q b", "x a b", "x b a", "a b x q"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    art = save_index(spark, docs, str(tmp_path / "slop_api"),
+                     text_col="text", with_positions=True)
+    art.write_doc_store(docs, ["text"])
+    s = ArtifactSearcher(spark, art, body_col="text")
+    p = s.profile('x "a b"~1', 5)
+    assert p["plan"] == "mixed_slop" and p["num_hits"] == 3
+    r = s.api('x "a b"~1', 5)
+    assert r["plan"] == "mixed_slop" and r["num_hits"] == 3
+    snips = " ".join(h["snip"] for h in r["hits"])
+    assert "~" not in snips and "<b>" in snips
