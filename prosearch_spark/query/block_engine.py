@@ -929,6 +929,29 @@ class BlockSearchEngine:
         return self._engine(q).terms_stats_agg(
             q, self.artifact.doc_stats(), group_col, value_col)
 
+    def top_hits_by_group(self, q: str, group_col: str,
+                          n_per_group: int = 3,
+                          round_to: int | None = None) -> DataFrame:
+        """Tantivy top_hits sub-aggregation over the COMMITTED
+        artifact (round 6): the bucket/term-pruned decode feeds the
+        flat per-group WindowGroupLimit algebra; the group key comes
+        from the COLUMNAR fast-field doc_stats, never a side-loaded
+        corpus. Pytest-pinned against the gated flat engine (the
+        driver window is at capacity — the chunk/pack precedent)."""
+        return self._engine(q).top_hits_by_group(
+            q, self.artifact.doc_stats(), group_col, n_per_group,
+            round_to)
+
+    def collapse_topk(self, q: str, collapse_col: str, k: int = 10,
+                      round_to: int | None = None) -> DataFrame:
+        """Field collapsing over the COMMITTED artifact (round 6 —
+        'one result per site' on the production deployment): pruned
+        decode -> flat collapse algebra, collapse key from the
+        fast-field doc_stats. Pytest-pinned against the gated flat
+        engine."""
+        return self._engine(q).collapse_topk(
+            q, self.artifact.doc_stats(), collapse_col, k, round_to)
+
     def range_agg(self, q: str, value_col: str,
                   ranges: list[tuple[float | None, float | None]]
                   ) -> DataFrame:

@@ -1074,3 +1074,36 @@ def test_profile_and_api_handle_slop_queries(spark, tmp_path):
     assert r["plan"] == "mixed_slop" and r["num_hits"] == 3
     snips = " ".join(h["snip"] for h in r["hits"])
     assert "~" not in snips and "<b>" in snips
+
+
+def test_committed_collapse_and_top_hits_match_flat(spark, tmp_path):
+    """BlockSearchEngine.collapse_topk / top_hits_by_group over a
+    fast-field artifact reproduce the gated flat engines row-for-row
+    (physical layout must not change results; group/collapse keys come
+    from the columnar doc_stats)."""
+    from prosearch_spark.index.artifact import save_index
+    from prosearch_spark.index.build import build_index
+    from prosearch_spark.query.block_engine import BlockSearchEngine
+    from prosearch_spark.query.engine import SearchEngine
+
+    words = ["spark", "table", "join", "hash", "scan", "merge"]
+    docs = spark.createDataFrame(
+        [(i, f"lang{i % 3}",
+          " ".join(words[j % 6] for j in range(i, i + 4 + i % 5)))
+         for i in range(120)],
+        "doc_id long, lang string, text string")
+    flat = SearchEngine(spark, build_index(docs, text_col="text"))
+    art = save_index(spark, docs, str(tmp_path / "coll_art"),
+                     text_col="text", fast_fields={"lang": "lang"})
+    blk = BlockSearchEngine(spark, art)
+    q = "spark table"
+    a = [tuple(r) for r in
+         flat.collapse_topk(q, docs, "lang", 5, round_to=6).collect()]
+    b = [tuple(r) for r in
+         blk.collapse_topk(q, "lang", 5, round_to=6).collect()]
+    assert a == b and len(a) > 0
+    a2 = [tuple(r) for r in flat.top_hits_by_group(
+        q, docs, "lang", 2, round_to=6).collect()]
+    b2 = [tuple(r) for r in blk.top_hits_by_group(
+        q, "lang", 2, round_to=6).collect()]
+    assert a2 == b2 and len(a2) > 0
