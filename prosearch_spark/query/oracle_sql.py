@@ -2661,3 +2661,33 @@ dlen_body AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf_body GROUP BY doc_id)
         "       doc_id, score\n"
         f"FROM rounded ORDER BY score DESC, doc_id ASC LIMIT {k}"
     )
+
+
+def fielded_multi_mixed_topk_sql(queries: list[str], k: int = 10,
+                                 round_to: int = 6) -> str:
+    """Batched FIELDED mixed msearch oracle — twin of
+    FieldedBlockSearchEngine.multi_mixed_topk: per-query results
+    identical to the single-query fielded mixed oracle (terms title
+    1.5 / body 1.0; phrases AND "..."~N slop clauses body-only),
+    tagged with the list position. The oracle need not batch (it
+    recomputes ground truth): each member is the full fielded
+    mixed-slop CTE as a subquery, UNION ALL'd; a member that parses
+    to zero clauses contributes no rows, same as the engine."""
+    from prosearch_spark.analyzer import parse_query_slop
+
+    parts = []
+    for qi, q in enumerate(queries):
+        if not parse_query_slop(q):
+            continue
+        parts.append(
+            f"SELECT {qi}::INT AS query_id, rank, doc_id, score FROM (\n"
+            f"{fielded_mixed_slop_topk_sql(q, k, round_to)}\n)"
+        )
+    if not parts:
+        return ("SELECT NULL::INT AS query_id, NULL::INT AS rank, "
+                "NULL::BIGINT AS doc_id, NULL::DOUBLE AS score WHERE false")
+    body = "\nUNION ALL\n".join(parts)
+    return (
+        "SELECT query_id, rank::INT AS rank, doc_id, score FROM (\n"
+        f"{body}\n) ORDER BY query_id, rank"
+    )

@@ -185,9 +185,11 @@ class ArtifactSearcher:
         LENGTH and runs one position-join plan per length over one
         shared decode, so a 24-term + 8-phrase batch with phrase
         lengths {2, 3} costs three plans, not 9+. On a FIELDED
-        deployment quoted members still route one at a time (the
-        fielded mixed engine's per-field staged pruning is genuinely
-        per-query) and union into the same frame."""
+        deployment quoted (and "..."~N) members batch too (round 6:
+        fielded.multi_mixed_topk — one fielded term pass + one
+        body-only position-join plan per phrase shape; the batch
+        deliberately skips the single-query staged pruning, which
+        does not compose across members)."""
         from functools import reduce
 
         from prosearch_spark.query.engine import MULTI_TOPK_SCHEMA
@@ -218,11 +220,15 @@ class ArtifactSearcher:
                     [queries[i] for i in quoted_idx], k, round_to),
                 quoted_idx))
         elif quoted_idx:
-            for i in quoted_idx:
-                hits, _plan = self.route(queries[i], k, round_to)
-                parts.append(hits.select(
-                    F.lit(i).cast("int").alias("query_id"), "rank",
-                    "doc_id", "score"))
+            # round 6: fielded quoted/slop members batch too —
+            # fielded.multi_mixed_topk runs one plan per phrase
+            # shape over one body decode + one fielded term pass
+            # (the per-member route() loop this replaces paid a
+            # full plan per quoted member)
+            parts.append(_remap(
+                self.fielded.multi_mixed_topk(
+                    [queries[i] for i in quoted_idx], k, round_to),
+                quoted_idx))
         if not parts:
             return self.spark.createDataFrame([], MULTI_TOPK_SCHEMA)
         return reduce(lambda a, b: a.unionByName(b), parts) \

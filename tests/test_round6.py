@@ -1107,3 +1107,39 @@ def test_committed_collapse_and_top_hits_match_flat(spark, tmp_path):
     b2 = [tuple(r) for r in blk.top_hits_by_group(
         q, "lang", 2, round_to=6).collect()]
     assert a2 == b2 and len(a2) > 0
+
+
+def test_fielded_multi_mixed_topk_matches_single_query(spark, tmp_path):
+    """Batched fielded mixed msearch: every member's rows equal its
+    single-query fielded mixed_topk result — terms keep title 1.5 /
+    body 1.0, phrases and slops score body-only; a dead member never
+    empties the batch."""
+    from prosearch_spark.index.artifact import save_fielded_index
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    rows = [
+        (0, "alpha join", "x a q b alpha hash"),
+        (1, "alpha", "a q b join hash"),
+        (2, "other", "x a b join q hash"),
+        (3, "alpha beta", "x b a hash"),
+        (4, "join", "a b x q join n hash"),
+        (5, "beta", "join hash a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    arts = save_fielded_index(
+        spark, docs, str(tmp_path / "fmm"),
+        {"title": "title", "body": "body"},
+        positional_fields=frozenset({"body"}))
+    eng = FieldedBlockSearchEngine(spark, arts)
+    batch = ['alpha "a b"~1', '"join hash" x', 'beta "a b"',
+             "alpha hash", 'zzz "a b"']  # last member is dead
+    got = eng.multi_mixed_topk(batch, 10, round_to=6).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qi, q in enumerate(batch):
+        want = [(r["rank"], r["doc_id"], r["score"]) for r in
+                eng.mixed_topk(q, 10, round_to=6).collect()]
+        assert by_q.get(qi, []) == want, q
+    assert 0 in by_q and by_q.get(4, []) == []
