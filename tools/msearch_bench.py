@@ -15,7 +15,11 @@ SHAPE) vs one mixed_topk route per member. Pass ``slop`` (round 6)
 to make the quoted members PROXIMITY clauses ("..."~2 / "..."~3):
 sequential = one mixed_slop_topk / mixed_topk route per member,
 batch = the same multi_mixed_topk call (slop clauses batch per
-length with the window as a broadcast column).
+length with the window as a broadcast column). Pass ``fielded``
+(round 6 late) to commit a title+body FIELDED deployment (title =
+first 4 tokens, positional body) and compare one fielded
+mixed_topk route per member vs ONE
+FieldedBlockSearchEngine.multi_mixed_topk batch.
 Prints one JSON line.
 """
 
@@ -35,8 +39,9 @@ def main() -> None:
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     mode = sys.argv[4] if len(sys.argv) > 4 else ""
-    mixed = mode in ("mixed", "slop")
-    slop = mode == "slop"
+    mixed = mode in ("mixed", "slop", "fielded")
+    slop = mode in ("slop", "fielded")
+    fielded = mode == "fielded"
 
     from prosearch_spark.corpus import zipf_corpus
     from prosearch_spark.index.artifact import save_index
@@ -50,9 +55,23 @@ def main() -> None:
     docs = zipf_corpus(spark, n_docs=n_docs).cache()
     docs.count()
     path = tempfile.mkdtemp(prefix="prosearch_msearch_bench_")
-    art = save_index(spark, docs, path, text_col="content",
-                     with_positions=mixed)
-    blk = BlockSearchEngine(spark, art)
+    if fielded:
+        from pyspark.sql import functions as F
+
+        from prosearch_spark.index.artifact import save_fielded_index
+        from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+        fdocs = docs.withColumn(
+            "title", F.array_join(F.slice(
+                F.split(F.col("content"), " "), 1, 4), " "))
+        arts = save_fielded_index(
+            spark, fdocs, path, {"title": "title", "body": "content"},
+            positional_fields=frozenset({"body"}))
+        blk = FieldedBlockSearchEngine(spark, arts)
+    else:
+        art = save_index(spark, docs, path, text_col="content",
+                         with_positions=mixed)
+        blk = BlockSearchEngine(spark, art)
 
     # deterministic query mix: topic singles + 2-term ANDs across the
     # Zipf topic vocabulary (every query hits a different hot region);
@@ -74,6 +93,9 @@ def main() -> None:
             queries.append(f"z{t}_1 z{t}_2")
 
     def _single(q):
+        if fielded:
+            # the fielded mixed engine parses the proximity grammar
+            return blk.mixed_topk(q, 10, round_to=6)
         if mixed and "~" in q:
             return blk.mixed_slop_topk(q, 10, round_to=6)
         if mixed:
@@ -94,6 +116,7 @@ def main() -> None:
 
         t0 = time.perf_counter()
         if mixed:
+            # fielded and single-field engines share the method name
             rows = blk.multi_mixed_topk(queries, 10, round_to=6).collect()
         else:
             rows = blk.multi_topk(queries, 10, round_to=6).collect()
