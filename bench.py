@@ -187,6 +187,14 @@ def main() -> None:
     t0 = time.perf_counter()
     feng.mixed_topk('spark "join hash"', 10, round_to=6).collect()
     queries["q_fielded_mixed_phrase"] = round(time.perf_counter() - t0, 4)
+    # batched fielded mixed (round 6 late): terms + an exact phrase +
+    # a slop member in ONE plan set — the serve.msearch fielded path
+    t0 = time.perf_counter()
+    feng.multi_mixed_topk(
+        ['spark "join hash"', 'the "join hash"~2', "table scan",
+         'fast "scan group value"~3'], 10, round_to=6).collect()
+    queries["q_msearch_fielded_mixed4"] = round(
+        time.perf_counter() - t0, 4)
 
     # flat mixed phrase over a positional artifact
     ppath = tempfile.mkdtemp(prefix="prosearch_bench_pos_")
