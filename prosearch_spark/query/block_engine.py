@@ -1293,11 +1293,18 @@ class BlockSearchEngine:
         needs_pos = any(kind in ("phrase", "slop") for kind, _ in clauses)
         if needs_pos and "positions" not in postings.columns:
             raise ValueError("artifact was not built with_positions=True")
-        return _mixed_impl(
-            self.spark, None, clauses, k, round_to, "text", "doc_id",
-            pp=postings, stats=self.artifact.stats(),
-            term_stats=self.artifact.term_stats(all_terms),
-            pp_terms=None)
+        # persist: each clause kind (term scoring, every phrase/slop
+        # side) reads the decode — unpersisted, the bucket-pruned
+        # scan+decode would re-run once per side
+        postings = postings.persist()
+        try:
+            return _mixed_impl(
+                self.spark, None, clauses, k, round_to, "text",
+                "doc_id", pp=postings, stats=self.artifact.stats(),
+                term_stats=self.artifact.term_stats(all_terms),
+                pp_terms=None)
+        finally:
+            postings.unpersist()
 
     def multi_mixed_topk(self, queries: list[str], k: int = 10,
                          round_to: int | None = None) -> DataFrame:
