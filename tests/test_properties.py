@@ -265,3 +265,36 @@ def test_sq_quantize_python_twin_matches_spark(spark, xs, gmin, span):
     got = [int(c) for c in row["c"]]
     want = [_qcode_py(x, gmin, gmax) for x in xs]
     assert got == want
+
+
+@given(st.text(alphabet=st.characters(
+    blacklist_categories=("Cs",)), max_size=120))
+def test_parse_query_slop_never_errors_and_is_lenient_superset(q):
+    """The proximity grammar is total (never raises on any input) and
+    a STRICT superset of the lenient grammar: on any query with no
+    ``~`` character the two parses are byte-identical, and in general
+    the slop parse differs only by (a) converting a phrase clause to
+    a slop clause or (b) dropping a glued ~suffix token the lenient
+    parse would have read as a bare term."""
+    from prosearch_spark.analyzer import (
+        parse_query_lenient,
+        parse_query_slop,
+    )
+
+    lenient = parse_query_lenient(q)
+    slop = parse_query_slop(q)  # must not raise
+    if "~" not in q:
+        assert slop == lenient
+    # structural invariants hold on every input
+    for kind, payload in slop:
+        assert kind in ("term", "phrase", "slop")
+        if kind == "slop":
+            terms, n = payload
+            assert len(terms) >= 2 and n >= 1
+    # folding slop clauses back to phrases yields a SUBSEQUENCE of the
+    # lenient parse's clause list (the slop parse only ever drops
+    # glued ~tokens, never reorders or invents clauses)
+    folded = [("phrase", list(p[0])) if k == "slop" else (k, p)
+              for k, p in slop]
+    it = iter(lenient)
+    assert all(any(c == lc for lc in it) for c in folded)
