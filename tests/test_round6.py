@@ -1143,3 +1143,31 @@ def test_fielded_multi_mixed_topk_matches_single_query(spark, tmp_path):
                 eng.mixed_topk(q, 10, round_to=6).collect()]
         assert by_q.get(qi, []) == want, q
     assert 0 in by_q and by_q.get(4, []) == []
+
+
+def test_fielded_multi_mixed_plan_shape(spark, tmp_path):
+    """The batched fielded mixed plan: metadata-sized sides (slot
+    tables, window bounds, term/field stats, clause counts) broadcast
+    (BroadcastHashJoins present, never a cartesian product) and the
+    final per-query rank is a PARTITIONED window (WindowGroupLimit).
+    The n-way joins BETWEEN position sides are posting-sized on both
+    ends and correctly shuffle on (query_id, clause_id, doc_id) —
+    those SortMergeJoins are the phrase intersection itself, not a
+    planning defect."""
+    from prosearch_spark.index.artifact import save_fielded_index
+    from prosearch_spark.query.fielded import FieldedBlockSearchEngine
+
+    rows = [(i, f"t{i % 2}", f"a b x join hash w{i % 5}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    arts = save_fielded_index(
+        spark, docs, str(tmp_path / "fmm_plan"),
+        {"title": "title", "body": "body"},
+        positional_fields=frozenset({"body"}))
+    eng = FieldedBlockSearchEngine(spark, arts)
+    df = eng.multi_mixed_topk(
+        ['t0 "a b"~1', '"join hash" t1', "a b"], 10, round_to=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
