@@ -53,6 +53,8 @@ from pyspark.sql import functions as F
 from prosearch_spark.ops.similarity import (
     _dot,
     _round_half_up,
+    _round_half_up_col,
+    cosine_sim_col,
     cosine_topk,
     multi_cosine_topk,
 )
@@ -248,25 +250,35 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
     # smaller than float32 — the candidate pass reads ONLY this
     # column, sq_topk), recovered exactly at read.
     from prosearch_spark.ops.similarity import (
+        _norm,
         sq_quantize_col,
-        unit_col,
+        unit_col_mat,
     )
 
     # bounds + codes live in UNIT-NORMALIZED space (unit_col: a
-    # raw-value integer dot ranks by inner product, not cosine)
-    nv = unit_col(F.col(vec_col))
-    brow = emb.agg(
-        F.count("*").alias("n"),
-        F.min(F.array_min(nv)).cast("double").alias("gmin"),
-        F.max(F.array_max(nv)).cast("double").alias("gmax"),
-    ).collect()[0]
+    # raw-value integer dot ranks by inner product, not cosine).
+    # r7: both the bounds pass and the code projection normalize via
+    # unit_col_mat over a MATERIALIZED per-row _nrm column — the old
+    # unit_col form re-evaluated the norm fold per ELEMENT inside
+    # interpreted transform() lambdas (O(dim^2)/row, paid on EVERY
+    # vector commit, incl. each streaming sink batch). Element values
+    # are bit-identical (same when(n==0)/x/n shape over the same norm
+    # double), so manifests and stored codes do not change.
+    nvm = unit_col_mat(F.col(vec_col), F.col("_nrm"))
+    brow = (
+        emb.withColumn("_nrm", _norm(F.col(vec_col)))
+        .select(nvm.alias("_nv"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.array_min("_nv")).cast("double").alias("gmin"),
+            F.max(F.array_max("_nv")).cast("double").alias("gmax"),
+        ).collect()[0])
     n = int(brow["n"])
     gmin = float(brow["gmin"]) if brow["gmin"] is not None else 0.0
     gmax = float(brow["gmax"]) if brow["gmax"] is not None else 0.0
     if gmax > gmin:
         code = F.transform(
-            sq_quantize_col(unit_col(F.col(vec_col)),
-                            F.lit(gmin), F.lit(gmax)),
+            sq_quantize_col(nvm, F.lit(gmin), F.lit(gmax)),
             lambda c: (c - F.lit(128.0)).cast("tinyint"))
     else:
         # degenerate range: every element codes to 0 (FAISS convention)
@@ -285,7 +297,12 @@ def save_vector_index(spark: SparkSession, emb: DataFrame, path: str,
     # differ per commit so the compile never caches) — a per-batch
     # tax the streaming vector sink must not pay by default.
     pq = _pq_from_vecs(sample[:pq_k], pq_m)
-    assigned = emb.select(
+    # _nrm materialized ONCE per row feeds the code lambda's cheap
+    # column references; CollapseProject keeps the non-cheap alias
+    # (referenced more than once), so the norm is computed per row,
+    # never per element
+    emb2 = emb.withColumn("_nrm", _norm(F.col(vec_col)))
+    assigned = emb2.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         code.alias("code"),
@@ -540,22 +557,35 @@ class VectorArtifact:
             .orderBy(F.desc("sq_score"), F.asc("vec_id"))
             .limit(candidates)
         )
-        pairs = [(int(r["vec_id"]), float(r["sq_score"]))
-                 for r in cand.collect()]  # <= candidates rows
-        if not pairs:
-            return self.spark.createDataFrame(
-                [], "rank int, vec_id long, sq_score double, cosine double")
-        sq = self.spark.createDataFrame(
-            [(v, _round_half_up(s, round_to) if round_to is not None
-              else s) for v, s in pairs],
-            "vec_id long, sq_score double")
-        rescored = (
-            probed.filter(F.col("vec_id").isin([p[0] for p in pairs]))
-            .select("vec_id", "embedding")
+        # JOIN-SHAPED re-rank (r7, verdict item 2): candidates stay a
+        # DataFrame — the <=``candidates``-row top-N is BROADCAST and
+        # equi-joined back against the probed (vec_id, embedding)
+        # scan, so no id list ever round-trips through the driver or
+        # lands in the plan as an IN literal (fatal at PQ-scale
+        # candidate depths: ~0.4% of a 1B-vector store would be ~4M
+        # plan literals). Rounding happens IN-PLAN with the exact
+        # float formula of _round_half_up (see _round_half_up_col) —
+        # bit-identical to the collected path this replaces.
+        if round_to is not None:
+            sq = cand.select(
+                "vec_id",
+                _round_half_up_col(F.col("sq_score"), round_to)
+                .alias("sq_score"))
+        else:
+            sq = cand
+        rescored = (probed.select("vec_id", "embedding")
+                    .join(F.broadcast(sq), "vec_id"))
+        sim = cosine_sim_col(F.col("embedding"), query_vec)
+        d = rescored.select("vec_id", "sq_score", sim.alias("cosine"))
+        if round_to is not None:
+            d = d.withColumn("cosine", F.round("cosine", round_to))
+        from pyspark.sql import Window
+        w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            d.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "sq_score", "cosine")
         )
-        ranked = cosine_topk(rescored, query_vec, k, round_to=round_to)
-        return ranked.join(F.broadcast(sq), "vec_id").select(
-            "rank", "vec_id", "sq_score", "cosine").orderBy("rank")
 
     def pq_topk(self, query_vec: list[float], k: int = 10,
                 n_probe: int = 2, candidates: int = 40,
@@ -625,22 +655,33 @@ class VectorArtifact:
             .orderBy(F.desc("pq_score"), F.asc("vec_id"))
             .limit(candidates)
         )
-        pairs = [(int(r["vec_id"]), float(r["pq_score"]))
-                 for r in cand.collect()]  # <= candidates rows
-        if not pairs:
-            return self.spark.createDataFrame(
-                [], "rank int, vec_id long, pq_score double, cosine double")
-        pqs = self.spark.createDataFrame(
-            [(v, _round_half_up(s, round_to) if round_to is not None
-              else s) for v, s in pairs],
-            "vec_id long, pq_score double")
-        rescored = (
-            probed.filter(F.col("vec_id").isin([p[0] for p in pairs]))
-            .select("vec_id", "embedding")
+        # JOIN-SHAPED re-rank (r7, verdict item 2): the candidate
+        # top-N stays a DataFrame, broadcast-joined back against the
+        # probed (vec_id, embedding) scan — PQ's own measured recall
+        # requires candidates ~0.4% of the store (BENCH §2h'''), a
+        # depth at which the old driver collect + IN-literal refilter
+        # (~4M ids at 1B vectors) is fatal. Rounding is in-plan via
+        # the exact _round_half_up float formula (_round_half_up_col).
+        if round_to is not None:
+            pqs = cand.select(
+                "vec_id",
+                _round_half_up_col(F.col("pq_score"), round_to)
+                .alias("pq_score"))
+        else:
+            pqs = cand
+        rescored = (probed.select("vec_id", "embedding")
+                    .join(F.broadcast(pqs), "vec_id"))
+        sim = cosine_sim_col(F.col("embedding"), query_vec)
+        d = rescored.select("vec_id", "pq_score", sim.alias("cosine"))
+        if round_to is not None:
+            d = d.withColumn("cosine", F.round("cosine", round_to))
+        from pyspark.sql import Window
+        w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            d.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "pq_score", "cosine")
         )
-        ranked = cosine_topk(rescored, query_vec, k, round_to=round_to)
-        return ranked.join(F.broadcast(pqs), "vec_id").select(
-            "rank", "vec_id", "pq_score", "cosine").orderBy("rank")
 
 
 class VectorSegments:

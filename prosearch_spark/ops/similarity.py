@@ -18,6 +18,8 @@ Two tiers, per the scale ladder:
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -206,6 +208,19 @@ def _round_half_up(x: float, nd: int = 6) -> float:
 
     scale = 10 ** nd
     return math.floor(x * scale + 0.5) / scale
+
+
+def _round_half_up_col(col, nd: int = 6):
+    """In-plan twin of :func:`_round_half_up` — the SAME float formula
+    (floor(x*scale + 0.5)/scale in IEEE doubles), so a score rounded
+    inside the plan is bit-identical to one collected and rounded in
+    Python. This is deliberately NOT F.round (BigDecimal half-up),
+    whose decimal-exact path can disagree with the float formula in
+    the last ulp; the driver-collect re-rank paths this replaces
+    (r7: VectorArtifact.sq_topk/pq_topk) defined their gate semantics
+    with the float formula."""
+    s = F.lit(float(10 ** nd))
+    return F.floor(col * s + F.lit(0.5)) / s
 
 
 def ivf_sampled_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
@@ -421,12 +436,38 @@ def unit_col(vec_col):
     on any varied-norm corpus — measured at recall@10 = 0.0 on
     tools/vector_bench.py's clustered 200k corpus before this fix,
     1.0 after. A zero vector maps to all-zero codes (cosine against
-    it is undefined anyway)."""
+    it is undefined anyway).
+
+    COST WARNING (r7): referencing ``n`` (a full-array aggregate)
+    inside the per-element ``transform`` lambda re-evaluates the norm
+    fold per ELEMENT in interpreted HOF code — O(dim^2) per row (the
+    r6 knn_sq 0.49->6.02 s regression). This form is the readable
+    REFERENCE twin only; every hot path (sq_topk,
+    save_vector_index's code column) uses :func:`unit_col_mat` over a
+    MATERIALIZED per-row ``_nrm`` column, which is bit-identical
+    (same when(n==0)/x/n element shape, same norm fold — just
+    evaluated once per row). A fully flat per-index codegen expansion
+    was measured SLOWER end to end at both 2k and 200k rows
+    (Catalyst+Janino pay ~2-3 s per query for the 64-wide tree;
+    the cheap-lambda HOF evaluates in well under that)."""
     n = _norm(vec_col)
     return F.transform(
         vec_col,
         lambda x: F.when(n == F.lit(0.0), F.lit(0.0))
         .otherwise(x.cast("double") / n))
+
+
+def unit_col_mat(vec_col, nrm_col):
+    """``unit_col`` over a MATERIALIZED norm column: the same
+    when(n==0)/x/n lambda body, but ``n`` is a cheap column reference
+    (computed once per row in the parent projection — CollapseProject
+    keeps the non-cheap alias because the lambda references it twice)
+    instead of an aggregate re-evaluated per element. Bit-identical
+    output; O(dim) per row instead of O(dim^2)."""
+    return F.transform(
+        vec_col,
+        lambda x: F.when(nrm_col == F.lit(0.0), F.lit(0.0))
+        .otherwise(x.cast("double") / nrm_col))
 
 
 def sq_bounds(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -493,24 +534,58 @@ def sq_topk(emb: DataFrame, query_id: int = 0, k: int = 10,
     # is the same double list in both engines, so the score doubles
     # are bit-identical (fixed fold order) and selection stays
     # deterministic.
-    stats = sq_bounds(
-        emb.select(unit_col(F.col(vec_col)).alias("_nv")), "_nv")
-    q = (emb.filter(F.col(id_col) == query_id)
-         .select(F.col(vec_col).alias("qv")))
+    #
+    # r7 SHAPE: the norm is MATERIALIZED once per row as a real
+    # ``_nrm`` column and every per-element lambda references it as a
+    # cheap column (unit_col_mat). The previous form referenced the
+    # norm aggregate inside transform() lambdas, re-evaluating an
+    # O(dim) fold per ELEMENT in interpreted HOF code (O(dim^2)/row —
+    # the r6 knn_sq 0.49->6.02 s regression). The bounds statistics
+    # and the unit query are collected driver-side (two tiny
+    # scalar/1-row jobs replacing two broadcast crossJoins) so the
+    # candidate scan carries them as literals. Every fold is
+    # bit-identical to the form it replaces: unit elements repeat
+    # unit_col's when(n==0)/x/n shape over the same materialized
+    # norm value, and the Python-side unit query is the same
+    # left-to-right double math (_unit_py twin) on the same stored
+    # doubles.
+    qrow = (emb.filter(F.col(id_col) == query_id)
+            .select(F.col(vec_col)).head())
+    if qrow is None:
+        return emb.sparkSession.createDataFrame(
+            [], "rank int, vec_id long, sq_score double, cosine double")
+    qv = [float(x) for x in qrow[0]]
+    acc = 0.0
+    for x in qv:
+        acc = acc + x * x
+    qn = _math.sqrt(acc)
+    qunit = [0.0] * len(qv) if qn == 0.0 else [x / qn for x in qv]
+
+    v = F.col(vec_col)
+    nv = unit_col_mat(v, F.col("_nrm"))
+    srow = (
+        emb.withColumn("_nrm", _norm(v))
+        .select(nv.alias("_nv"))
+        .agg(F.min(F.array_min("_nv")).cast("double").alias("gmin"),
+             F.max(F.array_max("_nv")).cast("double").alias("gmax"))
+        .head())
+    gmin, gmax = srow["gmin"], srow["gmax"]
+    if gmin is None or gmax is None:
+        return emb.sparkSession.createDataFrame(
+            [], "rank int, vec_id long, sq_score double, cosine double")
+
     base = (emb.filter(F.col(id_col) != query_id)
-            .crossJoin(F.broadcast(stats))
-            .crossJoin(F.broadcast(q)))
-    qe = sq_quantize_col(unit_col(F.col(vec_col)),
-                         F.col("gmin"), F.col("gmax"))
-    qq = unit_col(F.col("qv"))
+            .withColumn("_nrm", _norm(v)))
+    qe = sq_quantize_col(nv, F.lit(float(gmin)), F.lit(float(gmax)))
+    qarr = F.array(*[F.lit(x) for x in qunit])
     iscore = F.aggregate(
-        F.zip_with(qe, qq, lambda a, b: a * b),
-        F.lit(0.0), lambda acc, v: acc + v,
+        F.zip_with(qe, qarr, lambda a, b: a * b),
+        F.lit(0.0), lambda s, x: s + x,
     )
     cand = (
         base.select(F.col(id_col).alias("vec_id"),
                     iscore.alias("sq_score"),
-                    F.col(vec_col).alias("v"), "qv")
+                    F.col(vec_col).alias("v"))
         .orderBy(F.desc("sq_score"), F.asc("vec_id"))
         .limit(candidates)
     )
@@ -519,8 +594,7 @@ def sq_topk(emb: DataFrame, query_id: int = 0, k: int = 10,
         # selection ordered on the raw double; the REPORTED score is
         # rounded so the cross-engine value hash is ulp-proof
         F.round("sq_score", round_to).alias("sq_score"),
-        F.round(_dot(F.col("v"), F.col("qv"))
-                / (_norm(F.col("v")) * _norm(F.col("qv"))), round_to)
+        F.round(cosine_sim_col(F.col("v"), qv), round_to)
         .alias("cosine"),
     )
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
