@@ -469,16 +469,20 @@ class VectorArtifact:
         pm = self.spark.createDataFrame(
             probe_pairs, "query_id long, bucket int")
         # qv widened to double so the elementwise math is the same
-        # float-times-double the single-query literal path runs
+        # float-times-double the single-query literal path runs; the
+        # per-query norm is materialized on the broadcast side (r7) —
+        # same double, folded once per query instead of once per
+        # (candidate row x query)
         qd = queries.select(
-            "query_id", F.col("qv").cast("array<double>").alias("qv"))
+            "query_id", F.col("qv").cast("array<double>").alias("qv"),
+            _norm(F.col("qv").cast("array<double>")).alias("_qn"))
         cand = (
             self.vectors().filter(F.col("bucket").isin(buckets))
             .join(F.broadcast(pm), "bucket")
             .join(F.broadcast(qd), "query_id")
         )
         sim = _dot(F.col("embedding"), F.col("qv")) / (
-            _norm(F.col("embedding")) * _norm(F.col("qv")))
+            _norm(F.col("embedding")) * F.col("_qn"))
         d = cand.select("query_id", "vec_id", sim.alias("cosine"))
         if round_to is not None:
             d = d.withColumn("cosine", F.round("cosine", round_to))
@@ -488,6 +492,110 @@ class VectorArtifact:
             d.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id", "cosine")
+        )
+
+    def multi_sq_topk(self, queries: DataFrame, k: int = 10,
+                      n_probe: int = 2, candidates: int = 40,
+                      round_to: int | None = 6) -> DataFrame:
+        """Batched SQ-within-IVF msearch (r7, r6 verdict item 6):
+        the candidate pass for a WHOLE query batch reads the 1-byte
+        ``code`` column of the probed-bucket union ONCE — not the
+        float64 embeddings ``multi_topk`` scans — so the batch
+        candidate scan moves ~8x fewer bytes; only the per-query
+        top-``candidates`` winners' embeddings are read for the exact
+        re-rank (the same join shape as :meth:`sq_topk`).
+
+        Plan: one (vec_id, bucket, code) scan with PartitionFilters
+        over the union of probed buckets; broadcast (query_id, bucket)
+        probe-map equi-join (never a cross join) x broadcast
+        (query_id, qunit) so each row's ADC dot runs only against the
+        queries that probed its bucket; per-query candidate cut and
+        final rank are PARTITIONED windows (WindowGroupLimit). Every
+        per-query slice is bit-identical to :meth:`sq_topk` — same
+        Python-side unit query (_unit_py fold), same asymmetric ADC
+        dot, same candidate rule (sq_score DESC, vec_id ASC), same
+        in-plan half-up score rounding, same exact-cosine re-rank.
+
+        Returns (query_id, rank, vec_id, sq_score, cosine).
+        """
+        import math
+
+        from pyspark.sql import Window
+
+        from prosearch_spark.ops.similarity import _norm
+
+        gmin = self.manifest.get("gmin")
+        gmax = self.manifest.get("gmax")
+        if gmin is None or gmax is None:
+            raise ValueError(
+                "artifact committed without SQ8 codes/bounds; "
+                "rebuild with save_vector_index (round 6+)")
+        qrows = queries.select("query_id", "qv").collect()  # batch-sized
+        probe_pairs = []
+        units = []
+        for r in qrows:
+            qv = [float(x) for x in r["qv"]]
+            nsq = 0.0
+            for x in qv:
+                nsq = nsq + x * x
+            nn = math.sqrt(nsq)
+            units.append(
+                (r["query_id"],
+                 [0.0] * len(qv) if nn == 0.0 else [x / nn for x in qv]))
+            for b in self.probe_buckets(qv, n_probe):
+                probe_pairs.append((r["query_id"], b))
+        if not probe_pairs:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, vec_id long, "
+                    "sq_score double, cosine double")
+        buckets = sorted({b for _, b in probe_pairs})
+        pm = self.spark.createDataFrame(
+            probe_pairs, "query_id long, bucket int")
+        qu = self.spark.createDataFrame(
+            units, "query_id long, qunit array<double>")
+        codes = F.transform(F.col("code"),
+                            lambda c: c.cast("double") + F.lit(128.0))
+        iscore = F.aggregate(
+            F.zip_with(codes, F.col("qunit"), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v)
+        probed = self.vectors().filter(F.col("bucket").isin(buckets))
+        wc = Window.partitionBy("query_id").orderBy(
+            F.desc("sq_score"), F.asc("vec_id"))
+        cand = (
+            probed.select("vec_id", "bucket", "code")
+            .join(F.broadcast(pm), "bucket")
+            .join(F.broadcast(qu), "query_id")
+            .select("query_id", "vec_id", iscore.alias("sq_score"))
+            .withColumn("_cr", F.row_number().over(wc))
+            .filter(F.col("_cr") <= candidates)
+            .drop("_cr")
+        )
+        if round_to is not None:
+            cand = cand.select(
+                "query_id", "vec_id",
+                _round_half_up_col(F.col("sq_score"), round_to)
+                .alias("sq_score"))
+        # qv widened to double so the re-rank math matches the
+        # single-query literal path (the multi_topk convention)
+        qd = queries.select(
+            "query_id", F.col("qv").cast("array<double>").alias("qv"))
+        rescored = (
+            probed.select("vec_id", "embedding")
+            .join(F.broadcast(cand), "vec_id")
+            .join(F.broadcast(qd), "query_id")
+        )
+        sim = _dot(F.col("embedding"), F.col("qv")) / (
+            _norm(F.col("embedding")) * _norm(F.col("qv")))
+        d = rescored.select("query_id", "vec_id", "sq_score",
+                            sim.alias("cosine"))
+        if round_to is not None:
+            d = d.withColumn("cosine", F.round("cosine", round_to))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id"))
+        return (
+            d.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "sq_score", "cosine")
         )
 
     def sq_topk(self, query_vec: list[float], k: int = 10,

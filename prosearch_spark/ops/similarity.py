@@ -40,8 +40,14 @@ def _norm(a):
 
 
 def cosine_sim_col(vec_col, query_vec: list[float]):
+    # the query norm is a CONSTANT: fold it in Python with the same
+    # left-to-right double math as _norm (bit-identical) instead of
+    # re-running an interpreted O(dim) HOF fold per ROW (r7)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return _dot(vec_col, q) / (_norm(vec_col) * _norm(q))
+    acc = 0.0
+    for x in query_vec:
+        acc = acc + float(x) * float(x)
+    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(_math.sqrt(acc)))
 
 
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
@@ -79,10 +85,15 @@ def multi_cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     """
     cand = emb.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("_v"))
+    # the per-query norm is materialized ON THE BROADCAST SIDE (n
+    # query rows), below the join — the old form re-folded _norm(_q)
+    # per (row x query) in interpreted HOF code (r7; same double, the
+    # projection just runs once per query instead of once per pair)
     scored = cand.crossJoin(F.broadcast(
-        queries.select(F.col("query_id"), F.col("qv").alias("_q"))))
+        queries.select(F.col("query_id"), F.col("qv").alias("_q"),
+                       _norm(F.col("qv")).alias("_qn"))))
     sim = _dot(F.col("_v"), F.col("_q")) / (
-        _norm(F.col("_v")) * _norm(F.col("_q")))
+        _norm(F.col("_v")) * F.col("_qn"))
     d = scored.select("query_id", "vec_id", sim.alias("cosine"))
     if round_to is not None:
         d = d.withColumn("cosine", F.round("cosine", round_to))
@@ -386,23 +397,32 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
     """
     planes = _hyperplanes(dim, n_planes * n_tables, seed)
 
+    # per-side norms are materialized ONCE PER ROW (below the explode
+    # and the bucket join) — the old form re-folded BOTH norms per
+    # candidate PAIR in interpreted HOF code, and candidate pairs
+    # outnumber rows by the collision factor (r7; same doubles, same
+    # cosine — the projection just moves below the join)
     l = left.select(
-        F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_vec")
+        F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_vec"),
+        _norm(F.col(vec_col)).alias("l_nrm"),
     ).withColumn("ts", F.explode(_banded_sigs(
         F.col("l_vec"), planes, n_planes, n_tables, probes=probes
     ))).select(
-        "l_id", "l_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+        "l_id", "l_vec", "l_nrm",
+        F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
     )
     r = right.select(
-        F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_vec")
+        F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_vec"),
+        _norm(F.col(vec_col)).alias("r_nrm"),
     ).withColumn("ts", F.explode(_banded_sigs(
         F.col("r_vec"), planes, n_planes, n_tables
     ))).select(
-        "r_id", "r_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+        "r_id", "r_vec", "r_nrm",
+        F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
     )
     pairs = (
         l.join(r, ["t", "sig"]).filter(F.col("l_id") != F.col("r_id"))
-        .select("l_id", "l_vec", "r_id", "r_vec")
+        .select("l_id", "l_vec", "l_nrm", "r_id", "r_vec", "r_nrm")
     )
     if n_tables > 1 or probes > 1:
         # any-table/any-probe semantics: collapse pairs that collided
@@ -412,7 +432,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
     scored = pairs.withColumn(
         "cosine",
         F.round(_dot(F.col("l_vec"), F.col("r_vec"))
-                / (_norm(F.col("l_vec")) * _norm(F.col("r_vec"))), 6),
+                / (F.col("l_nrm") * F.col("r_nrm")), 6),
     )
     w = Window.partitionBy("l_id").orderBy(F.desc("cosine"), F.asc("r_id"))
     return (

@@ -167,6 +167,46 @@ def test_pq_topk_rerank_is_join_shaped(spark, tmp_path):
     assert [r["rank"] for r in out.collect()] == list(range(1, 6))
 
 
+def test_multi_sq_topk_batches_prune_and_read_codes_only(
+        spark, tmp_path):
+    """VectorArtifact.multi_sq_topk (r6 verdict item 6): the batch
+    candidate pass scans (vec_id, bucket, code) of the probed-bucket
+    union ONCE — never the float64 embeddings — with PartitionFilters
+    intact, and every per-query slice equals single-query sq_topk
+    bit-for-bit (same ADC candidates, same rounding, same re-rank)."""
+    from prosearch_spark.index.vectors import save_vector_index
+
+    emb = _toy_emb(spark, n=80)
+    art = save_vector_index(spark, emb.filter(F.col("vec_id") >= 4),
+                            str(tmp_path / "msq"), n_centroids=5)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"))
+    batch = art.multi_sq_topk(qs, k=6, n_probe=2, candidates=12,
+                              round_to=6)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    # the candidate scan projects codes, not embeddings: of the scans
+    # in the plan, at least one reads code WITHOUT embedding
+    schemas = [ln.split("ReadSchema")[1].split(">")[0]
+               for ln in plan.replace("ReadSchema", "\nReadSchema")
+               .splitlines() if ln.startswith("ReadSchema")]
+    assert any("code" in s and "embedding" not in s for s in schemas), \
+        schemas
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["sq_score"], r["cosine"]))
+    qrows = qs.collect()
+    assert set(got) == {r["query_id"] for r in qrows}
+    for r in qrows:
+        single = [(x["rank"], x["vec_id"], x["sq_score"], x["cosine"])
+                  for x in art.sq_topk(
+                      [float(v) for v in r["qv"]], 6, n_probe=2,
+                      candidates=12, round_to=6).collect()]
+        assert got[r["query_id"]] == single, r["query_id"]
+
+
 def test_in_plan_half_up_round_matches_python_twin(spark):
     """_round_half_up_col must be the EXACT float formula of
     _round_half_up (floor(x*scale+0.5)/scale in IEEE doubles) — not
