@@ -394,17 +394,33 @@ def save_fielded_index(spark: SparkSession, docs: DataFrame, path: str,
     a field cannot be both basic and positional (save_index refuses —
     record:basic stores no positions by definition, which is exactly
     why fielded phrases score body-only). Returns {field:
-    IndexArtifact}."""
-    out: dict[str, IndexArtifact] = {}
-    for field, col in field_cols.items():
-        out[field] = save_index(
+    IndexArtifact}.
+
+    Fields commit CONCURRENTLY from a small driver thread pool (r7,
+    optimization guide §2.6): each field's build is an independent
+    job chain into its own ``field=<name>/`` directory, and the
+    sequential form left most executors idle through every field's
+    scheduling gaps and straggler tails. 2-3 in-flight fields
+    back-fill those tails; artifacts and manifests are byte-identical
+    per field (separate inputs, separate dirs — only the scheduling
+    overlaps). Spark's scheduler is FIFO across the concurrent jobs,
+    which is exactly the back-fill behaviour wanted."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(item):
+        field, col = item
+        return field, save_index(
             spark, docs, os.path.join(path, f"field={field}"),
             text_col=col, id_col=id_col, analyzer=analyzer,
             lang_col=lang_col, n_buckets=n_buckets,
             record_basic=(field in basic_fields),
             with_positions=(field in positional_fields),
         )
-    return out
+    items = list(field_cols.items())
+    if len(items) == 1:
+        return dict([_one(items[0])])
+    with ThreadPoolExecutor(max_workers=min(len(items), 3)) as pool:
+        return dict(pool.map(_one, items))
 
 
 def load_fielded_index(spark: SparkSession, path: str) -> dict[str, IndexArtifact]:
@@ -437,36 +453,57 @@ def _write_artifact(spark: SparkSession, path: str, postings: DataFrame,
             "until the new manifest publishes)"
         )
     os.makedirs(path, exist_ok=True)
-    blocks = encode_blocks(postings).withColumn(
-        "tb", term_bucket(F.col("term"), n_buckets)
-    )
-    (
-        blocks.repartition("tb")
-        .sortWithinPartitions("term", "first_doc")
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(os.path.join(path, "blocks"))
-    )
-    # term_stats derive from the blocks just WRITTEN: df == Σ n over a
-    # term's blocks (every posting lands in exactly one block), so the
-    # integers are identical to a groupBy over the postings — but the
-    # input is the block METADATA (term, n, tb; column-pruned read),
-    # ~block_size smaller than the postings. At 100 TB this removes a
-    # full pass over the staged postings per commit; the tb partition
-    # column rides along for free (a term lives in one bucket).
+    # doc_stats is independent of the blocks/term_stats chain — its
+    # write runs CONCURRENTLY from a driver thread (r7, optimization
+    # guide §2.6) so its job back-fills the scheduling gaps and tail
+    # of the encode+write stage instead of adding wall time after it.
+    # Both jobs read the caller-persisted postings; outputs land in
+    # disjoint directories and are byte-identical to the sequential
+    # form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
     try:
-        ts = spark.read.parquet(os.path.join(path, "blocks")) \
-            .groupBy("tb", "term").agg(F.sum("n").cast("long").alias("df"))
-    except Exception:
-        # empty corpus: the blocks dir has no part files to infer from
-        ts = spark.createDataFrame([], "tb int, term string, df long")
-    (
-        ts.select("term", "df", "tb")
-        .repartition("tb").sortWithinPartitions("term")
-        .write.mode("overwrite").partitionBy("tb")
-        .parquet(os.path.join(path, "term_stats"))
-    )
-    doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+        ds_future = pool.submit(
+            lambda: doc_stats.write.mode("overwrite")
+            .parquet(os.path.join(path, "doc_stats")))
+        blocks = encode_blocks(postings).withColumn(
+            "tb", term_bucket(F.col("term"), n_buckets)
+        )
+        (
+            blocks.repartition("tb")
+            .sortWithinPartitions("term", "first_doc")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(os.path.join(path, "blocks"))
+        )
+        # term_stats derive from the blocks just WRITTEN: df == Σ n
+        # over a term's blocks (every posting lands in exactly one
+        # block), so the integers are identical to a groupBy over the
+        # postings — but the input is the block METADATA (term, n, tb;
+        # column-pruned read), ~block_size smaller than the postings.
+        # At 100 TB this removes a full pass over the staged postings
+        # per commit; the tb partition column rides along for free (a
+        # term lives in one bucket).
+        try:
+            ts = spark.read.parquet(os.path.join(path, "blocks")) \
+                .groupBy("tb", "term") \
+                .agg(F.sum("n").cast("long").alias("df"))
+        except Exception:
+            # empty corpus: the blocks dir has no part files to infer
+            # from
+            ts = spark.createDataFrame([], "tb int, term string, df long")
+        (
+            ts.select("term", "df", "tb")
+            .repartition("tb").sortWithinPartitions("term")
+            .write.mode("overwrite").partitionBy("tb")
+            .parquet(os.path.join(path, "term_stats"))
+        )
+        # join the concurrent doc_stats write BEFORE the manifest can
+        # publish — the commit must be whole (atomic-publish guarantee)
+        ds_future.result()
+    finally:
+        pool.shutdown(wait=True)
     # clear per-generation state from any previous commit at this
     # path: tombstones are physically applied in a fresh commit, and a
     # stale doc_store would silently serve outdated stored fields

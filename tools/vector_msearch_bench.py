@@ -69,10 +69,29 @@ def main() -> None:
         va.multi_topk(qs, k, n_probe=n_probe, round_to=6).collect()
         return time.perf_counter() - t
 
-    run_batch()  # warm (codegen + page cache)
+    # r7 (r6 verdict item 6): the SQ-code batch — the candidate pass
+    # reads the 1-byte code column of the probed union ONCE for the
+    # whole batch (dim bytes/vec vs 8*dim for the float64 embeddings
+    # multi_topk scans), then re-ranks only the winners exactly
+    def run_seq_sq() -> float:
+        t = time.perf_counter()
+        for _qid, qv in qvecs:
+            va.sq_topk(qv, k, n_probe=n_probe, candidates=4 * k,
+                       round_to=6).collect()
+        return time.perf_counter() - t
+
+    def run_batch_sq() -> float:
+        t = time.perf_counter()
+        va.multi_sq_topk(qs, k, n_probe=n_probe, candidates=4 * k,
+                         round_to=6).collect()
+        return time.perf_counter() - t
+
+    run_batch(); run_batch_sq()  # warm (codegen + page cache)
     b1, s1 = run_batch(), run_seq()
-    b2 = run_batch()
+    q1, sq1 = run_batch_sq(), run_seq_sq()
+    b2, q2 = run_batch(), run_batch_sq()
     batch_s, seq_s = min(b1, b2), s1
+    batch_sq_s, seq_sq_s = min(q1, q2), sq1
 
     print(json.dumps({
         "metric": "vector_msearch_amortization",
@@ -83,6 +102,11 @@ def main() -> None:
         "speedup": round(seq_s / batch_s, 2) if batch_s else None,
         "seq_ms_per_query": round(1000 * seq_s / batch, 1),
         "batch_ms_per_query": round(1000 * batch_s / batch, 1),
+        "sq_sequential_sec": round(seq_sq_s, 3),
+        "sq_batched_sec": round(batch_sq_s, 3),
+        "sq_speedup": round(seq_sq_s / batch_sq_s, 2)
+        if batch_sq_s else None,
+        "candidate_bytes_per_vec": {"sq_code": dim, "float64": 8 * dim},
     }))
     spark.stop()
 
