@@ -423,9 +423,13 @@ def pack_sequences(chunks: DataFrame, context_tokens: int,
     trap is gone from the plan), and pack_ids renumber globally by
     per-shard offsets (one n_shards-row aggregate: shard s starts at
     sum over s' < s of ceil(shard_tokens / context)). n_shards=1 is
-    bit-identical to the unsharded global stream; larger N trades a
-    bounded amount of pack-boundary padding slack (< n_shards partial
-    packs) for full parallelism."""
+    bit-identical to the unsharded global stream in pack_id / offset /
+    spans_boundary — NOT in the ``stratum`` column, which the sharded
+    path overwrites with the shard id ("0") where the unsharded
+    stream emits "all" (r6 ADVICE; consumers keying on stratum should
+    treat sharded output's stratum as the shard label). Larger N
+    trades a bounded amount of pack-boundary padding slack
+    (< n_shards partial packs) for full parallelism."""
     if context_tokens <= 0:
         raise ValueError("context_tokens must be positive")
     if strata_col is not None and n_shards is not None:

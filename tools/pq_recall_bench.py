@@ -27,7 +27,13 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     cands = int(sys.argv[2]) if len(sys.argv) > 2 else 800
     dim, n_topics, n_cent, n_probe, k = 64, 32, 64, 4, 10
-    pq_ks = [16, 64, 256]
+    # pq_k=256 is NOT in the default list: the commit-time flat
+    # assignment expression is m*pq_k codeword l2 chains, and at 256
+    # codewords the ~16k-term Catalyst tree thrashes driver GC before
+    # codegen even compiles — the training-sample knob is bounded by
+    # the assignment architecture, which is part of the finding.
+    pq_ks = ([int(x) for x in sys.argv[3].split(",")]
+             if len(sys.argv) > 3 else [16, 64, 128])
 
     from pyspark.sql import functions as F
 
